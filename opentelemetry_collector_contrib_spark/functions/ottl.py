@@ -1,0 +1,384 @@
+"""OTTL editors & converters re-expressed as Spark Column functions.
+
+The reference's OTTL language (/root/reference/pkg/ottl, LANGUAGE.md) is
+``editor(args...) [where condition]`` executed by a per-record interpreter.
+Here a statement is a declarative Column expression pipeline: the parse/plan
+steps happen on the driver, Catalyst is the executor, and the per-record
+interpreter disappears (SURVEY.md §3.2).
+
+Editors registry parity: /root/reference/pkg/ottl/ottlfuncs/functions.go:12-27.
+Converters registry parity: functions.go:38-133.
+Naming: lower_snake of the OTTL name (``ParseJSON`` -> ``parse_json_``) with a
+trailing underscore only where Python/pyspark collides.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .hashes import fnv1a64  # noqa: F401  (exported: FNV converter)
+
+# ---------------------------------------------------------------------------
+# Editors over map<string,string> columns
+# ---------------------------------------------------------------------------
+
+
+def set_key(m: Column, key: str, value: Column) -> Column:
+    """set(target[key], value) — upsert one key (func_set.go)."""
+    return F.map_concat(
+        F.map_filter(m, lambda k, _: k != F.lit(key)),
+        F.map_from_arrays(F.array(F.lit(key)), F.array(value.cast("string"))),
+    )
+
+
+def delete_key(m: Column, key: str) -> Column:
+    return F.map_filter(m, lambda k, _: k != F.lit(key))
+
+
+def delete_matching_keys(m: Column, pattern: str) -> Column:
+    return F.map_filter(m, lambda k, _: ~k.rlike(pattern))
+
+
+def keep_matching_keys(m: Column, pattern: str) -> Column:
+    return F.map_filter(m, lambda k, _: k.rlike(pattern))
+
+
+def keep_keys(m: Column, keys: list[str]) -> Column:
+    arr = F.array(*[F.lit(k) for k in keys])
+    return F.map_filter(m, lambda k, _: F.array_contains(arr, k))
+
+
+def limit_map(m: Column, n: int, priority_keys: list[str] | None = None) -> Column:
+    """limit(target, n, priority_keys) — cap entry count, priority keys kept
+    first (func_limit.go). Deterministic: non-priority entries sorted by key."""
+    pk = priority_keys or []
+    arr = F.array(*[F.lit(k) for k in pk]) if pk else F.array().cast("array<string>")
+    entries = F.map_entries(m)
+    prio = F.filter(entries, lambda e: F.array_contains(arr, e["key"])) if pk else F.array().cast(
+        "array<struct<key:string,value:string>>"
+    )
+    rest = F.array_sort(F.filter(entries, lambda e: ~F.array_contains(arr, e["key"])))
+    merged = F.concat(prio, rest) if pk else rest
+    return F.map_from_entries(F.slice(merged, 1, n))
+
+
+def merge_maps(target: Column, source: Column, strategy: str = "upsert") -> Column:
+    """merge_maps with insert/update/upsert strategies (func_merge_maps.go)."""
+    if strategy == "upsert":
+        # source wins on conflict
+        return F.map_concat(
+            F.map_filter(target, lambda k, _: ~F.array_contains(F.map_keys(source), k)), source
+        )
+    if strategy == "insert":
+        # only keys absent from target
+        return F.map_concat(
+            target, F.map_filter(source, lambda k, _: ~F.array_contains(F.map_keys(target), k))
+        )
+    if strategy == "update":
+        # only keys already present in target
+        return F.map_zip_with(
+            target, source, lambda _, tv, sv: F.coalesce(sv, tv)
+        )
+    raise ValueError(f"unknown merge_maps strategy {strategy!r}")
+
+
+def truncate_all(m: Column, n: int) -> Column:
+    """truncate_all(target, n) — cap every string value to n chars."""
+    return F.transform_values(m, lambda _, v: F.substring(v, 1, n))
+
+
+def flatten_map(m: Column, inner: Column, prefix: str) -> Column:
+    """flatten — promote entries of ``inner`` into ``m`` under ``prefix.key``."""
+    promoted = F.transform_keys(inner, lambda k, _: F.concat(F.lit(prefix + "."), k))
+    return F.map_concat(F.map_filter(m, lambda k, _: ~F.array_contains(F.map_keys(promoted), k)), promoted)
+
+
+def append_list(target: Column, value: Column) -> Column:
+    """append(target, value) — array append (func_append.go)."""
+    return F.concat(target, F.array(value))
+
+
+# string-value replace family (func_replace_*.go). replace_match uses glob
+# patterns; translate glob -> regex anchored.
+
+
+def _glob_to_regex(glob: str) -> str:
+    out = "^"
+    for c in glob:
+        if c == "*":
+            out += ".*"
+        elif c == "?":
+            out += "."
+        else:
+            out += re.escape(c)
+    return out + "$"
+
+
+def replace_match(col: Column, glob: str, replacement: Column | str) -> Column:
+    rep = F.lit(replacement) if isinstance(replacement, str) else replacement
+    return F.when(col.rlike(_glob_to_regex(glob)), rep).otherwise(col)
+
+
+def replace_pattern(col: Column, pattern: str, replacement: str) -> Column:
+    return F.regexp_replace(col, pattern, replacement)
+
+
+def replace_all_matches(m: Column, glob: str, replacement: str) -> Column:
+    rx = _glob_to_regex(glob)
+    return F.transform_values(m, lambda _, v: F.when(v.rlike(rx), F.lit(replacement)).otherwise(v))
+
+
+def replace_all_patterns(m: Column, pattern: str, replacement: str) -> Column:
+    return F.transform_values(m, lambda _, v: F.regexp_replace(v, pattern, replacement))
+
+
+# ---------------------------------------------------------------------------
+# Converters (functions.go:38-133), grouped as in SURVEY.md §2.5
+# ---------------------------------------------------------------------------
+
+# Parse family
+def parse_json_(col: Column, schema: str | T.DataType = "map<string,string>") -> Column:
+    return F.from_json(col, schema)
+
+
+def parse_csv_(col: Column, header: list[str], delimiter: str = ",") -> Column:
+    parts = F.split(col, re.escape(delimiter))
+    return F.map_from_arrays(
+        F.array(*[F.lit(h) for h in header]), F.slice(parts, 1, len(header))
+    )
+
+
+def parse_key_value(col: Column, delimiter: str = "=", pair_delimiter: str = " ") -> Column:
+    return F.str_to_map(F.trim(col), F.lit(pair_delimiter), F.lit(delimiter))
+
+
+def extract_patterns(col: Column, pattern: str) -> Column:
+    """ExtractPatterns — named capture groups -> map<string,string>
+    (func_extract_patterns.go). JVM-side: one regexp_extract per group."""
+    if not re.search(r"\(\?P?<[A-Za-z_][A-Za-z0-9_]*>", pattern):
+        raise ValueError("pattern has no named capture groups")
+    # Java group names can't contain '_' etc. — strip names entirely for the
+    # JVM pattern (named groups share numbering with plain ones, so indices
+    # are unchanged) and extract by index.
+    norm = re.sub(r"\(\?P<", "(?<", pattern)
+    idx_of: dict[str, int] = {}
+    out_parts: list[str] = []
+    gi = 0
+    i = 0
+    while i < len(norm):
+        if norm[i] == "(" and (i == 0 or norm[i - 1] != "\\"):
+            if norm.startswith("(?<", i) and not norm.startswith("(?<=", i) and not norm.startswith("(?<!", i):
+                gi += 1
+                end = norm.index(">", i)
+                idx_of[norm[i + 3 : end]] = gi
+                out_parts.append("(")
+                i = end + 1
+                continue
+            if not norm.startswith("(?", i):
+                gi += 1
+        out_parts.append(norm[i])
+        i += 1
+    spark_pat = "".join(out_parts)
+    keys, vals = [], []
+    for name, idx in idx_of.items():
+        keys.append(F.lit(name))
+        vals.append(F.regexp_extract(col, spark_pat, idx))
+    return F.map_from_arrays(F.array(*keys), F.array(*vals))
+
+
+def url_(col: Column) -> Column:
+    """URL converter -> map of scheme/host/port/path/query/fragment
+    (semconv url.* keys, func_url.go)."""
+    return F.map_from_arrays(
+        F.array(F.lit("url.scheme"), F.lit("url.domain"), F.lit("url.path"), F.lit("url.query"), F.lit("url.original")),
+        F.array(
+            F.coalesce(F.parse_url(col, F.lit("PROTOCOL")), F.lit("")),
+            F.coalesce(F.parse_url(col, F.lit("HOST")), F.lit("")),
+            F.coalesce(F.parse_url(col, F.lit("PATH")), F.lit("")),
+            F.coalesce(F.parse_url(col, F.lit("QUERY")), F.lit("")),
+            col,
+        ),
+    )
+
+
+# String family
+concat_ = F.concat_ws
+split_ = F.split
+substring_ = F.substring
+format_ = F.format_string
+
+
+def trim_(col: Column, cutset: str = " ") -> Column:
+    return F.trim(col) if cutset == " " else F.regexp_replace(
+        F.regexp_replace(col, f"^[{re.escape(cutset)}]+", ""), f"[{re.escape(cutset)}]+$", ""
+    )
+
+
+def trim_prefix(col: Column, prefix: str) -> Column:
+    return F.when(
+        col.startswith(prefix), col.substr(F.lit(len(prefix) + 1), F.length(col))
+    ).otherwise(col)
+
+
+def trim_suffix(col: Column, suffix: str) -> Column:
+    return F.when(col.endswith(suffix), col.substr(F.lit(1), F.length(col) - len(suffix))).otherwise(col)
+
+
+to_upper_case = F.upper
+to_lower_case = F.lower
+
+
+def to_snake_case(col: Column) -> Column:
+    return F.lower(F.regexp_replace(F.regexp_replace(col, r"([a-z0-9])([A-Z])", r"$1_$2"), r"[\s\-]+", "_"))
+
+
+def to_camel_case(col: Column) -> Column:
+    # split on _/-/space, capitalize each part, join
+    return F.array_join(
+        F.transform(F.split(col, r"[\s_\-]+"), lambda p: F.initcap(F.lower(p))), ""
+    )
+
+
+def has_prefix(col: Column, p: str) -> Column:
+    return col.startswith(p)
+
+
+def has_suffix(col: Column, s: str) -> Column:
+    return col.endswith(s)
+
+
+def is_match(col: Column, pattern: str) -> Column:
+    return col.rlike(pattern)
+
+
+def len_(col: Column) -> Column:
+    return F.length(col)
+
+
+def to_key_value_string(m: Column, delimiter: str = "=", pair_delimiter: str = " ", sort_keys: bool = True) -> Column:
+    entries = F.map_entries(m)
+    if sort_keys:
+        entries = F.array_sort(entries)
+    return F.array_join(
+        F.transform(entries, lambda e: F.concat(e["key"], F.lit(delimiter), e["value"])), pair_delimiter
+    )
+
+
+# Hash/encode family
+md5_ = F.md5
+sha1_ = F.sha1
+
+
+def sha256_(col: Column) -> Column:
+    return F.sha2(col, 256)
+
+
+def sha512_(col: Column) -> Column:
+    return F.sha2(col, 512)
+
+
+hex_ = F.hex
+
+
+def base64_decode(col: Column) -> Column:
+    return F.unbase64(col).cast("string")
+
+
+def murmur3_hash(col: Column) -> Column:
+    """Spark's builtin hash IS Murmur3 x86 32-bit (seed 42) — documented
+    approximation of OTTL Murmur3Hash (seed 0); exact-seed parity would
+    need a pandas UDF."""
+    return F.hash(col)
+
+
+def xxh64(col: Column) -> Column:
+    return F.xxhash64(col)
+
+
+# Time family
+def time_(col: Column, fmt: str) -> Column:
+    from .timefmt import parse_strptime
+
+    return parse_strptime(col, fmt)
+
+
+def format_time(col: Column, fmt: str) -> Column:
+    from .timefmt import strptime_to_java
+
+    return F.date_format(col, strptime_to_java(fmt))
+
+
+def truncate_time(col: Column, unit: str) -> Column:
+    return F.date_trunc(unit, col)
+
+
+def unix_seconds(col: Column) -> Column:
+    return col.cast("long")
+
+
+def unix_milli(col: Column) -> Column:
+    return (col.cast("double") * 1000).cast("long")
+
+
+def unix_micro(col: Column) -> Column:
+    return (col.cast("double") * 1_000_000).cast("long")
+
+
+def unix_nano(col: Column) -> Column:
+    from .timefmt import epoch_nanos
+
+    return epoch_nanos(col)
+
+
+now_ = F.current_timestamp
+year_, month_, day_ = F.year, F.month, F.dayofmonth
+weekday_, hour_, minute_, second_ = F.dayofweek, F.hour, F.minute, F.second
+
+
+# Type family
+def int_(col: Column) -> Column:
+    return col.cast("long")
+
+
+def double_(col: Column) -> Column:
+    return col.cast("double")
+
+
+def string_(col: Column) -> Column:
+    return col.cast("string")
+
+
+def is_string(col: Column) -> Column:
+    return F.typeof(col) == F.lit("string")
+
+
+# Collection family
+keys_ = F.map_keys
+values_ = F.map_values
+sort_ = F.sort_array
+index_ = F.element_at
+slice_to_map = F.map_from_entries
+
+
+def contains_value(col: Column, v) -> Column:
+    return F.array_contains(col, v)
+
+
+# IDs
+def trace_id_hex(col: Column) -> Column:
+    return F.lower(F.hex(col))
+
+
+def is_root_span(parent_span_id: Column) -> Column:
+    return (parent_span_id == F.lit("0" * 16)) | parent_span_id.isNull() | (parent_span_id == F.lit(""))
+
+
+def uuid_() -> Column:
+    return F.expr("uuid()")
+
+
+log_ = F.log

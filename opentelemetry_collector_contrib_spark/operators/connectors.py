@@ -1,0 +1,233 @@
+"""Connectors (§2.7): route + aggregate between pipelines.
+
+References under /root/reference/connector/*.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def routing_connector(
+    df: DataFrame,
+    routes: list[tuple[str, Column]],
+    default: str = "default",
+    route_col: str = "route",
+) -> DataFrame:
+    """routingconnector (/root/reference/connector/routingconnector/
+    logs.go:62-107): ordered route table, FIRST-MATCH-WINS — matched data is
+    moved out before the next route is evaluated, leftovers go to
+    default_pipelines.
+
+    A when/when/otherwise chain evaluates conditions in order on the
+    disjoint remainders, which is exactly first-match semantics, in one
+    narrow pass with no shuffle."""
+    expr = None
+    for name, cond in routes:
+        c = F.coalesce(cond, F.lit(False))
+        expr = F.when(c, name) if expr is None else expr.when(c, name)
+    expr = expr.otherwise(default) if expr is not None else F.lit(default)
+    return df.withColumn(route_col, expr)
+
+
+def count_connector(
+    df: DataFrame,
+    conditions: list[Column] | None = None,
+    group_by: list[str] | None = None,
+    metric_name: str = "log.record.count",
+) -> DataFrame:
+    """countconnector (/root/reference/connector/countconnector/
+    counter.go:39-147): count records matching ORed conditions, grouped by
+    attributes. Output one sum-metric row per attribute combination."""
+    out = df
+    if conditions:
+        keep = conditions[0]
+        for c in conditions[1:]:
+            keep = keep | c
+        out = out.filter(F.coalesce(keep, F.lit(False)))
+    gb = group_by or []
+    return (
+        out.groupBy(*gb)
+        .agg(F.count(F.lit(1)).alias("value"))
+        .withColumn("metric_name", F.lit(metric_name))
+    )
+
+
+def sum_connector(
+    df: DataFrame,
+    source_attribute: str | Column,
+    conditions: list[Column] | None = None,
+    group_by: list[str] | None = None,
+    metric_name: str = "log.record.sum",
+) -> DataFrame:
+    """sumconnector (/root/reference/connector/sumconnector/README.md:35-70):
+    sum a numeric source attribute per unique attribute combination."""
+    out = df
+    if conditions:
+        keep = conditions[0]
+        for c in conditions[1:]:
+            keep = keep | c
+        out = out.filter(F.coalesce(keep, F.lit(False)))
+    src = F.col(source_attribute) if isinstance(source_attribute, str) else source_attribute
+    gb = group_by or []
+    return (
+        out.groupBy(*gb)
+        .agg(F.sum(src.cast("double")).alias("value"))
+        .withColumn("metric_name", F.lit(metric_name))
+    )
+
+
+def spanmetrics_connector(
+    df: DataFrame,
+    dims: list[str],
+    duration_col: str = "duration_ns",
+    bounds_ms: list[float] | None = None,
+) -> DataFrame:
+    """spanmetricsconnector (/root/reference/connector/spanmetricsconnector/
+    connector.go:165-213,253-340): R.E.D. metrics — calls count + explicit
+    histogram of duration per (service, span.name, kind, status + dims).
+
+    Histogram via one groupBy: bucket index = width_bucket-style CASE over
+    the explicit bounds, then counts pivoted into an array — a single
+    shuffle, map-side combinable."""
+    bounds_ms = bounds_ms or [2, 4, 6, 8, 10, 50, 100, 200, 400, 800, 1000, 1400, 2000, 5000, 10000, 15000]
+    dur_ms = F.col(duration_col) / 1e6
+    bucket = None
+    for i, b in enumerate(bounds_ms):
+        cond = dur_ms <= F.lit(b)
+        bucket = F.when(cond, i) if bucket is None else bucket.when(cond, i)
+    bucket = bucket.otherwise(len(bounds_ms))
+    tagged = df.withColumn("__bucket", bucket)
+    per_bucket = [
+        F.sum(F.when(F.col("__bucket") == i, 1).otherwise(0)).alias(f"bucket_{i}")
+        for i in range(len(bounds_ms) + 1)
+    ]
+    out = tagged.groupBy(*dims).agg(
+        F.count(F.lit(1)).alias("calls"),
+        F.sum(dur_ms).alias("duration_sum_ms"),
+        F.min(dur_ms).alias("duration_min_ms"),
+        F.max(dur_ms).alias("duration_max_ms"),
+        *per_bucket,
+    )
+    return out.withColumn(
+        "bucket_counts", F.array(*[F.col(f"bucket_{i}") for i in range(len(bounds_ms) + 1)])
+    ).drop(*[f"bucket_{i}" for i in range(len(bounds_ms) + 1)])
+
+
+def servicegraph_connector(
+    df: DataFrame,
+    trace_col: str = "trace_id",
+    span_col: str = "span_id",
+    parent_col: str = "parent_span_id",
+    service_col: str = "service_name",
+    kind_col: str = "kind",
+) -> DataFrame:
+    """servicegraphconnector (/root/reference/connector/servicegraphconnector/):
+    pair client spans with the server spans they called (same trace,
+    client.span_id == server.parent_span_id) -> caller->callee edge counts.
+    Self-join keyed on (trace_id, span linkage); AQE handles skewed traces."""
+    client = df.filter(F.col(kind_col) == "client").select(
+        F.col(trace_col).alias("t"), F.col(span_col).alias("cs"), F.col(service_col).alias("client")
+    )
+    server = df.filter(F.col(kind_col) == "server").select(
+        F.col(trace_col).alias("t"), F.col(parent_col).alias("ps"), F.col(service_col).alias("server")
+    )
+    edges = client.join(server, (client["t"] == server["t"]) & (client["cs"] == server["ps"]))
+    return edges.groupBy("client", "server").agg(F.count(F.lit(1)).alias("call_count"))
+
+
+def signaltometrics_connector(
+    df: DataFrame,
+    dims: list[Column | str],
+    value: Column | None = None,
+    metric_type: str = "sum",
+    metric_name: str = "signal.metric",
+) -> DataFrame:
+    """signaltometricsconnector (README.md:25-80): generic OTTL-driven
+    metric from any signal — groupBy(extracted dims) agg(sum|count|...)."""
+    gb = [F.col(d).alias(d) if isinstance(d, str) else d for d in dims]
+    if metric_type == "count" or value is None:
+        agg = F.count(F.lit(1)).alias("value")
+    elif metric_type == "sum":
+        agg = F.sum(value).alias("value")
+    elif metric_type == "gauge_last":
+        raise ValueError("gauge needs an ordering column; use interval_processor")
+    else:
+        raise ValueError(metric_type)
+    return df.groupBy(*gb).agg(agg).withColumn("metric_name", F.lit(metric_name))
+
+
+def exceptions_connector(
+    df: DataFrame,
+    event_name_col: str = "event_name",
+    dims: list[str] | None = None,
+) -> DataFrame:
+    """exceptionsconnector (/root/reference/connector/exceptionsconnector/):
+    count exception span-events grouped by dims."""
+    dims = dims or ["service_name"]
+    return (
+        df.filter(F.col(event_name_col) == "exception")
+        .groupBy(*dims)
+        .agg(F.count(F.lit(1)).alias("exception_count"))
+    )
+
+
+def roundrobin_connector(df: DataFrame, n: int, id_col: str, route_col: str = "route") -> DataFrame:
+    """roundrobinconnector (connector.go:64-96): distribute across n
+    pipelines. Deterministic: pmod of a stable id column (the reference
+    round-robins batch arrival order, which has no stable batch analog)."""
+    return df.withColumn(route_col, F.concat(F.lit("pipeline_"), F.pmod(F.col(id_col), F.lit(n)).cast("string")))
+
+
+def otlpjson_connector(df: DataFrame, body_col: str = "body") -> DataFrame:
+    """otlpjsonconnector (/root/reference/connector/otlpjsonconnector/):
+    log bodies carrying OTLP/JSON -> flattened typed log records."""
+    schema = (
+        "struct<resourceLogs: array<struct<"
+        "resource: struct<attributes: array<struct<key:string, value:struct<stringValue:string>>>>,"
+        "scopeLogs: array<struct<"
+        "scope: struct<name:string, version:string>,"
+        "logRecords: array<struct<timeUnixNano:string, severityNumber:int, severityText:string,"
+        "body:struct<stringValue:string>, traceId:string, spanId:string>>"
+        ">>>>>"
+    )
+    parsed = df.withColumn("__otlp", F.from_json(F.col(body_col), schema))
+    rl = parsed.select(F.explode("__otlp.resourceLogs").alias("rl"))
+    sl = rl.select(
+        F.map_from_entries(
+            F.transform("rl.resource.attributes", lambda e: F.struct(e["key"], e["value"]["stringValue"]))
+        ).alias("resource_attributes"),
+        F.explode("rl.scopeLogs").alias("sl"),
+    )
+    lr = sl.select(
+        "resource_attributes",
+        F.col("sl.scope.name").alias("scope_name"),
+        F.coalesce(F.col("sl.scope.version"), F.lit("")).alias("scope_version"),
+        F.explode("sl.logRecords").alias("lr"),
+    )
+    return lr.select(
+        "resource_attributes",
+        "scope_name",
+        "scope_version",
+        F.col("lr.timeUnixNano").cast("long").alias("time_unix_nano"),
+        F.coalesce(F.col("lr.severityNumber"), F.lit(0)).alias("severity_number"),
+        F.coalesce(F.col("lr.severityText"), F.lit("")).alias("severity_text"),
+        F.col("lr.body.stringValue").alias("body"),
+        F.lower(F.coalesce(F.col("lr.traceId"), F.lit(""))).alias("trace_id"),
+        F.lower(F.coalesce(F.col("lr.spanId"), F.lit(""))).alias("span_id"),
+    )
+
+
+def slowsql_connector(
+    df: DataFrame,
+    threshold_ns: int,
+    duration_col: str = "duration_ns",
+    db_system_key: str = "db.system",
+) -> DataFrame:
+    """slowsqlconnector (README.md): emit log rows for DB spans slower than
+    threshold."""
+    return df.filter(
+        (F.col(duration_col) > threshold_ns)
+        & F.array_contains(F.map_keys(F.col("attributes")), db_system_key)
+    )

@@ -1,0 +1,293 @@
+"""Stanza parser operators (§2.3) as DataFrame stages.
+
+Each parser reads ``parse_from`` (default body), writes a
+map<string,string> into ``parse_to`` (default attributes), with the shared
+on_error semantics of /root/reference/pkg/stanza/operator/helper/parser.go.
+All are pure Column expressions (whole-stage codegen) except grok's pandas
+implementation.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import grok as grokmod
+from ..functions.timefmt import parse_epoch, parse_strptime
+from ..model import SEVERITY_ALIASES, SEVERITY_NUMBER, SEVERITY_TEXT
+from .base import get_field, set_parsed
+
+
+def regex_parser(
+    df: DataFrame,
+    pattern: str,
+    parse_from: str = "body",
+    parse_to: str = "attributes",
+    on_error: str = "send",
+) -> DataFrame:
+    """regex_parser: named-capture-group regex -> map
+    (/root/reference/pkg/stanza/operator/parser/regex/parser.go:29-66).
+    The reference's optional LRU cache is unnecessary here: Catalyst
+    evaluates the compiled regex JVM-side per batch; for pathological
+    duplicate-heavy inputs, dedup-before-parse is the Spark analog."""
+    from ..functions.ottl import extract_patterns
+
+    src = get_field(df, parse_from)
+    return set_parsed(df, extract_patterns(src, pattern), parse_to, on_error)
+
+
+def grok_parser(
+    df: DataFrame,
+    pattern: str,
+    custom: dict[str, str] | None = None,
+    parse_from: str = "body",
+    parse_to: str = "attributes",
+    on_error: str = "send",
+    impl: str = "pandas",
+) -> DataFrame:
+    """ExtractGrokPatterns as a parser stage (grok expanded at plan time,
+    vectorized extraction; func_extract_grok_patterns.go:18-101)."""
+    src = get_field(df, parse_from)
+    return set_parsed(df, grokmod.grok_extract(src, pattern, custom, impl), parse_to, on_error)
+
+
+def json_parser(
+    df: DataFrame,
+    parse_from: str = "body",
+    parse_to: str = "attributes",
+    on_error: str = "send",
+    schema: str = "map<string,string>",
+) -> DataFrame:
+    """json_parser (/root/reference/pkg/stanza/operator/parser/json/parser.go)."""
+    src = get_field(df, parse_from)
+    return set_parsed(df, F.from_json(src, schema), parse_to, on_error)
+
+
+def csv_parser(
+    df: DataFrame,
+    header: list[str],
+    delimiter: str = ",",
+    parse_from: str = "body",
+    parse_to: str = "attributes",
+    on_error: str = "send",
+) -> DataFrame:
+    """csv_parser (/root/reference/pkg/stanza/operator/parser/csv/config.go:39-55)."""
+    from ..functions.ottl import parse_csv_
+
+    src = get_field(df, parse_from)
+    return set_parsed(df, parse_csv_(src, header, delimiter), parse_to, on_error)
+
+
+def keyvalue_parser(
+    df: DataFrame,
+    delimiter: str = "=",
+    pair_delimiter: str = " ",
+    parse_from: str = "body",
+    parse_to: str = "attributes",
+    on_error: str = "send",
+) -> DataFrame:
+    """key_value_parser (/root/reference/pkg/stanza/operator/parser/keyvalue/config.go:30-53)."""
+    src = get_field(df, parse_from)
+    parsed = F.str_to_map(F.trim(src), F.lit(pair_delimiter), F.lit(delimiter))
+    return set_parsed(df, parsed, parse_to, on_error)
+
+
+# RFC3164/RFC5424 syslog — library-free regex port of
+# /root/reference/pkg/stanza/operator/parser/syslog/config.go:22-82.
+_RFC3164 = (
+    r"^<(?P<priority>\d{1,3})>"
+    r"(?P<timestamp>[A-Z][a-z]{2}\s+\d{1,2} \d{2}:\d{2}:\d{2}) "
+    r"(?P<hostname>\S+) "
+    r"(?P<appname>[^\[:\s]+)(?:\[(?P<proc_id>\d+)\])?:\s*"
+    r"(?P<message>.*)$"
+)
+_RFC5424 = (
+    r"^<(?P<priority>\d{1,3})>(?P<version>\d+) "
+    r"(?P<timestamp>\S+) (?P<hostname>\S+) (?P<appname>\S+) "
+    r"(?P<proc_id>\S+) (?P<msg_id>\S+) (?P<structured_data>-|\[.*?\])\s*"
+    r"(?P<message>.*)$"
+)
+
+
+def syslog_parser(
+    df: DataFrame,
+    protocol: str = "rfc5424",
+    parse_from: str = "body",
+    parse_to: str = "attributes",
+    on_error: str = "send",
+) -> DataFrame:
+    from ..functions.ottl import extract_patterns
+
+    pattern = _RFC5424 if protocol == "rfc5424" else _RFC3164
+    src = get_field(df, parse_from)
+    out = set_parsed(df, extract_patterns(src, pattern), parse_to, on_error)
+    # severity from priority: sev = priority & 7, facility = priority >> 3
+    pri = F.element_at(F.col(parse_to), "priority").cast("int")
+    syslog_sev = pri.bitwiseAND(F.lit(7))
+    # syslog severity (0=emerg..7=debug) -> OTel severity number
+    otel = (
+        F.when(syslog_sev == 0, 24).when(syslog_sev == 1, 22).when(syslog_sev == 2, 21)
+        .when(syslog_sev == 3, 17).when(syslog_sev == 4, 13).when(syslog_sev == 5, 10)
+        .when(syslog_sev == 6, 9).otherwise(5)
+    )
+    return (
+        out.withColumn("severity_number", F.when(pri.isNotNull(), otel))
+        .withColumn("facility", (pri / 8).cast("int"))
+    )
+
+
+# container parser: auto-detect docker-json / containerd / cri-o line formats
+# (/root/reference/pkg/stanza/operator/parser/container/parser.go:27-43).
+_CONTAINERD_RX = (
+    r"^(?P<time>[^ ]+) (?P<stream>stdout|stderr) (?P<logtag>[^ ]*) ?(?P<log>.*)$"
+)
+_CRIO_RX = _CONTAINERD_RX  # cri-o differs only in time format (no 'Z')
+_K8S_PATH_RX = (
+    r"^.*/(?P<pod_name>[^_]+)_(?P<namespace>[^_]+)_"
+    r"(?P<container_name>.+)-(?P<restart_count>\d+)\.log$"
+)
+
+
+def container_parser(
+    df: DataFrame,
+    parse_from: str = "body",
+    parse_to: str = "attributes",
+    add_metadata_from_filepath: bool = False,
+    filepath_col: str = "log_file_path",
+) -> DataFrame:
+    """container: detect docker-JSON vs containerd/cri-o, parse, optionally
+    extract k8s metadata from the file path. Partial-line recombination for
+    logtag='P' is `recombine_partial_lines` in transformers.py."""
+    from ..functions.ottl import extract_patterns
+
+    src = get_field(df, parse_from)
+    is_docker = src.startswith("{")
+    docker = F.from_json(src, "map<string,string>")
+    crio = extract_patterns(src, _CONTAINERD_RX)
+    parsed = F.when(is_docker, docker).otherwise(crio)
+    out = set_parsed(df, parsed, parse_to)
+    if add_metadata_from_filepath and filepath_col in df.columns:
+        meta = extract_patterns(F.col(filepath_col), _K8S_PATH_RX)
+        out = out.withColumn(
+            parse_to,
+            F.map_concat(
+                F.col(parse_to),
+                F.map_from_arrays(
+                    F.array(F.lit("k8s.pod.name"), F.lit("k8s.namespace.name"), F.lit("k8s.container.name"), F.lit("k8s.container.restart_count")),
+                    F.array(
+                        F.element_at(meta, "pod_name"),
+                        F.element_at(meta, "namespace"),
+                        F.element_at(meta, "container_name"),
+                        F.element_at(meta, "restart_count"),
+                    ),
+                ),
+            ),
+        )
+    return out
+
+
+def time_parser(
+    df: DataFrame,
+    parse_from: str,
+    layout: str,
+    layout_type: str = "strptime",
+    out_col: str = "timestamp",
+) -> DataFrame:
+    """time_parser (/root/reference/pkg/stanza/operator/helper/time.go:20-27):
+    strptime | gotime (translated by caller) | epoch layouts."""
+    src = get_field(df, parse_from)
+    if layout_type == "epoch":
+        ts = parse_epoch(src, layout)
+    else:
+        ts = parse_strptime(src, layout)
+    return df.withColumn(out_col, ts)
+
+
+def severity_parser(
+    df: DataFrame,
+    parse_from: str,
+    mapping: dict[str, int] | None = None,
+    out_number: str = "severity_number",
+    out_text: str = "severity_text",
+) -> DataFrame:
+    """severity_parser (/root/reference/pkg/stanza/operator/helper/severity_builder.go):
+    text (case-insensitive, aliases) -> severity number + canonical text.
+    Implemented as a literal CASE chain (small closed domain -> no join)."""
+    table = dict(SEVERITY_NUMBER)
+    for alias, target in SEVERITY_ALIASES.items():
+        table[alias] = SEVERITY_NUMBER[target]
+    if mapping:
+        table.update({k.lower(): v for k, v in mapping.items()})
+    src = F.lower(get_field(df, parse_from))
+    num = None
+    for text, n in table.items():
+        cond = src == F.lit(text)
+        num = F.when(cond, n) if num is None else num.when(cond, n)
+    num = num.otherwise(F.lit(0))
+    text_col = None
+    for n, t in SEVERITY_TEXT.items():
+        cond = num == F.lit(n)
+        text_col = F.when(cond, t) if text_col is None else text_col.when(cond, t)
+    text_col = text_col.otherwise(F.lit(""))
+    return df.withColumn(out_number, num.cast("int")).withColumn(out_text, text_col)
+
+
+def trace_parser(
+    df: DataFrame,
+    trace_id_from: str | None = None,
+    span_id_from: str | None = None,
+    flags_from: str | None = None,
+) -> DataFrame:
+    """trace_parser (/root/reference/pkg/stanza/operator/parser/trace/config.go:13):
+    project hex trace/span ids + flags into the canonical columns."""
+    out = df
+    if trace_id_from:
+        out = out.withColumn("trace_id", F.lower(get_field(df, trace_id_from)))
+    if span_id_from:
+        out = out.withColumn("span_id", F.lower(get_field(df, span_id_from)))
+    if flags_from:
+        out = out.withColumn("flags", get_field(df, flags_from).cast("int"))
+    return out
+
+
+def uri_parser(
+    df: DataFrame,
+    parse_from: str = "body",
+    parse_to: str = "attributes",
+) -> DataFrame:
+    """uri_parser (/root/reference/pkg/stanza/operator/parser/uri/config.go:13):
+    scheme/host/port/path/query breakdown via parse_url (JVM-side)."""
+    src = get_field(df, parse_from)
+    parsed = F.map_filter(
+        F.map_from_arrays(
+            F.array(F.lit("scheme"), F.lit("host"), F.lit("port"), F.lit("path"), F.lit("query")),
+            F.array(
+                F.parse_url(src, F.lit("PROTOCOL")),
+                F.parse_url(src, F.lit("HOST")),
+                # Spark's parse_url PORT is unreliable; derive from AUTHORITY
+                F.nullif(F.regexp_extract(F.parse_url(src, F.lit("AUTHORITY")), r":(\d+)$", 1), F.lit("")),
+                F.parse_url(src, F.lit("PATH")),
+                F.parse_url(src, F.lit("QUERY")),
+            ),
+        ),
+        lambda _, v: v.isNotNull(),
+    )
+    return set_parsed(df, parsed, parse_to)
+
+
+def scope_name_parser(df: DataFrame, parse_from: str, out_col: str = "scope_name") -> DataFrame:
+    """scope_name_parser (/root/reference/pkg/stanza/operator/parser/scope/config.go:13)."""
+    return df.withColumn(out_col, get_field(df, parse_from))
+
+
+def jsonarray_parser(
+    df: DataFrame,
+    parse_from: str = "body",
+    parse_to: str = "parsed_array",
+    element_type: str = "string",
+) -> DataFrame:
+    """jsonarray_parser (/root/reference/pkg/stanza/operator/parser/jsonarray/config.go)."""
+    src = get_field(df, parse_from)
+    return df.withColumn(parse_to, F.from_json(src, f"array<{element_type}>"))

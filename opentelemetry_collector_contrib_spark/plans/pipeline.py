@@ -1,0 +1,133 @@
+"""End-to-end parse -> enrich -> route -> aggregate pipelines.
+
+`log_pipeline` is the north-rule job over the tokenized-sequence input
+(doc_id, tokens, n_tok, source) joined with its serialized payloads:
+vectorized parse (grok/JSON/kv/containerd by format), broadcast enrichment
+with source metadata, first-match routing to per-tenant sinks, per-sink
+aggregate counts — one Catalyst plan, one shuffle (the final count), with
+the token arrays carried through untouched (per-row invariant).
+
+`events_pipeline` is the same shape over the driver's `events` table
+(flagship/smoke query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import connectors, parsers
+from ..operators.enrich import lookup_enrich
+from ..sinks.fanout import sink_counts
+
+
+def _severity_from_attrs(df: DataFrame) -> DataFrame:
+    attrs = F.col("attributes")
+    status = F.element_at(attrs, "status").cast("int")
+    text = F.lower(
+        F.coalesce(
+            F.element_at(attrs, "level"),
+            F.when(status >= 500, F.lit("error")).when(status >= 400, F.lit("warn")),
+            F.lit("info"),
+        )
+    )
+    return parsers.severity_parser(df.withColumn("__sev_text", text), "__sev_text").drop("__sev_text")
+
+
+def log_pipeline(
+    sequences: DataFrame,
+    logs: DataFrame,
+    meta: DataFrame,
+    routes: list[tuple[str, F.Column]] | None = None,
+) -> dict[str, DataFrame]:
+    """The north-rule pipeline. Returns {'routed': ..., 'counts': ...}.
+
+    Shuffle budget: the sequences⨝logs join is keyed on doc_id (both sides
+    generated co-partitioned at scale this is a bucket join); meta is
+    broadcast; routing is narrow; the only unavoidable shuffle is the final
+    per-sink aggregate (map-side combined)."""
+    from ..functions.grok import grok_extract  # noqa: F401
+
+    body = F.col("body")
+    apache_rx = (
+        r"^(?P<client_ip>\S+) (?P<ident>\S+) (?P<user>\S+) \[(?P<ts>[^\]]+)\] "
+        r'"(?P<method>\S+) (?P<path>\S+) (?P<proto>[^"]+)" (?P<status>\d+) (?P<size>\d+)$'
+    )
+    containerd_rx = r"^(?P<time>\S+) (?P<stream>stdout|stderr) (?P<logtag>\S+) (?P<log>.*)$"
+    from ..functions.ottl import extract_patterns
+
+    parsed = (
+        F.when(F.col("fmt") == 1, F.from_json(body, "map<string,string>"))
+        .when(F.col("fmt") == 2, F.str_to_map(F.trim(body), F.lit(" "), F.lit("=")))
+        .when(F.col("fmt") == 0, extract_patterns(body, apache_rx))
+        .otherwise(extract_patterns(body, containerd_rx))
+        if "fmt" in logs.columns
+        else F.when(body.startswith("{"), F.from_json(body, "map<string,string>"))
+        .when(body.rlike(r"^\w+=\S+( \w+=\S+)*$"), F.str_to_map(F.trim(body), F.lit(" "), F.lit("=")))
+        .when(body.rlike(r"^\S+ \S+ \S+ \["), extract_patterns(body, apache_rx))
+        .otherwise(extract_patterns(body, containerd_rx))
+    )
+    records = logs.withColumn("attributes", parsed)
+    records = _severity_from_attrs(records)
+    # join payloads with their token sequences (doc_id is the row identity)
+    joined = records.join(sequences.select("doc_id", "tokens", "n_tok"), "doc_id")
+    # broadcast enrichment: source -> service/namespace/region/tenant
+    enriched = lookup_enrich(joined, meta, "source")
+    enriched = enriched.withColumn(
+        "resource_attributes",
+        F.map_from_arrays(
+            F.array(F.lit("service.name"), F.lit("k8s.namespace.name"), F.lit("cloud.region")),
+            F.array(F.col("service_name"), F.col("namespace"), F.col("region")),
+        ),
+    )
+    # first-match routing (routingconnector README's tenant example)
+    routes = routes or [
+        ("errors", F.col("severity_number") >= 17),
+        ("acme", F.col("tenant") == "acme"),
+        ("ecorp", F.col("tenant") == "ecorp"),
+    ]
+    routed = connectors.routing_connector(enriched, routes)
+    counts = sink_counts(routed)
+    return {"routed": routed, "counts": counts}
+
+
+def events_as_log_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recast the driver's `events` table as flat log records: props is the
+    serialized payload (json_parser target), event_type drives severity."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = parsers.json_parser(ev, parse_from="props", parse_to="attributes")
+    sev_text = (
+        F.when(F.col("event_type") == "error", "error")
+        .when(F.col("event_type") == "purchase", "info2")
+        .otherwise("info")
+    )
+    ev = parsers.severity_parser(ev.withColumn("__sev", sev_text), "__sev").drop("__sev")
+    return ev
+
+
+def events_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship smoke query: parse -> enrich -> route -> per-sink counts
+    over the events table."""
+    ev = events_as_log_records(spark, sf_dir)
+    tiers = spark.createDataFrame(
+        [("error", "errors"), ("purchase", "revenue"), ("signup", "growth"),
+         ("login", "auth"), ("view", "traffic")],
+        "event_type string, team string",
+    )
+    enriched = lookup_enrich(ev, tiers, "event_type")
+    routed = connectors.routing_connector(
+        enriched,
+        [
+            ("errors", F.col("severity_number") >= 17),
+            ("high_value", F.col("value") > 150.0),
+            ("team_revenue", F.col("team") == "revenue"),
+        ],
+    )
+    return (
+        routed.groupBy("route")
+        .agg(
+            F.count(F.lit(1)).alias("records_out"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("route")
+    )

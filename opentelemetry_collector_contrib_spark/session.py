@@ -1,0 +1,47 @@
+"""SparkSession factory tuned for the log-pipeline workload.
+
+Scale notes (100 TB / 1000-executor design):
+- AQE on: runtime coalescing + skew-join splitting handles the hot-source
+  skew the reference's kafka partitioner would otherwise concentrate
+  (reference: exporter/kafkaexporter/config.go:63-77 partitions by resource
+  attributes -> hot services hot partitions; we let AQE split them).
+- shuffle.partitions defaults to cores locally; on a real cluster set it
+  ~2-3x total cores or rely on AQE coalescing from a high initial value.
+- Arrow enabled: every Python-side operator here is a pandas/Arrow UDF,
+  never per-row Python.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "otelcol-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,74 @@
+"""Per-route fan-out writer + obsreport accounting.
+
+The routing connector resolves each route to consumer pipelines at startup
+and hands each consumer its moved subset
+(/root/reference/connector/routingconnector/logs.go:62-107); the exporter
+wraps the push with queue/retry and counts records/bytes per
+(outcome, topic, partition)
+(/root/reference/exporter/glassflowexporter/internal/metadata/metrics.go:14-79,
+factory.go:58-64).
+
+Spark-first fan-out: ONE pass — write the routed DataFrame partitioned by
+the route column (`partitionBy('route')`); every sink's rows land under its
+own directory/table partition, no N filtered re-scans. Task retries +
+idempotent overwrite replace the sending queue; per-sink counts come from
+one groupBy over the same routed frame (map-side combinable).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def sink_counts(routed: DataFrame, route_col: str = "route") -> DataFrame:
+    """Per-sink obsreport counts: records routed per sink (metrics.go
+    records-per-topic analog). One aggregate, map-side combined."""
+    return (
+        routed.groupBy(F.col(route_col).alias("sink"))
+        .agg(F.count(F.lit(1)).alias("records_out"))
+        .orderBy("sink")
+    )
+
+
+def write_fanout(
+    routed: DataFrame,
+    base_path: str,
+    route_col: str = "route",
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Single-pass multi-sink write: partitionBy(route). At cluster scale
+    this is the one-job equivalent of the reference's per-route consumers;
+    dynamic partition overwrite keeps re-runs idempotent (persistent-queue
+    semantics: at-least-once delivery collapsed to exactly-once by
+    overwrite)."""
+    (
+        routed.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(route_col)
+        .format(fmt)
+        .save(base_path)
+    )
+
+
+def read_sink(spark: SparkSession, base_path: str, sink: str, fmt: str = "parquet") -> DataFrame:
+    return spark.read.format(fmt).load(os.path.join(base_path, f"route={sink}"))
+
+
+def failover_write(
+    routed: DataFrame, targets: list[str], route_col: str = "route", fmt: str = "parquet"
+) -> str:
+    """failoverconnector (/root/reference/connector/failoverconnector/
+    logs.go:29-66): try sinks in priority order, fall back on failure.
+    Driver-side try/except around the write job."""
+    last_err: Exception | None = None
+    for path in targets:
+        try:
+            write_fanout(routed, path, route_col, fmt=fmt)
+            return path
+        except Exception as e:  # noqa: BLE001 — any write failure falls over
+            last_err = e
+    raise RuntimeError(f"all failover targets failed: {last_err}")

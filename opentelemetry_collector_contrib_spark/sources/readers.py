@@ -1,0 +1,60 @@
+"""Sources / receivers (§2.1) as Spark readers.
+
+The filelog receiver's machinery (globbing, fingerprinting, offsets, poll
+loop — /root/reference/pkg/stanza/fileconsumer/file.go:44-156, design.md)
+exists because the Go collector tails live files; in Spark the equivalent
+is the file source itself: batch `spark.read.text(glob)` (globbing, split
+lines) or `spark.readStream.format('text')` (offset tracking == streaming
+checkpoint). Batch resume == sinks/lineage.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def filelog(
+    spark: SparkSession,
+    glob: str,
+    include_file_path: bool = False,
+    streaming: bool = False,
+) -> DataFrame:
+    """filelog receiver: one row per line, body column; optional file-path
+    attribute (receiver/filelogreceiver/filelog.go)."""
+    reader = spark.readStream if streaming else spark.read
+    df = reader.text(glob)
+    out = df.withColumnRenamed("value", "body")
+    if include_file_path:
+        out = out.withColumn("log_file_path", F.input_file_name())
+    return out
+
+
+def otlpjson_file(spark: SparkSession, glob: str) -> DataFrame:
+    """otlpjsonfilereceiver (receiver/otlpjsonfilereceiver/): OTLP/JSON
+    lines -> flattened log records via the otlpjson connector."""
+    from ..operators.connectors import otlpjson_connector
+
+    raw = spark.read.text(glob).withColumnRenamed("value", "body")
+    return otlpjson_connector(raw)
+
+
+def table(spark: SparkSession, path_or_name: str, fmt: str = "parquet") -> DataFrame:
+    """Primary scan: the Iceberg tokenized-sequence table at production
+    (`spark.read.format('iceberg').load(name)`), parquet in this sandbox.
+    Catalyst pushes filters/column pruning into the scan either way."""
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(path_or_name)
+    return spark.read.format(fmt).load(path_or_name)
+
+
+def kafka_source(spark: SparkSession, bootstrap: str, topic: str, streaming: bool = True) -> DataFrame:
+    """kafka receiver (receiver/kafkareceiver): key/value byte columns.
+    Gated: no broker in this sandbox."""
+    reader = spark.readStream if streaming else spark.read
+    return (
+        reader.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .load()
+    )

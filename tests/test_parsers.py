@@ -1,0 +1,151 @@
+"""Golden parser tests mirroring the stanza operator test style
+(/root/reference/pkg/stanza/operator/parser/*/ *_test.go): config -> parse
+-> assert exact extracted fields."""
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators import parsers
+
+
+def _one(spark, body, **extra):
+    row = {"body": body, "source": "svc-a", "ingest_ts": 1}
+    row.update(extra)
+    return spark.createDataFrame([row])
+
+
+def test_regex_parser_named_groups(spark):
+    df = _one(spark, "2025-01-01 ERROR something broke")
+    out = parsers.regex_parser(df, r"^(?P<date>\S+) (?P<sev>\S+) (?P<msg>.*)$")
+    attrs = out.select("attributes").first()[0]
+    assert attrs == {"date": "2025-01-01", "sev": "ERROR", "msg": "something broke"}
+
+
+def test_grok_parser_apache_both_impls(spark):
+    line = '10.0.0.7 - frank [10/Oct/2025:13:55:36 +0000] "GET /api/v1/items HTTP/1.1" 200 2326'
+    df = _one(spark, line)
+    for impl in ("pandas", "jvm"):
+        attrs = parsers.grok_parser(df, "%{COMMONAPACHELOG}", impl=impl).select("attributes").first()[0]
+        assert attrs["source_address"] == "10.0.0.7"
+        assert attrs["user_name"] == "frank"
+        assert attrs["http_request_method"] == "GET"
+        assert attrs["url_original"] == "/api/v1/items"
+        assert attrs["http_response_status_code"] == "200"
+        assert attrs["http_response_body_bytes"] == "2326"
+
+
+def test_json_parser(spark):
+    df = _one(spark, '{"ts":"2025-10-10T13:55:36Z","level":"ERROR","msg":"boom","attempt":3}')
+    attrs = parsers.json_parser(df).select("attributes").first()[0]
+    assert attrs["level"] == "ERROR"
+    assert attrs["attempt"] == "3"
+
+
+def test_json_parser_on_error_drop(spark):
+    df = spark.createDataFrame(
+        [{"body": "{bad json", "source": "s", "ingest_ts": 1},
+         {"body": '{"a":"1"}', "source": "s", "ingest_ts": 2}]
+    )
+    out = parsers.json_parser(df, on_error="drop")
+    assert out.count() == 1
+    out2 = parsers.json_parser(df, on_error="send")
+    assert out2.count() == 2
+
+
+def test_keyvalue_parser(spark):
+    # example from /root/reference/pkg/stanza/operator/parser/keyvalue/config.go
+    df = _one(spark, "ts=1760104536 level=warn svc=svc-b code=429 path=/throttle")
+    attrs = parsers.keyvalue_parser(df).select("attributes").first()[0]
+    assert attrs == {
+        "ts": "1760104536", "level": "warn", "svc": "svc-b", "code": "429", "path": "/throttle"
+    }
+
+
+def test_csv_parser(spark):
+    df = _one(spark, "alice,42,active")
+    attrs = parsers.csv_parser(df, header=["name", "age", "state"]).select("attributes").first()[0]
+    assert attrs == {"name": "alice", "age": "42", "state": "active"}
+
+
+def test_syslog_rfc3164(spark):
+    df = _one(spark, "<34>Oct 10 13:55:36 myhost sshd[42]: Failed password")
+    out = parsers.syslog_parser(df, protocol="rfc3164")
+    r = out.first()
+    attrs = r["attributes"]
+    assert attrs["hostname"] == "myhost"
+    assert attrs["appname"] == "sshd"
+    assert attrs["message"] == "Failed password"
+    # pri 34 = facility 4, severity 2 (crit) -> otel 21
+    assert r["severity_number"] == 21
+    assert r["facility"] == 4
+
+
+def test_syslog_rfc5424(spark):
+    df = _one(spark, '<165>1 2025-10-10T13:55:36.000Z host app 1234 ID47 - hello world')
+    r = parsers.syslog_parser(df, protocol="rfc5424").first()
+    assert r["attributes"]["appname"] == "app"
+    assert r["attributes"]["message"] == "hello world"
+    assert r["facility"] == 20
+
+
+def test_container_parser_containerd_and_docker(spark):
+    cri = _one(spark, '2025-10-10T13:55:36.456789123Z stdout F {"msg":"partial","n":1}')
+    attrs = parsers.container_parser(cri).select("attributes").first()[0]
+    assert attrs["stream"] == "stdout"
+    assert attrs["logtag"] == "F"
+    assert attrs["log"] == '{"msg":"partial","n":1}'
+    docker = _one(spark, '{"log":"hello\\n","stream":"stderr","time":"2025-10-10T13:55:36Z"}')
+    attrs2 = parsers.container_parser(docker).select("attributes").first()[0]
+    assert attrs2["stream"] == "stderr"
+
+
+def test_container_parser_k8s_path_metadata(spark):
+    df = _one(
+        spark,
+        "2025-10-10T13:55:36.1Z stdout F hi",
+        log_file_path="/var/log/pods/mypod_myns_abc/container-1.log",
+    )
+    attrs = parsers.container_parser(df, add_metadata_from_filepath=True).select("attributes").first()[0]
+    assert attrs["k8s.pod.name"] == "mypod"
+    assert attrs["k8s.namespace.name"] == "myns"
+
+
+def test_time_parser_strptime_and_epoch(spark):
+    df = _one(spark, "x").withColumn("t", F.lit("2025-10-10 13:55:36"))
+    out = parsers.time_parser(df, "t", "%Y-%m-%d %H:%M:%S")
+    assert str(out.select("timestamp").first()[0]) == "2025-10-10 13:55:36"
+    df2 = _one(spark, "x").withColumn("t", F.lit("1760104536"))
+    out2 = parsers.time_parser(df2, "t", "s", layout_type="epoch")
+    assert out2.select(F.unix_timestamp("timestamp")).first()[0] == 1760104536
+
+
+def test_severity_parser_aliases_and_canonical_text(spark):
+    df = spark.createDataFrame([{"lvl": v} for v in ["warning", "ERROR", "Info", "crit", "nonsense"]])
+    out = parsers.severity_parser(df, "lvl").orderBy("lvl").collect()
+    got = {r["lvl"]: (r["severity_number"], r["severity_text"]) for r in out}
+    assert got["warning"] == (13, "WARN")
+    assert got["ERROR"] == (17, "ERROR")
+    assert got["Info"] == (9, "INFO")
+    assert got["crit"] == (21, "FATAL")
+    assert got["nonsense"] == (0, "")
+
+
+def test_uri_parser(spark):
+    df = _one(spark, "https://example.com:8080/api/v1?x=1&y=2")
+    attrs = parsers.uri_parser(df).select("attributes").first()[0]
+    assert attrs["scheme"] == "https"
+    assert attrs["host"] == "example.com"
+    assert attrs["port"] == "8080"
+    assert attrs["path"] == "/api/v1"
+    assert attrs["query"] == "x=1&y=2"
+
+
+def test_trace_parser(spark):
+    df = _one(spark, "x").withColumn("tid", F.lit("4BF92F3577B34DA6A3CE929D0E0E4736"))
+    r = parsers.trace_parser(df, trace_id_from="tid").first()
+    assert r["trace_id"] == "4bf92f3577b34da6a3ce929d0e0e4736"
+
+
+def test_jsonarray_parser(spark):
+    df = _one(spark, '["a","b","c"]')
+    r = parsers.jsonarray_parser(df).select("parsed_array").first()[0]
+    assert r == ["a", "b", "c"]
