@@ -69,6 +69,10 @@ def log_pipeline(
     )
     records = logs.withColumn("attributes", parsed)
     records = _severity_from_attrs(records)
+    if "ingest_ts" in logs.columns:
+        # ingest time is the observed timestamp (stanza entry semantics);
+        # the formatter falls back to it when event time is absent
+        records = records.withColumn("observed_time_unix_nano", F.col("ingest_ts"))
     # join payloads with their token sequences (doc_id is the row identity)
     joined = records.join(sequences.select("doc_id", "tokens", "n_tok"), "doc_id")
     # broadcast enrichment: source -> service/namespace/region/tenant

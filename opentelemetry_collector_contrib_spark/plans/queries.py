@@ -1,0 +1,653 @@
+"""Query registry: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable with a DuckDB-equivalent oracle SQL.
+
+Each entry exercises one operator family from SURVEY.md §2 over the driver
+test tables (events/documents/embeddings/...). Column names are aliased
+identically on both sides; doubles are rounded to kill float-order noise.
+
+REGISTRY maps name -> (query_fn, oracle_sql | None).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashes import sampling_hash
+from ..functions.timefmt import clickhouse_ts
+from ..operators import connectors, parsers, processors, transformers
+from . import pipeline as plans
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _us(col) -> F.Column:
+    """epoch microseconds of a timestamp column (parquet loads TIMESTAMP_NTZ;
+    session TZ is UTC so the cast is identity)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship + routing + aggregation connectors
+# ---------------------------------------------------------------------------
+
+
+def q_pipeline_events(spark, sf_dir):
+    return plans.events_pipeline(spark, sf_dir)
+
+
+SQL_PIPELINE_EVENTS = """
+WITH sev AS (
+  SELECT *,
+    CASE WHEN event_type = 'error' THEN 17
+         WHEN event_type = 'purchase' THEN 10 ELSE 9 END AS severity_number,
+    CASE WHEN event_type = 'error' THEN 'errors'
+         WHEN event_type = 'purchase' THEN 'revenue'
+         WHEN event_type = 'signup' THEN 'growth'
+         WHEN event_type = 'login' THEN 'auth'
+         WHEN event_type = 'view' THEN 'traffic' END AS team
+  FROM events
+)
+SELECT
+  CASE WHEN severity_number >= 17 THEN 'errors'
+       WHEN value > 150.0 THEN 'high_value'
+       WHEN team = 'revenue' THEN 'team_revenue'
+       ELSE 'default' END AS route,
+  COUNT(*) AS records_out,
+  ROUND(SUM(value), 4) AS total_value
+FROM sev GROUP BY 1 ORDER BY route
+"""
+
+
+def q_routing_first_match(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    routed = connectors.routing_connector(
+        ev,
+        [
+            ("errors", F.col("event_type") == "error"),
+            ("whales", F.col("value") > 180.0),
+            ("purchases", F.col("event_type") == "purchase"),
+        ],
+    )
+    from ..sinks.fanout import sink_counts
+
+    return sink_counts(routed)
+
+
+SQL_ROUTING_FIRST_MATCH = """
+SELECT CASE WHEN event_type = 'error' THEN 'errors'
+            WHEN value > 180.0 THEN 'whales'
+            WHEN event_type = 'purchase' THEN 'purchases'
+            ELSE 'default' END AS sink,
+       COUNT(*) AS records_out
+FROM events GROUP BY 1 ORDER BY sink
+"""
+
+
+def q_count_connector(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return connectors.count_connector(
+        ev,
+        conditions=[F.col("event_type") == "error", F.col("event_type") == "purchase"],
+        group_by=["event_type"],
+    ).select("event_type", "value", "metric_name")
+
+
+SQL_COUNT_CONNECTOR = """
+SELECT event_type, COUNT(*) AS value, 'log.record.count' AS metric_name
+FROM events WHERE event_type = 'error' OR event_type = 'purchase'
+GROUP BY event_type
+"""
+
+
+def q_sum_connector(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    out = connectors.sum_connector(ev, "value", group_by=["event_type"])
+    return out.select("event_type", F.round("value", 4).alias("value"), "metric_name")
+
+
+SQL_SUM_CONNECTOR = """
+SELECT event_type, ROUND(SUM(value), 4) AS value, 'log.record.sum' AS metric_name
+FROM events GROUP BY event_type
+"""
+
+
+def q_filter_processor(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    kept = processors.filter_processor(
+        ev, [F.col("event_type") == "error", F.col("value") < 10.0]
+    )
+    return kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("kept"))
+
+
+SQL_FILTER_PROCESSOR = """
+SELECT event_type, COUNT(*) AS kept FROM events
+WHERE NOT (event_type = 'error' OR value < 10.0)
+GROUP BY event_type
+"""
+
+
+def q_roundrobin(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    routed = connectors.roundrobin_connector(ev, 3, "event_id")
+    return routed.groupBy("route").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_ROUNDROBIN = """
+SELECT 'pipeline_' || (event_id % 3)::VARCHAR AS route, COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# parsers / transform / attributes
+# ---------------------------------------------------------------------------
+
+
+def q_json_parser(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    parsed = parsers.json_parser(ev, parse_from="props", parse_to="attributes")
+    return parsed.select(
+        "event_id", F.element_at("attributes", "k").cast("long").alias("k")
+    )
+
+
+SQL_JSON_PARSER = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+"""
+
+
+def q_regex_parser(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    out = parsers.regex_parser(ev, r'"k": (?P<kval>\d+)', parse_from="props")
+    return out.select("event_id", F.element_at("attributes", "kval").alias("kval"))
+
+
+SQL_REGEX_PARSER = """
+SELECT event_id, regexp_extract(props, '"k": ([0-9]+)', 1) AS kval FROM events
+"""
+
+
+def q_transform_ottl(spark, sf_dir):
+    from ..functions import ottl
+
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        ottl.to_upper_case(F.col("event_type")).alias("etype_upper"),
+        ottl.replace_pattern(F.col("props"), r"[0-9]+", "#").alias("props_redacted"),
+        ottl.concat_(  # Concat converter
+            "-", F.col("event_type"), F.col("user_id").cast("string")
+        ).alias("etype_user"),
+        F.substring(F.col("event_type"), 1, 3).alias("etype_3"),
+    )
+
+
+SQL_TRANSFORM_OTTL = """
+SELECT event_id, UPPER(event_type) AS etype_upper,
+       regexp_replace(props, '[0-9]+', '#', 'g') AS props_redacted,
+       event_type || '-' || user_id::VARCHAR AS etype_user,
+       substr(event_type, 1, 3) AS etype_3
+FROM events
+"""
+
+
+def q_attributes_processor(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn(
+        "attributes",
+        F.map_from_arrays(
+            F.array(F.lit("type"), F.lit("uid")),
+            F.array(F.col("event_type"), F.col("user_id").cast("string")),
+        ),
+    )
+    out = processors.attributes_processor(
+        ev,
+        [
+            processors.AttrAction("insert", "env", value="prod"),
+            processors.AttrAction("hash", "uid"),
+            processors.AttrAction("upsert", "type2", from_attribute="type"),
+            processors.AttrAction("delete", "type"),
+        ],
+    )
+    return out.select(
+        "event_id",
+        F.element_at("attributes", "env").alias("env"),
+        F.element_at("attributes", "uid").alias("uid_hash"),
+        F.element_at("attributes", "type2").alias("type2"),
+        F.element_at("attributes", "type").alias("type_deleted"),
+    )
+
+
+SQL_ATTRIBUTES_PROCESSOR = """
+SELECT event_id, 'prod' AS env, sha256(user_id::VARCHAR) AS uid_hash,
+       event_type AS type2, NULL AS type_deleted
+FROM events
+"""
+
+
+def q_redaction(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn(
+        "attributes", F.map_from_arrays(F.array(F.lit("props")), F.array(F.col("props")))
+    )
+    out = processors.redaction_processor(
+        ev, allowed_keys=["props"], blocked_values=[r"[0-9]"], mask="*"
+    )
+    return out.select("event_id", F.element_at("attributes", "props").alias("props_masked"))
+
+
+SQL_REDACTION = """
+SELECT event_id, regexp_replace(props, '[0-9]', '*', 'g') AS props_masked FROM events
+"""
+
+
+def q_severity_parser(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn(
+        "lvl",
+        F.when(F.col("event_type") == "error", "Error")
+        .when(F.col("event_type") == "purchase", "notice")
+        .otherwise("INFO"),
+    )
+    out = parsers.severity_parser(ev, "lvl")
+    return out.groupBy("severity_number", "severity_text").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_SEVERITY_PARSER = """
+SELECT CASE WHEN event_type = 'error' THEN 17 WHEN event_type = 'purchase' THEN 10 ELSE 9 END AS severity_number,
+       CASE WHEN event_type = 'error' THEN 'ERROR' WHEN event_type = 'purchase' THEN 'INFO2' ELSE 'INFO' END AS severity_text,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_groupbyattrs(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    parsed = parsers.json_parser(ev, parse_from="props", parse_to="attributes")
+    parsed = parsed.withColumn("resource_attributes", F.create_map().cast("map<string,string>"))
+    out = processors.groupbyattrs_processor(parsed, ["k"])
+    return out.groupBy(
+        F.element_at("resource_attributes", "k").cast("long").alias("k")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_GROUPBYATTRS = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# windowed / stateful processors
+# ---------------------------------------------------------------------------
+
+
+def q_logdedup(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    out = processors.logdedup_processor(
+        ev.withColumn("bucket_ts", F.col("ts")),
+        interval_seconds=600,
+        ts_col="bucket_ts",
+        key_cols=["user_id", "event_type"],
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        "log_count",
+        _us("first_observed").alias("first_us"),
+        _us("last_observed").alias("last_us"),
+    ).groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("log_count").alias("total"),
+        F.min("first_us").alias("first_us"),
+        F.max("last_us").alias("last_us"),
+    )
+
+
+SQL_LOGDEDUP = """
+WITH w AS (
+  SELECT user_id, event_type, to_timestamp(floor(epoch(ts)/600)*600) AS win,
+         COUNT(*) AS log_count, MIN(ts) AS first_o, MAX(ts) AS last_o
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT user_id, event_type, COUNT(*) AS n_windows, SUM(log_count) AS total,
+       MIN(epoch_us(first_o)) AS first_us, MAX(epoch_us(last_o)) AS last_us
+FROM w GROUP BY 1, 2
+"""
+
+
+def q_deltatocumulative(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    out = processors.deltatocumulative_processor(
+        ev, stream_cols=["user_id"], ts_col="event_id", value_col="value"
+    )
+    return out.select("event_id", "user_id", F.round("value", 4).alias("cumulative"))
+
+
+SQL_DELTATOCUMULATIVE = """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cumulative
+FROM events
+"""
+
+
+def q_cumulativetodelta(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    out = processors.cumulativetodelta_processor(
+        ev, stream_cols=["user_id"], ts_col="event_id", value_col="value"
+    )
+    return out.select("event_id", "user_id", F.round("value", 4).alias("delta"))
+
+
+SQL_CUMULATIVETODELTA = """
+SELECT event_id, user_id, ROUND(d, 4) AS delta FROM (
+  SELECT event_id, user_id,
+         value - LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS d
+  FROM events
+) WHERE d IS NOT NULL
+"""
+
+
+def q_deltatorate(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    out = processors.deltatorate_processor(
+        ev.withColumn("ts_s", _us("ts") / F.lit(1e6)),
+        stream_cols=["user_id"],
+        ts_col="ts_s",
+        value_col="value",
+    )
+    return out.select("event_id", "user_id", F.round("value", 4).alias("rate"))
+
+
+SQL_DELTATORATE = """
+SELECT event_id, user_id, ROUND(value / dt, 4) AS rate FROM (
+  SELECT event_id, user_id, value,
+         epoch_us(ts)/1e6 - LAG(epoch_us(ts)/1e6) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)/1e6) AS dt
+  FROM events
+) WHERE dt IS NOT NULL AND dt > 0
+"""
+
+
+def q_interval_processor(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn("us", _us("ts"))
+    out = processors.interval_processor(
+        ev.withColumn("ts", F.col("ts")), stream_cols=["user_id"], interval_seconds=3600,
+        ts_col="ts", value_col="value",
+    )
+    return out.select(
+        "user_id", _us("ts").alias("last_us"), F.round("value", 4).alias("value")
+    ).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.max("last_us").alias("last_us"),
+        F.round(F.sum("value"), 4).alias("sum_last_values"),
+    )
+
+
+SQL_INTERVAL_PROCESSOR = """
+WITH last_per AS (
+  SELECT user_id, to_timestamp(floor(epoch(ts)/3600)*3600) AS win,
+         arg_max(value, epoch_us(ts)) AS value, MAX(epoch_us(ts)) AS last_us
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, COUNT(*) AS n_intervals, MAX(last_us) AS last_us,
+       ROUND(SUM(ROUND(value, 4)), 4) AS sum_last_values
+FROM last_per GROUP BY 1
+"""
+
+
+def q_tail_sampling(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    kept = processors.tail_sampling(
+        ev,
+        trace_col="user_id",
+        policies=[("high_value", F.max("value") > 195.0), ("span_count", F.count(F.lit(1)) >= 600)],
+    )
+    return kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("kept"))
+
+
+SQL_TAIL_SAMPLING = """
+SELECT event_type, COUNT(*) AS kept FROM events
+WHERE user_id IN (
+  SELECT user_id FROM events GROUP BY user_id
+  HAVING MAX(value) > 195.0 OR COUNT(*) >= 600
+)
+GROUP BY event_type
+"""
+
+
+def q_probabilistic_sampler(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    threshold = int((1 << 32) * 0.25)
+    kept = ev.filter(sampling_hash(F.col("event_id").cast("string")) < threshold)
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("kept"), F.round(F.sum("value"), 4).alias("v")
+    )
+
+
+SQL_PROBABILISTIC_SAMPLER = f"""
+SELECT event_type, COUNT(*) AS kept, ROUND(SUM(value), 4) AS v FROM events
+WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT < {int((1 << 32) * 0.25)}
+GROUP BY event_type
+"""
+
+
+def q_recombine_sessions(spark, sf_dir):
+    # gaps-and-islands sessionization (recombine per-source batches):
+    # new session when gap > 1800s
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = _us("ts") - F.lag(_us("ts")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    tagged = ev.withColumn("sess", F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        tagged.groupBy("user_id", "sess")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.max("n").alias("max_session_len"))
+    )
+
+
+SQL_RECOMBINE_SESSIONS = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM g
+), per AS (
+  SELECT user_id, sess, COUNT(*) AS n FROM s GROUP BY 1, 2
+)
+SELECT user_id, COUNT(*) AS n_sessions, MAX(n) AS max_session_len FROM per GROUP BY 1
+"""
+
+
+def q_servicegraph(spark, sf_dir):
+    # edge metrics from consecutive event pairs per user (the client->server
+    # pairing shape over our log-ish data)
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    edges = ev.withColumn("prev", F.lag("event_type").over(w)).filter(F.col("prev").isNotNull())
+    return edges.groupBy(F.col("prev").alias("client"), F.col("event_type").alias("server")).agg(
+        F.count(F.lit(1)).alias("call_count")
+    )
+
+
+SQL_SERVICEGRAPH = """
+SELECT prev AS client, event_type AS server, COUNT(*) AS call_count FROM (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+  FROM events
+) WHERE prev IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_spanmetrics(spark, sf_dir):
+    # histogram of value as duration proxy: value ms -> ns
+    ev = _events(spark, sf_dir).withColumn("duration_ns", (F.col("value") * 1e6).cast("long"))
+    out = connectors.spanmetrics_connector(
+        ev, dims=["event_type"], bounds_ms=[10.0, 50.0, 100.0, 150.0]
+    )
+    exploded = out.select(
+        "event_type",
+        "calls",
+        F.round("duration_sum_ms", 4).alias("sum_ms"),
+        F.posexplode("bucket_counts").alias("bucket", "n"),
+    ).filter(F.col("n") > 0)
+    return exploded
+
+
+SQL_SPANMETRICS = """
+WITH base AS (
+  SELECT event_type, floor(value * 1e6)::BIGINT / 1e6 AS ms,
+         CASE WHEN floor(value * 1e6)::BIGINT / 1e6 <= 10.0 THEN 0
+              WHEN floor(value * 1e6)::BIGINT / 1e6 <= 50.0 THEN 1
+              WHEN floor(value * 1e6)::BIGINT / 1e6 <= 100.0 THEN 2
+              WHEN floor(value * 1e6)::BIGINT / 1e6 <= 150.0 THEN 3
+              ELSE 4 END AS bucket
+  FROM events
+), tot AS (
+  SELECT event_type, COUNT(*) AS calls, ROUND(SUM(ms), 4) AS sum_ms FROM base GROUP BY 1
+)
+SELECT b.event_type, t.calls, t.sum_ms, b.bucket, COUNT(*) AS n
+FROM base b JOIN tot t USING (event_type)
+GROUP BY 1, 2, 3, 4
+"""
+
+
+def q_unroll(spark, sf_dir):
+    docs = _documents(spark, sf_dir)
+    out = processors.unroll_processor(docs.withColumn("words", F.split("text", " ")), "words", "word")
+    return out.groupBy("word").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") >= 5)
+
+
+SQL_UNROLL = """
+SELECT word, COUNT(*) AS n FROM (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+) GROUP BY word HAVING COUNT(*) >= 5
+"""
+
+
+def q_formatter_timestamp(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    ns = _us("ts") * F.lit(1000)
+    return ev.select("event_id", clickhouse_ts(ns).alias("ch_ts"))
+
+
+SQL_FORMATTER_TIMESTAMP = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') || '.' || lpad((epoch_ns(ts) % 1000000000)::VARCHAR, 9, '0') AS ch_ts
+FROM events
+"""
+
+
+def q_keyvalue_roundtrip(spark, sf_dir):
+    # key_value_parser over a constructed k=v body (str_to_map JVM path)
+    ev = _events(spark, sf_dir).withColumn(
+        "body",
+        F.format_string("uid=%s etype=%s", F.col("user_id").cast("string"), F.col("event_type")),
+    )
+    out = parsers.keyvalue_parser(ev)
+    return out.select(
+        "event_id",
+        F.element_at("attributes", "uid").cast("long").alias("uid"),
+        F.element_at("attributes", "etype").alias("etype"),
+    )
+
+
+SQL_KEYVALUE_ROUNDTRIP = """
+SELECT event_id, user_id AS uid, event_type AS etype FROM events
+"""
+
+
+def q_groupbytrace(spark, sf_dir):
+    # groupbytrace: release whole traces together — batch check: per-trace
+    # span counts survive the co-location repartition
+    ev = _events(spark, sf_dir)
+    out = processors.groupbytrace_processor(ev, "user_id")
+    return out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_spans"))
+
+
+SQL_GROUPBYTRACE = """
+SELECT user_id, COUNT(*) AS n_spans FROM events GROUP BY user_id
+"""
+
+
+def q_metricstransform(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    out = processors.metricstransform_aggregate(
+        ev, keep_labels=["event_type"], value_col="value", aggregation="mean"
+    )
+    return out.select("event_type", F.round("value", 4).alias("value"))
+
+
+SQL_METRICSTRANSFORM = """
+SELECT event_type, ROUND(AVG(value), 4) AS value FROM events GROUP BY event_type
+"""
+
+
+def q_metricsgeneration(spark, sf_dir):
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.col("event_type").alias("metric"), "value", "event_id"
+    )
+    agg = ev.groupBy("user_id", "metric").agg(F.sum("value").alias("value"))
+    out = processors.metricsgeneration_processor(
+        agg, "purchase", "view", "divide", id_cols=["user_id"]
+    )
+    return out.select("user_id", "metric", F.round("value", 4).alias("value"))
+
+
+SQL_METRICSGENERATION = """
+WITH agg AS (
+  SELECT user_id, event_type AS metric, SUM(value) AS value FROM events GROUP BY 1, 2
+), a AS (SELECT user_id, value AS v1 FROM agg WHERE metric = 'purchase'),
+   b AS (SELECT user_id, value AS v2 FROM agg WHERE metric = 'view')
+SELECT a.user_id, 'purchase_divide_view' AS metric,
+       ROUND(CASE WHEN v2 <> 0 THEN v1 / v2 END, 4) AS value
+FROM a JOIN b USING (user_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "pipeline_events": (q_pipeline_events, SQL_PIPELINE_EVENTS),
+    "routing_first_match": (q_routing_first_match, SQL_ROUTING_FIRST_MATCH),
+    "count_connector": (q_count_connector, SQL_COUNT_CONNECTOR),
+    "sum_connector": (q_sum_connector, SQL_SUM_CONNECTOR),
+    "filter_processor": (q_filter_processor, SQL_FILTER_PROCESSOR),
+    "roundrobin_connector": (q_roundrobin, SQL_ROUNDROBIN),
+    "json_parser": (q_json_parser, SQL_JSON_PARSER),
+    "regex_parser": (q_regex_parser, SQL_REGEX_PARSER),
+    "transform_ottl": (q_transform_ottl, SQL_TRANSFORM_OTTL),
+    "attributes_processor": (q_attributes_processor, SQL_ATTRIBUTES_PROCESSOR),
+    "redaction_processor": (q_redaction, SQL_REDACTION),
+    "severity_parser": (q_severity_parser, SQL_SEVERITY_PARSER),
+    "groupbyattrs_processor": (q_groupbyattrs, SQL_GROUPBYATTRS),
+    "logdedup_processor": (q_logdedup, SQL_LOGDEDUP),
+    "deltatocumulative": (q_deltatocumulative, SQL_DELTATOCUMULATIVE),
+    "cumulativetodelta": (q_cumulativetodelta, SQL_CUMULATIVETODELTA),
+    "deltatorate": (q_deltatorate, SQL_DELTATORATE),
+    "interval_processor": (q_interval_processor, SQL_INTERVAL_PROCESSOR),
+    "tail_sampling": (q_tail_sampling, SQL_TAIL_SAMPLING),
+    "probabilistic_sampler": (q_probabilistic_sampler, SQL_PROBABILISTIC_SAMPLER),
+    "recombine_sessions": (q_recombine_sessions, SQL_RECOMBINE_SESSIONS),
+    "servicegraph_connector": (q_servicegraph, SQL_SERVICEGRAPH),
+    "spanmetrics_connector": (q_spanmetrics, SQL_SPANMETRICS),
+    "unroll_processor": (q_unroll, SQL_UNROLL),
+    "formatter_clickhouse_ts": (q_formatter_timestamp, SQL_FORMATTER_TIMESTAMP),
+    "keyvalue_parser": (q_keyvalue_roundtrip, SQL_KEYVALUE_ROUNDTRIP),
+    "groupbytrace_processor": (q_groupbytrace, SQL_GROUPBYTRACE),
+    "metricstransform_aggregate": (q_metricstransform, SQL_METRICSTRANSFORM),
+    "metricsgeneration_processor": (q_metricsgeneration, SQL_METRICSGENERATION),
+}
