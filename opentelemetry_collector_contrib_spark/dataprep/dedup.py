@@ -1,0 +1,221 @@
+"""Deduplication operators over a text/document table.
+
+Five families, each a DataFrame -> DataFrame stage built from JVM
+higher-order functions (no Python in the hot path):
+
+- exact_dedup:        hash-groupBy on a normalization key
+- minhash_lsh_pairs:  shingle -> minhash signature -> band -> bucket join
+                      -> exact-Jaccard verify (the classic MinHash+LSH
+                      near-dup pipeline; Broder 1997)
+- simhash:            per-doc bitwise majority fingerprint (Charikar 2002)
+- ngram_jaccard_pairs: n-gram set Jaccard via an inverted-index join
+- embedding_cosine_pairs: near-dup by embedding cosine (see similarity.py
+                      for the bucketed scale path)
+
+Scale notes (100 TB): every pair generator here reduces to an equality
+join on a derived key (band hash / shared n-gram / bucket), so Spark
+shuffles on that key instead of materializing the O(n^2) cross product.
+Hot keys (stopword-ish shingles) are handled by dropping n-grams whose
+document frequency exceeds `max_df` before the join — standard
+prefix-filtering; skewed residue is absorbed by AQE skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MOD31 = 2147483647  # 2^31 - 1, the fingerprint modulus
+
+
+def hash32(col: Column, seed: str = "") -> Column:
+    """Deterministic 32-bit hash of a string column: first 8 hex chars of
+    md5 as a bigint in [0, 2^32). Chosen (over xxhash64) because the exact
+    same expression exists in ANSI SQL / DuckDB, so every operator built on
+    it is oracle-checkable."""
+    keyed = F.concat(F.lit(seed), col) if seed else col
+    return F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("long")
+
+
+def words(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of a text column (array<string>).
+    Pure column expression: transform over an index sequence + slice."""
+    w = words(text)
+    n = F.size(w)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+    )
+    # docs shorter than k words get their whole text as the single shingle
+    return F.array_distinct(grams)
+
+
+def exact_dedup(
+    df: DataFrame, key: Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on a normalization key: keep the lowest id per key,
+    annotate with the duplicate-group size. One hash-aggregate shuffle,
+    map-side combined."""
+    return (
+        df.select(F.col(id_col), key.alias("dedup_key"))
+        .groupBy("dedup_key")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: array of num_hashes longs, element s =
+    min over shingles of hash32(s ':' shingle)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda x, s=s: hash32(x, f"{s}:"))
+            )
+            for s in range(num_hashes)
+        ]
+    )
+
+
+def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
+    """Explodeable array of (band, band_hash) structs. Two docs whose
+    signatures agree on all `rows` values of some band land in the same
+    bucket — the equality-join key that replaces the all-pairs product."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(sig, j * rows + i + 1).cast("string")
+                            for i in range(rows)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for j in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs: MinHash+LSH candidate generation, exact
+    word-k-gram Jaccard verification. Returns (id_a, id_b, jaccard) with
+    id_a < id_b and jaccard >= threshold (rounded to 4).
+
+    Plan shape: one narrow pass computes shingles+signature+bands; the
+    candidate join is an equality self-join on (band, band_hash) — at
+    10^12 rows this is the only viable shape (the verify join touches
+    only candidate ids, a tiny fraction of the corpus).
+    """
+    rows = num_hashes // bands
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    )
+    sigs = base.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    banded = sigs.select(
+        "id", "sh", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("b")
+    ).select("id", "sh", F.col("b.band").alias("band"), F.col("b.band_hash").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = F.round(inter / union, 4)
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(text: Column, bits: int = 16) -> Column:
+    """SimHash fingerprint over the distinct words of a text column:
+    bit i is the sign of sum(+1/-1 per word depending on word-hash bit i).
+    Narrow (no shuffle): one aggregate over the word array per bit."""
+    ws = F.array_distinct(words(text))
+    hs = F.transform(ws, lambda w: hash32(w))
+    def bit_folder(i: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_sum = F.aggregate(hs, F.lit(0), bit_folder(i))
+        out = out + F.when(bit_sum > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return out
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    ngram: int = 2,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """n-gram set Jaccard near-dup pairs via an inverted-index
+    (explode + equality self-join on the gram). `max_df` drops grams that
+    occur in more than max_df docs before the join — the prefix filter
+    that keeps the join from exploding on stopword-ish grams at scale."""
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), ngram).alias("grams"),
+    ).withColumn("n", F.size("grams"))
+    inv = base.select("id", "n", F.explode("grams").alias("g"))
+    if max_df is not None:
+        df_counts = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        inv = inv.join(F.broadcast(df_counts.filter(F.col("df") <= max_df)), "g")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.round(
+        F.col("inter").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+        4,
+    )
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

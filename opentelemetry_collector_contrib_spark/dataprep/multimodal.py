@@ -1,0 +1,110 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched pandas functions via
+mapInPandas.
+
+The decode step itself is STUBBED (no image/audio libraries in this
+container): `decode_image(..., fake=True)` produces a deterministic fake
+decode from the payload bytes so the Spark-side plumbing — schema,
+batching, partitioning, UDF signature — is real and tested; with
+fake=False it raises NotImplementedError where a real codec
+(PIL/torchaudio/ffmpeg) would plug in.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# payload + typed metadata: the canonical multimodal row layout
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "media_meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Wrap a text table as a multimodal table: payload = UTF-8 bytes of
+    the text (stand-in for real media bytes), media_meta typed struct."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+
+
+def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic fake decode: 'dimensions' from the first payload
+    bytes, an 8-dim byte-histogram feature vector. Stands in for
+    PIL.Image.open / resize / embed — identical batch shape and dtypes."""
+    payloads = pdf["payload"]
+    widths, heights, nbytes, feats = [], [], [], []
+    for b in payloads:
+        b = bytes(b) if b is not None else b""
+        n = len(b)
+        widths.append((b[0] if n else 0) + 1)
+        heights.append((b[1] if n > 1 else 0) + 1)
+        nbytes.append(n)
+        hist = [0.0] * 8
+        for byte in b:
+            hist[byte & 7] += 1.0
+        total = sum(hist) or 1.0
+        feats.append([h / total for h in hist])
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "width": pd.Series(widths, dtype="int32"),
+            "height": pd.Series(heights, dtype="int32"),
+            "n_bytes": pd.Series(nbytes, dtype="int64"),
+            "feature": feats,
+        }
+    )
+
+
+def decode_image(media: DataFrame, *, fake: bool = True) -> DataFrame:
+    """Decode/feature-extract a binary media column via mapInPandas
+    (Arrow batches; one pandas frame per partition chunk — never per-row
+    Python). Partitioning is preserved; at scale run after a
+    repartition sized so each task's payload batch fits executor memory."""
+    if not fake:
+        def _real(_: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            raise NotImplementedError(
+                "real media decode requires an image/audio codec library "
+                "(PIL / torchaudio / ffmpeg) not present in this environment"
+            )
+
+        return media.mapInPandas(_real, DECODED_SCHEMA)
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _fake_decode_batch(pdf)
+
+    return media.mapInPandas(_gen, DECODED_SCHEMA)

@@ -1,0 +1,147 @@
+"""Similarity search over an embedding column (array<float>).
+
+- cosine(a, b): sequential-order dot/norm in double precision as a pure
+  column expression (zip_with + aggregate) — bit-reproducible, so the
+  DuckDB oracle can mirror it exactly.
+- brute_force_topk: exact top-k for a (small) query set vs the corpus —
+  broadcast the queries, one pass over the corpus, per-query window rank.
+- sign_lsh_topk: the scale path — random-hyperplane-style sign buckets
+  (here: sign bits of a deterministic dimension subset) shrink the
+  candidate set to same-bucket vectors; exact cosine re-rank within the
+  bucket. At 10^12 vectors the bucket join is the only shuffle.
+- embedding_cosine_pairs: thresholded near-dup pairs (dedup use-case).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product of two float arrays."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries is broadcast (it is the small side by construction); the
+    corpus is scanned once; rank ties break on neighbor id after rounding
+    cosine to 6 decimals (stable across engines). Returns
+    (query_id, rank, neighbor_id, cos)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos"))
+    )
+
+
+def sign_bucket(vec: Column, bits: int = 8) -> Column:
+    """LSH bucket id from the sign bits of the first `bits` dimensions.
+    Deterministic and SQL-expressible; for isotropic embeddings the first
+    dimensions act as fixed random hyperplanes."""
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + F.when(
+            F.element_at(vec, i + 1) >= 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0))
+    return out
+
+
+def sign_lsh_topk(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    k: int = 1,
+) -> DataFrame:
+    """Approximate per-vector top-k within the vector's sign bucket.
+    The self-join is an equality join on the bucket id (2^bits buckets),
+    so the shuffle is keyed and bounded; AQE splits any hot bucket.
+    Returns (vec_id, rank, neighbor_id, cos)."""
+    b = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    scored = (
+        l.join(r, "bucket")
+        .filter(F.col("l.id") != F.col("r.id"))
+        .select(
+            F.col("l.id").alias("vec_id"),
+            F.col("r.id").alias("neighbor_id"),
+            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos"))
+    )
+
+
+def embedding_cosine_pairs(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    bucket_bits: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold (rounded to 4).
+    With bucket_bits set, candidates are restricted to same-sign-bucket
+    pairs (the scale path); with None it is the exact all-pairs check
+    (correctness oracle shape, small inputs only)."""
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if bucket_bits is not None:
+        v = v.withColumn("bucket", sign_bucket(F.col("v"), bucket_bits))
+        join_on = [F.col("l.bucket") == F.col("r.bucket"), F.col("l.id") < F.col("r.id")]
+    else:
+        join_on = [F.col("l.id") < F.col("r.id")]
+    l, r = v.alias("l"), v.alias("r")
+    pairs = l.join(r, on=join_on).select(
+        F.col("l.id").alias("id_a"),
+        F.col("r.id").alias("id_b"),
+        F.round(cosine(F.col("l.v"), F.col("r.v")), 4).alias("cos"),
+    )
+    return pairs.filter(F.col("cos") >= threshold)

@@ -620,6 +620,8 @@ FROM a JOIN b USING (user_id)
 
 # ---------------------------------------------------------------------------
 
+from .queries_dataprep import REGISTRY_DATAPREP  # noqa: E402
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pipeline_events": (q_pipeline_events, SQL_PIPELINE_EVENTS),
     "routing_first_match": (q_routing_first_match, SQL_ROUTING_FIRST_MATCH),
@@ -650,4 +652,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "groupbytrace_processor": (q_groupbytrace, SQL_GROUPBYTRACE),
     "metricstransform_aggregate": (q_metricstransform, SQL_METRICSTRANSFORM),
     "metricsgeneration_processor": (q_metricsgeneration, SQL_METRICSGENERATION),
+    **REGISTRY_DATAPREP,
 }

@@ -1,0 +1,363 @@
+"""Training-data-prep query registry: dedup / similarity / text-analysis /
+multimodal operators over the `documents` and `embeddings` tables, each
+with a DuckDB oracle that mirrors the exact arithmetic (same hash — md5
+first-8-hex — same double-precision evaluation order, same rounding).
+
+REGISTRY_DATAPREP maps name -> (query_fn, oracle_sql | None).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..dataprep import dedup, multimodal, similarity, textstats
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _documents(spark, sf_dir)
+    key = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5))
+    return dedup.exact_dedup(docs, key).filter(F.col("group_size") > 1)
+
+
+SQL_DEDUP_EXACT = """
+SELECT array_to_string(string_split(text,' ')[1:5], ' ') AS dedup_key,
+       MIN(doc_id) AS keeper_id, COUNT(*) AS group_size
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_documents(spark, sf_dir))
+
+
+SQL_DEDUP_MINHASH = """
+WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(w)-2,1)+1),
+                       i -> array_to_string(w[i:i+2], ' '))) AS sh
+  FROM w
+),
+sigs AS (
+  SELECT doc_id, sh,
+         list_transform(range(0,16), s ->
+           list_min(list_transform(sh, x ->
+             ('0x'||substr(md5(s::VARCHAR||':'||x),1,8))::BIGINT))) AS sig
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, sh, t.j,
+         md5(sig[t.j*4+1]::VARCHAR||','||sig[t.j*4+2]::VARCHAR||','||
+             sig[t.j*4+3]::VARCHAR||','||sig[t.j*4+4]::VARCHAR) AS bh
+  FROM sigs, UNNEST([0,1,2,3]) AS t(j)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         ROUND(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+               / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = _documents(spark, sf_dir)
+    return docs.select("doc_id", dedup.simhash(F.col("text"), 16).alias("simhash"))
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    bit_terms = []
+    for i in range(bits):
+        bit_terms.append(
+            f"(CASE WHEN list_sum(list_transform(hs, h -> "
+            f"CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    expr = " + ".join(bit_terms)
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(list_distinct(string_split(text,' ')),
+                        w -> ('0x'||substr(md5(w),1,8))::BIGINT) AS hs
+  FROM documents
+)
+SELECT doc_id, {expr} AS simhash FROM h
+"""
+
+
+SQL_DEDUP_SIMHASH = _simhash_sql(16)
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _documents(spark, sf_dir), ngram=2, threshold=0.5
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = """
+WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(w)-1,1)+1),
+                       i -> array_to_string(w[i:i+1], ' '))) AS grams
+  FROM w
+),
+scored AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE
+               / (len(a.grams) + len(b.grams)
+                  - len(list_intersect(a.grams, b.grams)))::DOUBLE, 4) AS jaccard
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams)) >= 1
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+"""
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    return similarity.embedding_cosine_pairs(_embeddings(spark, sf_dir), threshold=0.35)
+
+
+SQL_DEDUP_EMBEDDING_COSINE = """
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_sum(list_transform(range(1, len(a.embedding)+1),
+                 i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+               / (a.nrm * b.nrm), 4) AS cos
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.35
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_sum(list_transform(range(1, len(q.embedding)+1),
+                 i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+               / (q.nrm * c.nrm), 6) AS cos
+  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, ROUND(cos, 4) AS cos
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_ann_sign_lsh(spark, sf_dir):
+    return similarity.sign_lsh_topk(_embeddings(spark, sf_dir), bits=8, k=1)
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
+)
+
+SQL_ANN_SIGN_LSH = f"""
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm,
+         {_BUCKET_SQL} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT l.vec_id, r.vec_id AS neighbor_id,
+         ROUND(list_sum(list_transform(range(1, len(l.embedding)+1),
+                 i -> l.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE))
+               / (l.nrm * r.nrm), 6) AS cos
+  FROM n l JOIN n r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT vec_id, rank, neighbor_id, ROUND(cos, 4) AS cos FROM ranked WHERE rank <= 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS) + "]"
+
+
+def q_text_language_id(spark, sf_dir):
+    docs = _documents(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        textstats.language_id(F.col("text")).alias("lang_guess"),
+        F.round(textstats.english_ratio(F.col("text")), 4).alias("en_ratio"),
+    )
+
+
+SQL_TEXT_LANGUAGE_ID = f"""
+WITH r AS (
+  SELECT doc_id,
+         list_sum(list_transform(string_split(text,' '),
+           w -> CASE WHEN list_contains({_STOPLIST_SQL}, w) THEN 1 ELSE 0 END))::DOUBLE
+         / len(string_split(text,' '))::DOUBLE AS ratio
+  FROM documents
+)
+SELECT doc_id, CASE WHEN ratio >= 0.02 THEN 'en' ELSE 'und' END AS lang_guess,
+       ROUND(ratio, 4) AS en_ratio
+FROM r
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _documents(spark, sf_dir)
+    return docs.select(
+        "doc_id", textstats.quality_score(F.col("text")).alias("quality")
+    )
+
+
+SQL_TEXT_QUALITY = f"""
+WITH b AS (
+  SELECT doc_id, string_split(text,' ') AS w FROM documents
+), m AS (
+  SELECT doc_id, len(w)::DOUBLE AS n,
+         len(list_distinct(w))::DOUBLE AS nd,
+         list_sum(list_transform(w,
+           x -> CASE WHEN list_contains({_STOPLIST_SQL}, x) THEN 1 ELSE 0 END))::DOUBLE AS hits
+  FROM b
+)
+SELECT doc_id,
+       ROUND(0.4 * least(n / 100.0, 1.0) + 0.3 * (nd / n)
+             + 0.3 * least((hits / n) / 0.1, 1.0), 4) AS quality
+FROM m
+"""
+
+
+def q_text_token_count(spark, sf_dir):
+    docs = _documents(spark, sf_dir)
+    ws_count, bpe_count = textstats.token_counts(F.col("text"))
+    return docs.select(
+        "doc_id", ws_count.alias("ws_tokens"), bpe_count.cast("long").alias("bpe_tokens")
+    )
+
+
+SQL_TEXT_TOKEN_COUNT = r"""
+SELECT doc_id, len(string_split(text,' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    docs = _documents(spark, sf_dir)
+    return docs.select(
+        "doc_id", textstats.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+SQL_TEXT_FINGERPRINT = """
+SELECT doc_id,
+       list_reduce(list_transform(string_split(text,' '),
+                     w -> ('0x'||substr(md5(w),1,8))::BIGINT),
+                   (a, b) -> (a * 31 + b) % 2147483647) AS fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_metadata(spark, sf_dir):
+    media = multimodal.attach_payload(_documents(spark, sf_dir))
+    return media.select(
+        "doc_id",
+        F.col("media_meta.mime").alias("mime"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.md5("payload").alias("digest"),
+    )
+
+
+SQL_MULTIMODAL_METADATA = """
+SELECT doc_id, 'application/octet-stream' AS mime,
+       octet_length(encode(text)) AS n_bytes, md5(text) AS digest
+FROM documents
+"""
+
+
+def q_multimodal_decode(spark, sf_dir):
+    media = multimodal.attach_payload(_documents(spark, sf_dir))
+    decoded = multimodal.decode_image(media, fake=True)
+    return decoded.select("doc_id", "width", "height", "n_bytes")
+
+
+SQL_MULTIMODAL_DECODE = """
+SELECT doc_id,
+       ascii(substr(text, 1, 1)) + 1 AS width,
+       CASE WHEN octet_length(encode(text)) > 1 THEN ascii(substr(text, 2, 1)) + 1
+            ELSE 1 END AS height,
+       octet_length(encode(text)) AS n_bytes
+FROM documents
+"""
+
+
+REGISTRY_DATAPREP: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_lsh": (q_dedup_minhash, SQL_DEDUP_MINHASH),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "ann_sign_lsh": (q_ann_sign_lsh, SQL_ANN_SIGN_LSH),
+    "text_language_id": (q_text_language_id, SQL_TEXT_LANGUAGE_ID),
+    "text_quality_score": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "multimodal_metadata": (q_multimodal_metadata, SQL_MULTIMODAL_METADATA),
+    "multimodal_decode_stub": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
+}

@@ -1,0 +1,152 @@
+"""Tests for the training-data-prep operators (dedup / similarity /
+textstats / multimodal) on hand-computed fixtures."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.dataprep import (
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),          # exact dup of 1
+        (3, "the cat sat on the red mat"),      # near dup of 1
+        (4, "completely different words here entirely now"),
+        (5, "a b"),                              # shorter than shingle k
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs, F.col("text")).filter(F.col("group_size") > 1).collect()
+    assert len(out) == 1
+    assert out[0]["keeper_id"] == 1 and out[0]["group_size"] == 2
+
+
+def test_word_shingles(docs):
+    row = docs.filter("doc_id = 1").select(
+        dedup.word_shingles(F.col("text"), 3).alias("sh")
+    ).first()
+    assert "the cat sat" in row["sh"] and "on the mat" in row["sh"]
+    assert len(row["sh"]) == 4
+    short = docs.filter("doc_id = 5").select(
+        dedup.word_shingles(F.col("text"), 3).alias("sh")
+    ).first()
+    assert short["sh"] == ["a b"]
+
+
+def test_minhash_lsh_finds_planted_dup(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0           # exact dup always caught
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_simhash_identity_and_locality(docs):
+    out = {r["doc_id"]: r["sh"] for r in docs.select(
+        "doc_id", dedup.simhash(F.col("text"), 16).alias("sh")).collect()}
+    assert out[1] == out[2]               # identical text -> identical hash
+    assert out[1] != out[4]
+    # near-dup differs in few bits
+    hamming = bin(out[1] ^ out[3]).count("1")
+    assert hamming <= 6
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, ngram=2, threshold=0.2).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # doc1 bigrams: {the cat, cat sat, sat on, on the, the mat} (5)
+    # doc3 bigrams: {the cat, cat sat, sat on, on the, the red, red mat} (6)
+    # inter = 4, union = 7
+    assert pairs[(1, 3)] == round(4 / 7, 4)
+
+
+def test_cosine_and_topk(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    c = emb.filter("vec_id = 0").select(
+        similarity.cosine(F.col("embedding"), F.array(F.lit(1.0), F.lit(0.1), F.lit(0.0))).alias("c")
+    ).first()["c"]
+    assert math.isclose(c, 1 / math.sqrt(1.01), rel_tol=1e-9)
+
+    top = similarity.brute_force_topk(emb, emb.filter("vec_id = 0"), k=3).collect()
+    order = [r["neighbor_id"] for r in sorted(top, key=lambda r: r["rank"])]
+    assert order == [1, 2, 3]
+
+
+def test_sign_bucket_groups_by_orthant(spark):
+    rows = [
+        (0, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+        (1, [2.0, 1.0, 3.0, 1.0, 1.0, 1.0, 1.0, 1.0]),   # same orthant as 0
+        (2, [-1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),  # differs in dim 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    b = {r["vec_id"]: r["b"] for r in emb.select(
+        "vec_id", similarity.sign_bucket(F.col("embedding"), 8).alias("b")).collect()}
+    assert b[0] == b[1] == 255 and b[2] == 254
+    nn = similarity.sign_lsh_topk(emb, bits=8, k=1).collect()
+    got = {r["vec_id"]: r["neighbor_id"] for r in nn}
+    assert got == {0: 1, 1: 0}   # vec 2 alone in its bucket -> no neighbor
+
+
+def test_textstats(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "zzz qqq xxx")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        textstats.language_id(F.col("text")).alias("lang"),
+        textstats.quality_score(F.col("text")).alias("q"),
+        textstats.token_counts(F.col("text"))[0].alias("ws"),
+        textstats.token_counts(F.col("text"))[1].alias("bpe"),
+        textstats.fingerprint(F.col("text")).alias("fp"),
+    ).collect()}
+    assert out[1]["lang"] == "en" and out[2]["lang"] == "und"
+    # doc1: n=5, distinct=4, stop hits=3 (the, and, the)
+    expected_q = round(0.4 * (5 / 100) + 0.3 * (4 / 5) + 0.3 * 1.0, 4)
+    assert out[1]["q"] == expected_q
+    assert out[1]["ws"] == 5 and out[1]["bpe"] == 5
+    # fingerprint: left fold of word hashes
+    hs = [dedup.hash32(F.lit(w)) for w in "the cat and the dog".split()]
+    vals = spark.range(1).select(*[h.alias(f"h{i}") for i, h in enumerate(hs)]).first()
+    acc = vals["h0"]
+    for i in range(1, 5):
+        acc = (acc * 31 + vals[f"h{i}"]) % dedup.MOD31
+    assert out[1]["fp"] == acc
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "")], "doc_id long, text string")
+    media = multimodal.attach_payload(df)
+    assert [f.name for f in media.schema.fields] == ["doc_id", "payload", "media_meta"]
+    decoded = {r["doc_id"]: r for r in multimodal.decode_image(media, fake=True).collect()}
+    # 'a' = 97, 'b' = 98
+    assert decoded[1]["width"] == 98 and decoded[1]["height"] == 99
+    assert decoded[1]["n_bytes"] == 3 and len(decoded[1]["feature"]) == 8
+    assert abs(sum(decoded[1]["feature"]) - 1.0) < 1e-6
+    assert decoded[2]["width"] == 1 and decoded[2]["height"] == 1
+
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        multimodal.decode_image(media, fake=False).collect()
