@@ -42,10 +42,13 @@ def k8sattributes_enrich(df: DataFrame, pod_meta: DataFrame, association_col: st
         ("k8s_node_name", "k8s.node.name"),
     ]:
         if meta_col in joined.columns:
+            def key_filter(key: str):
+                return lambda k, _: k != F.lit(key)
+
             m = F.when(
                 F.col(meta_col).isNotNull(),
                 F.map_concat(
-                    F.map_filter(m, lambda k, _, key=attr_key: k != F.lit(key)),
+                    F.map_filter(m, key_filter(attr_key)),
                     F.map_from_arrays(F.array(F.lit(attr_key)), F.array(F.col(meta_col))),
                 ),
             ).otherwise(m)

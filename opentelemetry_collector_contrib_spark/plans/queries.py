@@ -621,6 +621,7 @@ FROM a JOIN b USING (user_id)
 # ---------------------------------------------------------------------------
 
 from .queries_dataprep import REGISTRY_DATAPREP  # noqa: E402
+from .queries_ops2 import REGISTRY_OPS2  # noqa: E402
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pipeline_events": (q_pipeline_events, SQL_PIPELINE_EVENTS),
@@ -653,4 +654,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "metricstransform_aggregate": (q_metricstransform, SQL_METRICSTRANSFORM),
     "metricsgeneration_processor": (q_metricsgeneration, SQL_METRICSGENERATION),
     **REGISTRY_DATAPREP,
+    **REGISTRY_OPS2,
 }
