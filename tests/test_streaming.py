@@ -1,0 +1,94 @@
+"""Structured Streaming e2e: file source -> parse/route transform ->
+foreachBatch fan-out with checkpoint; windowed dedup/count aggregations.
+Runs with availableNow (one pass over the input) so it is deterministic."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators import parsers
+from opentelemetry_collector_contrib_spark.operators.connectors import routing_connector
+from opentelemetry_collector_contrib_spark.streaming import stream as S
+
+
+def _write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_stream_pipeline_foreachbatch_fanout(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        {"doc_id": f"d{i}", "body": json.dumps({"level": "ERROR" if i % 3 == 0 else "INFO", "n": i})}
+        for i in range(30)
+    ]
+    _write_jsonl(src / "part0.jsonl", rows)
+
+    stream_df = (
+        spark.readStream.schema("doc_id string, body string")
+        .json(str(src))
+    )
+
+    def transform(df):
+        parsed = parsers.json_parser(df, parse_from="body", parse_to="attributes")
+        sev = F.element_at("attributes", "level")
+        return routing_connector(parsed, [("errors", sev == "ERROR")])
+
+    out_dir = tmp_path / "sinks"
+    written = []
+
+    def sink_writer(df, batch_id):
+        df.write.mode("append").partitionBy("route").parquet(str(out_dir))
+        written.append(batch_id)
+
+    q = S.stream_pipeline(
+        stream_df, transform, str(tmp_path / "ckpt"), sink_writer
+    ).start()
+    q.awaitTermination(120)
+
+    assert written, "foreachBatch never ran"
+    back = spark.read.parquet(str(out_dir))
+    counts = {r["route"]: r["n"] for r in back.groupBy("route").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"errors": 10, "default": 20}
+
+    # restart with same checkpoint: availableNow re-run processes nothing new
+    n_batches = len(written)
+    q2 = S.stream_pipeline(
+        stream_df, transform, str(tmp_path / "ckpt"), sink_writer
+    ).start()
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(out_dir)).count() == 30, "checkpoint resume reprocessed data"
+    del n_batches
+
+
+def test_windowed_dedup_and_counts(spark, tmp_path):
+    src = tmp_path / "in2"
+    src.mkdir()
+    rows = [
+        {"ts": f"2025-10-10T13:55:{s:02d}.000Z", "key": k}
+        for s, k in [(1, "a"), (2, "a"), (3, "b"), (21, "a"), (22, "b"), (23, "b")]
+    ]
+    _write_jsonl(src / "p.jsonl", rows)
+    stream_df = (
+        spark.readStream.schema("ts string, key string")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    dedup = S.windowed_dedup(stream_df, "ts", ["key"], interval="10 seconds")
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["key"], r["window"].start.second): r["log_count"]
+        for r in spark.sql("SELECT * FROM dedup_out").collect()
+    }
+    assert got == {("a", 0): 2, ("b", 0): 1, ("a", 20): 1, ("b", 20): 2}
