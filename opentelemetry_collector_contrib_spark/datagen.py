@@ -121,6 +121,23 @@ def raw_logs(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     )
 
 
+def input_table(spark: SparkSession, n: int, seed: int = 42, max_tok: int = 256) -> DataFrame:
+    """The fused north-rule input table: tokenized sequences WITH their
+    serialized payload column in one row —
+    (doc_id, tokens, n_tok, source, body, ingest_ts, fmt).
+
+    Storing payload and tokens together is the scale-correct layout: the
+    pipeline stays entirely narrow (scan -> parse -> broadcast-enrich ->
+    route -> write) with zero shuffles, instead of a 10^12 x 10^12 doc_id
+    join of separate sequence/payload tables."""
+    seqs = sequences(spark, n, seed, max_tok)
+    logs = raw_logs(spark, n, seed).drop("source")
+    # both generators derive every column deterministically from doc_id, so
+    # this join is only a generation-time convenience at bench scales; the
+    # benched job reads the materialized fused table
+    return seqs.join(logs, "doc_id")
+
+
 def source_meta(spark: SparkSession) -> DataFrame:
     """Broadcast enrichment lookup (FIXTURES.md §3): the k8sattributes /
     resourcedetection enrichment shape

@@ -79,10 +79,10 @@ def merge_maps(target: Column, source: Column, strategy: str = "upsert") -> Colu
             target, F.map_filter(source, lambda k, _: ~F.array_contains(F.map_keys(target), k))
         )
     if strategy == "update":
-        # only keys already present in target
-        return F.map_zip_with(
-            target, source, lambda _, tv, sv: F.coalesce(sv, tv)
-        )
+        # only keys already present in target (map_zip_with alone would
+        # also emit source-only keys with a null target value)
+        merged = F.map_zip_with(target, source, lambda _, tv, sv: F.coalesce(sv, tv))
+        return F.map_filter(merged, lambda k, _: F.array_contains(F.map_keys(target), k))
     raise ValueError(f"unknown merge_maps strategy {strategy!r}")
 
 

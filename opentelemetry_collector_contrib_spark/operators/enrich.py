@@ -98,11 +98,21 @@ def dns_enrich(df: DataFrame, host_table: DataFrame, on: str = "hostname") -> Da
     return lookup_enrich(df, host_table, on)
 
 
-def salted_repartition(df: DataFrame, key: str, salt_buckets: int = 16) -> DataFrame:
+def salted_repartition(
+    df: DataFrame, key: str, salt_buckets: int = 16, num_partitions: int | None = None
+) -> DataFrame:
     """Skew helper: repartition on (key, salt) so one hot key spreads over
     salt_buckets partitions. Salt is derived from a stable row hash — not
     rand() — so repeated runs place rows identically. Use before per-key
     heavy work when AQE alone can't split (e.g. a hot `source` at 55% of
     all rows; FIXTURES.md §1)."""
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns[:1]], F.col(key)), F.lit(salt_buckets))
-    return df.withColumn("__salt", salt).repartition(key, "__salt").drop("__salt")
+    salted = df.withColumn("__salt", salt)
+    # explicit num_partitions opts out of AQE coalescing (which would fold
+    # small shuffles back into few partitions and defeat the spread)
+    parted = (
+        salted.repartition(num_partitions, key, "__salt")
+        if num_partitions
+        else salted.repartition(key, "__salt")
+    )
+    return parted.drop("__salt")

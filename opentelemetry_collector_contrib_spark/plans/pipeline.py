@@ -34,19 +34,17 @@ def _severity_from_attrs(df: DataFrame) -> DataFrame:
     return parsers.severity_parser(df.withColumn("__sev_text", text), "__sev_text").drop("__sev_text")
 
 
-def log_pipeline(
-    sequences: DataFrame,
-    logs: DataFrame,
-    meta: DataFrame,
-    routes: list[tuple[str, F.Column]] | None = None,
-) -> dict[str, DataFrame]:
-    """The north-rule pipeline. Returns {'routed': ..., 'counts': ...}.
+def parse_records(logs: DataFrame, impl: str = "jvm") -> DataFrame:
+    """Vectorized parse of the 4 payload shapes (apache common-log / JSON /
+    key=value / containerd) + severity + observed-timestamp fallback.
 
-    Shuffle budget: the sequences⨝logs join is keyed on doc_id (both sides
-    generated co-partitioned at scale this is a bucket join); meta is
-    broadcast; routing is narrow; the only unavoidable shuffle is the final
-    per-sink aggregate (map-side combined)."""
-    from ..functions.grok import grok_extract  # noqa: F401
+    impl="pandas" (north-rule path): one Arrow-batched pandas UDF —
+    Python workers are separate processes, so the parse scales past the
+    single-JVM contention ceiling (~2x at 32 local cores; BASELINE.md).
+    impl="jvm": pure column expressions (from_json / str_to_map /
+    regexp_extract chain) inside whole-stage codegen — zero Python, best
+    for low parallelism / small batches. Both produce identical maps."""
+    from ..functions.ottl import extract_patterns
 
     body = F.col("body")
     apache_rx = (
@@ -54,25 +52,47 @@ def log_pipeline(
         r'"(?P<method>\S+) (?P<path>\S+) (?P<proto>[^"]+)" (?P<status>\d+) (?P<size>\d+)$'
     )
     containerd_rx = r"^(?P<time>\S+) (?P<stream>stdout|stderr) (?P<logtag>\S+) (?P<log>.*)$"
-    from ..functions.ottl import extract_patterns
 
-    parsed = (
-        F.when(F.col("fmt") == 1, F.from_json(body, "map<string,string>"))
-        .when(F.col("fmt") == 2, F.str_to_map(F.trim(body), F.lit(" "), F.lit("=")))
-        .when(F.col("fmt") == 0, extract_patterns(body, apache_rx))
-        .otherwise(extract_patterns(body, containerd_rx))
-        if "fmt" in logs.columns
-        else F.when(body.startswith("{"), F.from_json(body, "map<string,string>"))
-        .when(body.rlike(r"^\w+=\S+( \w+=\S+)*$"), F.str_to_map(F.trim(body), F.lit(" "), F.lit("=")))
-        .when(body.rlike(r"^\S+ \S+ \S+ \["), extract_patterns(body, apache_rx))
-        .otherwise(extract_patterns(body, containerd_rx))
-    )
+    if impl == "pandas":
+        from ..functions.vparse import parse_multiformat_col
+
+        fmt = F.col("fmt") if "fmt" in logs.columns else F.lit(None).cast("int")
+        parsed = parse_multiformat_col(body, fmt)
+    else:
+        parsed = (
+            F.when(F.col("fmt") == 1, F.from_json(body, "map<string,string>"))
+            .when(F.col("fmt") == 2, F.str_to_map(F.trim(body), F.lit(" "), F.lit("=")))
+            .when(F.col("fmt") == 0, extract_patterns(body, apache_rx))
+            .otherwise(extract_patterns(body, containerd_rx))
+            if "fmt" in logs.columns
+            else F.when(body.startswith("{"), F.from_json(body, "map<string,string>"))
+            .when(body.rlike(r"^\w+=\S+( \w+=\S+)*$"), F.str_to_map(F.trim(body), F.lit(" "), F.lit("=")))
+            .when(body.rlike(r"^\S+ \S+ \S+ \["), extract_patterns(body, apache_rx))
+            .otherwise(extract_patterns(body, containerd_rx))
+        )
     records = logs.withColumn("attributes", parsed)
     records = _severity_from_attrs(records)
     if "ingest_ts" in logs.columns:
         # ingest time is the observed timestamp (stanza entry semantics);
         # the formatter falls back to it when event time is absent
         records = records.withColumn("observed_time_unix_nano", F.col("ingest_ts"))
+    return records
+
+
+def log_pipeline(
+    sequences: DataFrame,
+    logs: DataFrame,
+    meta: DataFrame,
+    routes: list[tuple[str, F.Column]] | None = None,
+) -> dict[str, DataFrame]:
+    """The north-rule pipeline over SEPARATE sequence + payload tables.
+    Returns {'routed': ..., 'counts': ...}.
+
+    Shuffle budget: the sequences⨝logs join is keyed on doc_id (bucket both
+    tables on doc_id at scale and it is shuffle-free); meta is broadcast;
+    routing is narrow. Prefer `log_pipeline_fused` when payloads are stored
+    in the sequence table itself — that variant has zero shuffles."""
+    records = parse_records(logs)
     # join payloads with their token sequences (doc_id is the row identity)
     joined = records.join(sequences.select("doc_id", "tokens", "n_tok"), "doc_id")
     # broadcast enrichment: source -> service/namespace/region/tenant
@@ -93,6 +113,40 @@ def log_pipeline(
     routed = connectors.routing_connector(enriched, routes)
     counts = sink_counts(routed)
     return {"routed": routed, "counts": counts}
+
+
+DEFAULT_ROUTES = ["errors", "acme", "ecorp"]
+
+
+def log_pipeline_fused(
+    fused: DataFrame,
+    meta: DataFrame,
+    routes: list[tuple[str, F.Column]] | None = None,
+    parse_impl: str = "pandas",
+) -> dict[str, DataFrame]:
+    """North-rule pipeline over the FUSED input table
+    (doc_id, tokens, n_tok, source, body, ingest_ts, fmt) — the
+    scale-correct layout: payload and tokens co-located, so the whole
+    pipeline is one narrow pass (scan -> parse -> broadcast enrich ->
+    first-match route) with ZERO shuffles; per-sink counts come from an
+    Observation on the write job (sinks/fanout.write_fanout_with_counts),
+    not a second scan."""
+    records = parse_records(fused, impl=parse_impl)
+    enriched = lookup_enrich(records, meta, "source")
+    enriched = enriched.withColumn(
+        "resource_attributes",
+        F.map_from_arrays(
+            F.array(F.lit("service.name"), F.lit("k8s.namespace.name"), F.lit("cloud.region")),
+            F.array(F.col("service_name"), F.col("namespace"), F.col("region")),
+        ),
+    )
+    routes = routes or [
+        ("errors", F.col("severity_number") >= 17),
+        ("acme", F.col("tenant") == "acme"),
+        ("ecorp", F.col("tenant") == "ecorp"),
+    ]
+    routed = connectors.routing_connector(enriched, routes)
+    return {"routed": routed, "counts": sink_counts(routed)}
 
 
 def events_as_log_records(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -52,6 +52,39 @@ def write_fanout(
         .format(fmt)
         .save(base_path)
     )
+
+
+def write_fanout_with_counts(
+    routed: DataFrame,
+    base_path: str,
+    route_names: list[str],
+    route_col: str = "route",
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> dict[str, int]:
+    """Single-pass fan-out + obsreport counts: per-sink record counts are
+    collected by the SAME job that writes the sinks, via an Observation on
+    the routed frame (conditional sums over the statically-known route
+    set). This mirrors the reference, which counts during export
+    (exporterhelper/obsreport, internal/metadata/metrics.go:57-79) rather
+    than re-scanning — at 10^12 rows a second counting pass is a full
+    extra read of the corpus. Returns {sink: records_out}."""
+    obs = Observation("sink_counts")
+    names = list(route_names)
+    if "default" not in names:
+        names.append("default")
+    aggs = [
+        F.sum(F.when(F.col(route_col) == n, 1).otherwise(0)).alias(n) for n in names
+    ]
+    observed = routed.observe(obs, *aggs)
+    (
+        observed.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(route_col)
+        .format(fmt)
+        .save(base_path)
+    )
+    return {k: int(v or 0) for k, v in obs.get.items()}
 
 
 def read_sink(spark: SparkSession, base_path: str, sink: str, fmt: str = "parquet") -> DataFrame:

@@ -1,0 +1,93 @@
+"""Coverage for the smaller operator surfaces: salted repartition (skew),
+assign_keys/flatten/sanitize_utf8, OTTL limit/merge_maps/keep_matching,
+scope_name parser, probabilistic sampler helper."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.functions import ottl
+from opentelemetry_collector_contrib_spark.functions.hashes import sample_predicate
+from opentelemetry_collector_contrib_spark.operators import parsers, transformers
+from opentelemetry_collector_contrib_spark.operators.enrich import salted_repartition
+
+
+def test_salted_repartition_spreads_hot_key(spark):
+    # 90% of rows share one hot key; salting must spread them over many
+    # partitions while keeping placement deterministic across runs
+    df = spark.range(2000).withColumn(
+        "source", F.when(F.col("id") % 10 < 9, "hot").otherwise(F.concat(F.lit("cold-"), F.col("id")))
+    )
+    out = salted_repartition(df, "source", salt_buckets=8, num_partitions=8)
+    parts = (
+        out.withColumn("p", F.spark_partition_id())
+        .filter(F.col("source") == "hot")
+        .select("p")
+        .distinct()
+        .count()
+    )
+    assert parts >= 4, f"hot key landed in only {parts} partitions"
+    a = sorted(r["id"] for r in out.collect())
+    b = sorted(r["id"] for r in salted_repartition(df, "source", salt_buckets=8, num_partitions=8).collect())
+    assert a == b == list(range(2000))
+
+
+def test_assign_keys_and_flatten(spark):
+    df = spark.createDataFrame([(1, ["x", "y", "z"])], "id long, vals array<string>")
+    out = transformers.assign_keys(df, "vals", ["a", "b"])
+    m = out.first()["attributes"]
+    assert m == {"a": "x", "b": "y"}
+
+    df2 = spark.createDataFrame([(1,)], "id long").select(
+        "id",
+        F.create_map(F.lit("keep"), F.lit("v")).alias("attributes"),
+        F.create_map(F.lit("inner"), F.lit("w")).alias("nested"),
+    )
+    flat = transformers.flatten(df2, "nested", prefix="n")
+    m2 = flat.first()["attributes"]
+    assert m2 == {"keep": "v", "n.inner": "w"} and "nested" not in flat.columns
+
+
+def test_sanitize_utf8_and_scope_name(spark):
+    df = spark.createDataFrame([("ok body", "my.scope")], "body string, s string")
+    out = transformers.sanitize_utf8(df)
+    assert out.first()["body"] == "ok body"
+    scoped = parsers.scope_name_parser(df, "s")
+    assert scoped.first()["scope_name"] == "my.scope"
+
+
+def test_ottl_limit_and_merge_and_keep_matching(spark):
+    df = spark.range(1).select(
+        F.create_map(
+            F.lit("a"), F.lit("1"), F.lit("b"), F.lit("2"),
+            F.lit("c"), F.lit("3"), F.lit("keep.me"), F.lit("4"),
+        ).alias("m")
+    )
+    limited = df.select(ottl.limit_map(F.col("m"), 2, priority_keys=["keep.me"]).alias("m")).first()["m"]
+    assert len(limited) == 2 and limited["keep.me"] == "4"
+
+    kept = df.select(ottl.keep_matching_keys(F.col("m"), r"^keep\.").alias("m")).first()["m"]
+    assert kept == {"keep.me": "4"}
+
+    merged = df.select(
+        ottl.merge_maps(
+            F.col("m"), F.create_map(F.lit("a"), F.lit("9"), F.lit("z"), F.lit("8")), "insert"
+        ).alias("m")
+    ).first()["m"]
+    # insert strategy: existing keys untouched, new keys added
+    assert merged["a"] == "1" and merged["z"] == "8"
+
+    updated = df.select(
+        ottl.merge_maps(
+            F.col("m"), F.create_map(F.lit("a"), F.lit("9"), F.lit("z"), F.lit("8")), "update"
+        ).alias("m")
+    ).first()["m"]
+    assert updated["a"] == "9" and "z" not in updated
+
+
+def test_sample_predicate_deterministic_rate(spark):
+    df = spark.range(20000).select(F.col("id").cast("string").alias("k"))
+    kept = df.filter(sample_predicate(F.col("k"), 25.0)).count()
+    assert abs(kept / 20000 - 0.25) < 0.02
+    kept2 = df.filter(sample_predicate(F.col("k"), 25.0)).count()
+    assert kept == kept2

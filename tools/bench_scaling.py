@@ -27,26 +27,60 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _cmd(cpus: int, rows: int, files_slice: str = "") -> list[str]:
+    cmd = [
+        sys.executable,
+        os.path.join(REPO, "bench.py"),
+        "--skip-registry",
+        "--cpus", str(cpus),
+        "--seq-rows", str(rows),
+        "--repeats", "1",
+        "--sink", "noop",
+    ]
+    if files_slice:
+        cmd += ["--files-slice", files_slice]
+    return cmd
+
+
+_ENV = {**os.environ, "SPARK_GRAFT_DRIVER_MEM": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")}
+
+
 def run_once(cpus: int, rows: int) -> dict:
     """One bench.py invocation in a fresh JVM (first SparkSession pins the
     master, so every level needs its own process)."""
     out = subprocess.run(
-        [
-            sys.executable,
-            os.path.join(REPO, "bench.py"),
-            "--skip-registry",
-            "--cpus", str(cpus),
-            "--seq-rows", str(rows),
-            "--repeats", "1",
-        ],
-        capture_output=True,
-        text=True,
-        env={**os.environ, "SPARK_GRAFT_DRIVER_MEM": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")},
-        check=True,
-        cwd=REPO,
+        _cmd(cpus, rows), capture_output=True, text=True, env=_ENV, check=True, cwd=REPO
     )
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
+
+
+def run_executors(k: int, cpus_each: int, rows: int) -> dict:
+    """Cluster-simulation level: k concurrent executor JVMs, each
+    local[cpus_each], each processing its 1/k file-slice of the SAME input
+    — exactly how k executors split a table scan on a real cluster (and
+    how production Spark runs several executor JVMs per large node).
+    Aggregate wall = slowest executor's pipeline time."""
+    procs = [
+        subprocess.Popen(
+            _cmd(cpus_each, rows, files_slice=f"{i}:{k}"),
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=_ENV, cwd=REPO,
+        )
+        for i in range(k)
+    ]
+    times, cpus_used = [], 0.0
+    for p in procs:
+        out, _ = p.communicate()
+        if p.returncode != 0:
+            raise RuntimeError(f"executor failed rc={p.returncode}")
+        r = json.loads(out.strip().splitlines()[-1])
+        times.append(r["queries"]["log_pipeline_tokens"])
+        cpus_used += r.get("pipeline_cpu_sec", 0.0)
+    return {
+        "queries": {"log_pipeline_tokens": max(times)},
+        "pipeline_cpu_sec": cpus_used,
+        "per_executor_sec": [round(t, 2) for t in times],
+    }
 
 
 def main() -> None:
@@ -55,21 +89,48 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=2_000_000)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--out", default="")
+    ap.add_argument(
+        "--mode", default="threads", choices=["threads", "executors"],
+        help="threads: local[N] vs local[4N] in one JVM; executors: N vs 4N "
+        "concurrent executor JVMs (local[cpus-each] each) over file-slices",
+    )
+    ap.add_argument("--cpus-each", type=int, default=8, help="threads per executor JVM (executors mode)")
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
 
+    if args.mode == "executors":
+        # make sure the input exists with enough part files for slicing
+        subprocess.run(
+            _cmd(args.cpus_each, args.rows), capture_output=True, env=_ENV, cwd=REPO, check=True
+        )
+
     best: dict[int, float] = {lv: float("inf") for lv in levels}
+    cpu: dict[int, float] = {lv: 0.0 for lv in levels}
     for i in range(args.repeats):
         for lv in levels:  # interleaved so host noise hits both levels alike
-            r = run_once(lv, args.rows)
+            if args.mode == "executors":
+                r = run_executors(lv, args.cpus_each, args.rows)
+            else:
+                r = run_once(lv, args.rows)
             t = r["queries"]["log_pipeline_tokens"]
-            best[lv] = min(best[lv], t)
-            print(f"trial {i} local[{lv}]: {t:.2f}s", file=sys.stderr, flush=True)
+            if t < best[lv]:
+                best[lv] = t
+                cpu[lv] = r.get("pipeline_cpu_sec", 0.0)
+            print(
+                f"trial {i} {args.mode}[{lv}]: {t:.2f}s cpu={r.get('pipeline_cpu_sec')} "
+                f"{r.get('per_executor_sec', '')}",
+                file=sys.stderr, flush=True,
+            )
 
     lo, hi = min(levels), max(levels)
     thr = {lv: args.rows / best[lv] for lv in levels}
     k = hi / lo
     eff = thr[hi] / (k * thr[lo])
+    # cpu-work ratio: total CPU-seconds the job consumed at hi vs lo. ~1.0
+    # means the work itself does not inflate with parallelism — the signal
+    # that transfers to a real cluster, where 4N nodes also bring 4x memory
+    # bandwidth (one shared box does not, which caps wall-clock efficiency)
+    cpu_ratio = (cpu[hi] / cpu[lo]) if cpu[lo] else None
     result = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -79,10 +140,14 @@ def main() -> None:
             str(lv): {
                 "best_sec": round(best[lv], 2),
                 "seq_per_sec": round(thr[lv], 1),
+                "cpu_sec": round(cpu[lv], 1),
             }
             for lv in levels
         },
         "cores_ratio": k,
+        "cpu_work_ratio_hi_vs_lo": round(cpu_ratio, 3) if cpu_ratio else None,
+        "mode": args.mode,
+        "cpus_each": args.cpus_each if args.mode == "executors" else None,
         "note": "min-of-interleaved-trials on a shared host; separate JVM per level",
     }
     line = json.dumps(result)
