@@ -132,3 +132,79 @@ def format_histogram_rows(df: DataFrame, dims: list[str]) -> DataFrame:
         sanitize_float(F.col("min").cast("double")).alias("Min"),
         sanitize_float(F.col("max").cast("double")).alias("Max"),
     )
+
+
+def format_exp_histogram_rows(df: DataFrame, dims: list[str]) -> DataFrame:
+    """Exponential-histogram datapoint rows (formatter.go:429-479):
+    Scale/ZeroCount/Positive+Negative offset & bucket counts (arrays never
+    null), Min/Max sanitized, AggregationTemporality."""
+    longs = "array<long>"
+    return df.select(
+        *dims,
+        clickhouse_ts(F.col("time_unix_nano")).alias("TimeUnix"),
+        F.col("count").cast("long").alias("Count"),
+        sanitize_float(F.col("sum").cast("double")).alias("Sum"),
+        F.coalesce(F.col("scale"), F.lit(0)).cast("int").alias("Scale"),
+        F.coalesce(F.col("zero_count"), F.lit(0)).cast("long").alias("ZeroCount"),
+        F.coalesce(F.col("positive_offset"), F.lit(0)).cast("int").alias("PositiveOffset"),
+        F.coalesce(F.col("positive_bucket_counts"), F.array().cast(longs)).alias("PositiveBucketCounts"),
+        F.coalesce(F.col("negative_offset"), F.lit(0)).cast("int").alias("NegativeOffset"),
+        F.coalesce(F.col("negative_bucket_counts"), F.array().cast(longs)).alias("NegativeBucketCounts"),
+        sanitize_float(F.col("min").cast("double")).alias("Min"),
+        sanitize_float(F.col("max").cast("double")).alias("Max"),
+        F.lit(2).alias("AggregationTemporality"),
+    )
+
+
+def format_summary_rows(df: DataFrame, dims: list[str]) -> DataFrame:
+    """Summary datapoint rows (formatter.go:481-519): Count/Sum +
+    ValueAtQuantiles parallel arrays (never null)."""
+    return df.select(
+        *dims,
+        clickhouse_ts(F.col("time_unix_nano")).alias("TimeUnix"),
+        F.col("count").cast("long").alias("Count"),
+        sanitize_float(F.col("sum").cast("double")).alias("Sum"),
+        F.struct(
+            F.coalesce(F.col("quantiles"), F.array().cast("array<double>")).alias("Quantile"),
+            F.coalesce(F.col("quantile_values"), F.array().cast("array<double>")).alias("Value"),
+        ).alias("ValueAtQuantiles"),
+    )
+
+
+def format_span_rows(df: DataFrame) -> DataFrame:
+    """Trace/span rows (formatter.go:114-137): Duration = end-start ns,
+    Events.* / Links.* parallel arrays that must be EMPTY ARRAYS, never
+    null (formatter_golden_test.go:62-108)."""
+    cols = set(df.columns)
+
+    def get(name: str, default: Column) -> Column:
+        return F.col(name) if name in cols else default
+
+    strs = "array<string>"
+    maps = "array<map<string,string>>"
+    empty_s = F.array().cast(strs)
+    empty_m = F.array().cast(maps)
+    return df.select(
+        clickhouse_ts(F.col("start_time_unix_nano")).alias("Timestamp"),
+        F.lower(F.coalesce(get("trace_id", F.lit("")), F.lit(""))).alias("TraceId"),
+        F.lower(F.coalesce(get("span_id", F.lit("")), F.lit(""))).alias("SpanId"),
+        F.lower(F.coalesce(get("parent_span_id", F.lit("")), F.lit(""))).alias("ParentSpanId"),
+        F.coalesce(get("trace_state", F.lit("")), F.lit("")).alias("TraceState"),
+        F.coalesce(get("span_name", F.lit("")), F.lit("")).alias("SpanName"),
+        F.coalesce(get("span_kind", F.lit("")), F.lit("")).alias("SpanKind"),
+        F.coalesce(get("service_name", F.lit("")), F.lit("")).alias("ServiceName"),
+        _empty_map(get("resource_attributes", F.lit(None))).alias("ResourceAttributes"),
+        F.coalesce(get("scope_name", F.lit("")), F.lit("")).alias("ScopeName"),
+        F.coalesce(get("scope_version", F.lit("")), F.lit("")).alias("ScopeVersion"),
+        _empty_map(get("attributes", F.lit(None))).alias("SpanAttributes"),
+        (F.col("end_time_unix_nano") - F.col("start_time_unix_nano")).cast("long").alias("Duration"),
+        F.coalesce(get("status_code", F.lit("Unset")), F.lit("Unset")).alias("StatusCode"),
+        F.coalesce(get("status_message", F.lit("")), F.lit("")).alias("StatusMessage"),
+        F.coalesce(get("event_timestamps", F.lit(None)), empty_s).alias("Events.Timestamp"),
+        F.coalesce(get("event_names", F.lit(None)), empty_s).alias("Events.Name"),
+        F.coalesce(get("event_attributes", F.lit(None)), empty_m).alias("Events.Attributes"),
+        F.coalesce(get("link_trace_ids", F.lit(None)), empty_s).alias("Links.TraceId"),
+        F.coalesce(get("link_span_ids", F.lit(None)), empty_s).alias("Links.SpanId"),
+        F.coalesce(get("link_trace_states", F.lit(None)), empty_s).alias("Links.TraceState"),
+        F.coalesce(get("link_attributes", F.lit(None)), empty_m).alias("Links.Attributes"),
+    )

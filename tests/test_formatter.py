@@ -130,3 +130,50 @@ def test_histogram_rows_arrays_never_null(spark):
     assert r["BucketCounts"] == []
     assert r["ExplicitBounds"] == []
     assert r["Count"] == 10
+
+
+def test_exp_histogram_and_summary_rows(spark):
+    from opentelemetry_collector_contrib_spark.sinks.formatter import (
+        format_exp_histogram_rows,
+        format_summary_rows,
+    )
+
+    df = spark.createDataFrame(
+        [("m1", 1760104536_000000000, 10, 5.5, 2, 1, 0, [1, 2], 0, None, 0.1, 4.2)],
+        "metric_name string, time_unix_nano long, count long, sum double, scale int, "
+        "zero_count long, positive_offset int, positive_bucket_counts array<long>, "
+        "negative_offset int, negative_bucket_counts array<long>, min double, max double",
+    )
+    row = format_exp_histogram_rows(df, ["metric_name"]).first()
+    assert row["Scale"] == 2 and row["PositiveBucketCounts"] == [1, 2]
+    assert row["NegativeBucketCounts"] == []  # never null
+    assert row["AggregationTemporality"] == 2
+
+    sdf = spark.createDataFrame(
+        [("m2", 1760104536_000000000, 4, 10.0, [0.5, 0.99], [1.0, 3.0])],
+        "metric_name string, time_unix_nano long, count long, sum double, "
+        "quantiles array<double>, quantile_values array<double>",
+    )
+    srow = format_summary_rows(sdf, ["metric_name"]).first()
+    assert srow["ValueAtQuantiles"]["Quantile"] == [0.5, 0.99]
+    assert srow["ValueAtQuantiles"]["Value"] == [1.0, 3.0]
+
+
+def test_span_rows_duration_and_empty_arrays(spark):
+    from opentelemetry_collector_contrib_spark.sinks.formatter import format_span_rows
+
+    df = spark.createDataFrame(
+        [
+            (
+                "ab" * 16, "cd" * 8, "", "op", "SPAN_KIND_SERVER", "svc",
+                1760104536_000000000, 1760104536_500000000, "STATUS_CODE_OK",
+            )
+        ],
+        "trace_id string, span_id string, parent_span_id string, span_name string, "
+        "span_kind string, service_name string, start_time_unix_nano long, "
+        "end_time_unix_nano long, status_code string",
+    )
+    row = format_span_rows(df).first()
+    assert row["Duration"] == 500000000
+    assert row["Events.Timestamp"] == [] and row["Links.TraceId"] == []  # empty, not null
+    assert row["TraceId"] == "ab" * 16 and row["StatusCode"] == "STATUS_CODE_OK"
