@@ -115,6 +115,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    cache: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash+LSH candidate generation, exact
     word-k-gram Jaccard verification. Returns (id_a, id_b, jaccard) with
@@ -134,6 +135,12 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         "id", "sh", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("b")
     ).select("id", "sh", F.col("b.band").alias("band"), F.col("b.band_hash").alias("bh"))
+    if cache:
+        # the self-join would otherwise recompute shingles + the full
+        # signature (num_hashes x shingles hashes) on BOTH sides — at any
+        # scale the signature pass is the dominant cost, so materialize it
+        # once (memory-and-disk; evictable, safe on executors)
+        banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
