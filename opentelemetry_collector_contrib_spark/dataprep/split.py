@@ -1,0 +1,43 @@
+"""Deterministic dataset splitting (train/val/test) by key hash.
+
+The standard training-data-pipeline operation: assign each document to a
+split by a uniform hash of its key — stable across runs, machines, and
+partitionings (never rand()), and SQL-expressible for oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import hash32
+
+U32 = float(1 << 32)
+
+
+def split_column(key: Column, weights: dict[str, float], seed: str = "split") -> Column:
+    """Column assigning a split name by cumulative hash ranges.
+    weights need not sum to 1 — they are normalized."""
+    total = sum(weights.values())
+    h = hash32(key.cast("string"), f"{seed}:")
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cond = h < F.lit(int(U32 * acc))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    return expr.otherwise(last) if expr is not None else F.lit(last)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    seed: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Add a deterministic split column. Narrow (no shuffle); to write
+    per-split tables use sinks.fanout.write_fanout(routed, route_col=out_col)."""
+    return df.withColumn(out_col, split_column(F.col(key_col), weights, seed))

@@ -18,15 +18,26 @@ from ..functions.hashes import sample_predicate
 # ---------------------------------------------------------------------------
 
 
-def filter_processor(df: DataFrame, conditions: list[Column]) -> DataFrame:
+def filter_processor(
+    df: DataFrame, conditions: list[Column], null_safe: bool = True
+) -> DataFrame:
     """filterprocessor: DROP records matching ANY condition (ORed)
-    (/root/reference/processor/filterprocessor/logs.go:78-129)."""
+    (/root/reference/processor/filterprocessor/logs.go:78-129).
+
+    null_safe=True (default) keeps records whose condition evaluates to
+    NULL — the reference's ignore-error semantics — at the cost of the
+    coalesce wrapper blocking parquet filter pushdown. Pass
+    null_safe=False when the conditions are known non-null (comparisons
+    over non-nullable columns): the predicate then pushes into the scan
+    (PushedFilters), which is what you want at 100TB."""
     if not conditions:
         return df
     drop = conditions[0]
     for c in conditions[1:]:
         drop = drop | c
-    return df.filter(~F.coalesce(drop, F.lit(False)))
+    if null_safe:
+        return df.filter(~F.coalesce(drop, F.lit(False)))
+    return df.filter(~drop)
 
 
 def filter_with_count(df: DataFrame, conditions: list[Column]) -> tuple[DataFrame, DataFrame]:

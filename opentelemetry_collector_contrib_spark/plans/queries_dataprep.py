@@ -346,7 +346,104 @@ FROM documents
 """
 
 
+def q_dataset_split(spark, sf_dir):
+    from ..dataprep.split import hash_split
+
+    docs = _documents(spark, sf_dir)
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("first_doc")
+    )
+
+
+SQL_DATASET_SPLIT = f"""
+WITH h AS (
+  SELECT doc_id,
+         ('0x'||substr(md5('split:' || doc_id::VARCHAR),1,8))::BIGINT AS hv
+  FROM documents
+)
+SELECT CASE WHEN hv < {int((1 << 32) * 0.8)} THEN 'train'
+            WHEN hv < {int((1 << 32) * 0.9)} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n, MIN(doc_id) AS first_doc
+FROM h GROUP BY 1
+"""
+
+
+def q_logstransform_chain(spark, sf_dir):
+    """logstransformprocessor: an embedded stanza operator chain
+    (regex_parser -> time_parser -> severity_parser) as one composed stage
+    (/root/reference/processor/logstransformprocessor/)."""
+    from ..operators import parsers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "body",
+        F.format_string(
+            "%s [%s] uid=%d msg=event",
+            F.when(F.col("event_type") == "error", "ERROR").otherwise("INFO"),
+            F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss"),
+            F.col("user_id"),
+        ),
+    )
+    out = parsers.regex_parser(
+        ev, r"^(?P<lvl>\w+) \[(?P<tstr>[^\]]+)\] uid=(?P<uid>\d+)"
+    )
+    out = parsers.time_parser(out, "attributes[tstr]", "%Y-%m-%d %H:%M:%S")
+    out = parsers.severity_parser(out, "attributes[lvl]")
+    return out.select(
+        "event_id",
+        F.element_at("attributes", "uid").cast("long").alias("uid"),
+        F.unix_seconds(F.col("timestamp").cast("timestamp")).alias("ts_s"),
+        "severity_number",
+        "severity_text",
+    )
+
+
+SQL_LOGSTRANSFORM_CHAIN = """
+SELECT event_id, user_id AS uid, epoch(date_trunc('second', ts))::BIGINT AS ts_s,
+       CASE WHEN event_type = 'error' THEN 17 ELSE 9 END AS severity_number,
+       CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'INFO' END AS severity_text
+FROM events
+"""
+
+
+def q_attributes_extract_convert(spark, sf_dir):
+    """attraction extract (regex -> new attrs) + convert actions
+    (/root/reference/internal/coreinternal/attraction/attraction.go:176-300)."""
+    from ..operators.processors import AttrAction, attributes_processor
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "attributes",
+        F.create_map(
+            F.lit("raw"),
+            F.format_string("code=%d/unit=u%d", F.col("user_id") % 100, F.col("event_id") % 7),
+        ),
+    )
+    out = attributes_processor(
+        ev,
+        [
+            AttrAction("extract", "raw", pattern=r"code=(?P<code>\d+)/unit=(?P<unit>\w+)"),
+            AttrAction("convert", "code", converted_type="long"),
+        ],
+    )
+    return out.select(
+        "event_id",
+        F.element_at("attributes", "code").alias("code"),
+        F.element_at("attributes", "unit").alias("unit"),
+    )
+
+
+SQL_ATTRIBUTES_EXTRACT_CONVERT = """
+SELECT event_id, (user_id % 100)::VARCHAR AS code,
+       'u' || (event_id % 7)::VARCHAR AS unit
+FROM events
+"""
+
+
 REGISTRY_DATAPREP: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
+    "logstransform_chain": (q_logstransform_chain, SQL_LOGSTRANSFORM_CHAIN),
+    "attributes_extract_convert": (q_attributes_extract_convert, SQL_ATTRIBUTES_EXTRACT_CONVERT),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash, SQL_DEDUP_MINHASH),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
