@@ -226,3 +226,50 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs -> (id, cluster)
+    where cluster = min id in the component (the canonical keeper).
+
+    Iterative min-label propagation: O(log(diameter)) rounds of
+    join+groupBy; converges when no label changes. At 10^12-pair scale the
+    same loop applies with the edges pre-partitioned by node (each round
+    is one keyed shuffle); components here are tiny (dup groups), so the
+    diameter — and round count — stays small.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("a"), F.col(id_b).alias("b")
+    ).unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+    labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
+        "cluster", F.col("id")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["a"], "left")
+            .select(
+                "id",
+                F.least(F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))).alias("cluster"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

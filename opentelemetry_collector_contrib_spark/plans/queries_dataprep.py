@@ -346,6 +346,37 @@ FROM documents
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: MinHash+LSH pairs -> connected components ->
+    (id, cluster) with cluster = canonical keeper (min id)."""
+    pairs = dedup.minhash_lsh_pairs(_documents(spark, sf_dir))
+    return dedup.duplicate_clusters(pairs).select("id", "cluster")
+
+
+# transitive closure of the (mirrored) near-dup edge set via a recursive
+# CTE; cluster = min reachable id (incl. self) — identical to min-label
+# propagation's fixpoint
+SQL_DEDUP_CLUSTERS = (
+    SQL_DEDUP_MINHASH.replace(
+        "SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5",
+        """edges AS (
+  SELECT id_a AS a, id_b AS b FROM scored WHERE jaccard >= 0.5
+  UNION ALL
+  SELECT id_b, id_a FROM scored WHERE jaccard >= 0.5
+),
+reach AS (
+  SELECT a AS id, b AS peer FROM edges
+  UNION
+  SELECT r.id, e.b FROM reach r JOIN edges e ON r.peer = e.a
+)
+SELECT id, LEAST(id, MIN(peer)) AS cluster FROM reach GROUP BY id""",
+    ).replace("WITH w AS", "WITH RECURSIVE w AS", 1)
+    # the replace above folds `edges/reach` into the existing CTE chain:
+    # "...)\nSELECT..." becomes "...),\nedges AS (..." — fix the join point
+    .replace(")\nedges AS (", "),\nedges AS (", 1)
+)
+
+
 def q_dataset_split(spark, sf_dir):
     from ..dataprep.split import hash_split
 
@@ -441,6 +472,7 @@ FROM events
 
 
 REGISTRY_DATAPREP: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
     "logstransform_chain": (q_logstransform_chain, SQL_LOGSTRANSFORM_CHAIN),
     "attributes_extract_convert": (q_attributes_extract_convert, SQL_ATTRIBUTES_EXTRACT_CONVERT),

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
@@ -76,4 +76,72 @@ def windowed_counts(
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), interval).alias("window"), *group_by)
         .agg(F.count(F.lit(1)).alias("value"))
+    )
+
+
+def stateful_delta_to_cumulative(
+    stream_df: DataFrame,
+    stream_cols: list[str],
+    value_col: str = "value",
+    ts_col: str = "ts",
+    state_path: str = "/tmp/d2c_state",
+    output_path: str = "/tmp/d2c_out",
+    checkpoint: str = "/tmp/d2c_ckpt",
+) -> DataStreamWriter:
+    """deltatocumulativeprocessor as a stateful streaming job
+    (/root/reference/processor/deltatocumulativeprocessor/processor.go:74-186):
+    per-stream running sums that survive across micro-batches and restarts.
+
+    Implemented as foreachBatch + a STATE TABLE (parquet, batch-id
+    versioned) rather than applyInPandasWithState — the arbitrary-state
+    APIs crash in this pyspark build (4.1.x: PythonSQLMetrics NPE /
+    worker crash), and state-as-a-table is the production-robust pattern
+    at scale anyway: state is columnar, inspectable, and replay-idempotent
+    (each batch writes state under v=<batch_id> and reads the latest
+    version strictly below its own id, so re-running a failed batch
+    cannot double-count).
+
+    Output parquet rows: (stream_cols..., ts, value, cumulative) under
+    output_path/batch=<id> (overwritten on replay)."""
+    import os
+
+    def _latest_state(spark, below: int):
+        if not os.path.isdir(state_path):
+            return None
+        versions = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(state_path)
+            if d.startswith("v=") and d.split("=", 1)[1].isdigit() and int(d.split("=", 1)[1]) < below
+        ]
+        if not versions:
+            return None
+        return spark.read.parquet(f"{state_path}/v={max(versions)}")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        state = _latest_state(spark, batch_id)
+        if state is None:
+            schema = ", ".join(f"{c} string" for c in stream_cols) + ", running double"
+            state = spark.createDataFrame([], schema)
+        w = Window.partitionBy(*stream_cols).orderBy(ts_col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        scored = batch_df.withColumn("__csum", F.sum(value_col).over(w))
+        joined = scored.join(
+            F.broadcast(state.withColumnRenamed("running", "__run")), stream_cols, "left"
+        ).withColumn("cumulative", F.coalesce(F.col("__run"), F.lit(0.0)) + F.col("__csum"))
+        out = joined.select(*stream_cols, ts_col, value_col, "cumulative")
+        out.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
+        # next state: streams seen this batch take their last cumulative;
+        # unseen streams carry forward
+        upd = joined.groupBy(*stream_cols).agg(F.max("cumulative").alias("running"))
+        carried = state.join(upd.select(*stream_cols), stream_cols, "left_anti")
+        upd.unionByName(carried).write.mode("overwrite").parquet(
+            f"{state_path}/v={batch_id}"
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
     )

@@ -92,3 +92,55 @@ def test_windowed_dedup_and_counts(spark, tmp_path):
         for r in spark.sql("SELECT * FROM dedup_out").collect()
     }
     assert got == {("a", 0): 2, ("b", 0): 1, ("a", 20): 1, ("b", 20): 2}
+
+
+def test_stateful_delta_to_cumulative(spark, tmp_path):
+    """State persists across micro-batches: two input files processed as
+    separate batches; the second batch's cumulative continues from the
+    first batch's running sum per stream."""
+    src = tmp_path / "in3"
+    src.mkdir()
+    _write_jsonl(src / "b1.jsonl", [
+        {"ts": "2025-10-10T13:00:01.000Z", "stream": "s1", "value": 1.0},
+        {"ts": "2025-10-10T13:00:02.000Z", "stream": "s1", "value": 2.0},
+        {"ts": "2025-10-10T13:00:01.000Z", "stream": "s2", "value": 10.0},
+    ])
+
+    def read_stream():
+        return (
+            spark.readStream.schema("ts string, stream string, value double")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+
+    def run():
+        q = S.stateful_delta_to_cumulative(
+            read_stream(),
+            ["stream"],
+            ts_col="ts",
+            state_path=str(tmp_path / "state"),
+            output_path=str(tmp_path / "out"),
+            checkpoint=str(tmp_path / "ck3"),
+        ).start()
+        q.awaitTermination(120)
+
+    run()
+    got = {
+        (r["stream"], r["cumulative"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == {("s1", 1.0), ("s1", 3.0), ("s2", 10.0)}
+
+    # new file arrives; restart from the same checkpoint: state carries the
+    # running sums, only the new batch is processed
+    _write_jsonl(src / "b2.jsonl", [
+        {"ts": "2025-10-10T13:00:03.000Z", "stream": "s1", "value": 4.0},
+    ])
+    run()
+    got2 = {
+        (r["stream"], r["cumulative"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert ("s1", 7.0) in got2  # 3.0 (from state) + 4.0
+    assert got <= got2
