@@ -1,0 +1,373 @@
+"""OTTL statement mini-grammar: parse the reference's statement strings
+into Spark Column pipelines.
+
+The reference parses `editor(args...) [where condition]` with a PEG
+grammar into per-record interpreter closures
+(/root/reference/pkg/ottl/parser.go:347-361, grammar.go:15-34). Here the
+same surface compiles — once, on the driver — to Catalyst expressions, so
+a transformprocessor YAML statement like
+
+    set(attributes["env"], "prod") where severity_number >= 17
+
+runs as `F.when(cond, map_edit).otherwise(keep)` with zero per-row
+interpretation. Supported surface (the subset the transform/filter/routing
+processors exercise; LANGUAGE.md:1-291):
+
+- paths: body, severity_number, severity_text, trace_id, span_id,
+  attributes["k"], resource.attributes["k"] (any map col via dotted name)
+- literals: "str", 123, 1.5, true, false, nil
+- editors: set, delete_key, delete_matching_keys, keep_keys,
+  keep_matching_keys, truncate_all, limit, replace_pattern,
+  replace_all_patterns, merge_maps, append
+- converters: Concat, Int, Double, String, SHA1, SHA256, MD5, Len,
+  ToUpperCase, ToLowerCase, Substring, Split, Trim, TrimPrefix,
+  TrimSuffix, IsMatch, ParseJSON, ParseKeyValue, ExtractPatterns,
+  UUID, Hex, Unhex
+- conditions: ==, !=, >, >=, <, <=, and, or, not(), parentheses,
+  `where` clause; math + - * / on numeric terms
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import ottl
+
+_TOKEN_RX = re.compile(
+    r"""
+    (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<float>-?\d+\.\d+)
+  | (?P<int>-?\d+)
+  | (?P<op><=|>=|==|!=|<|>|\+|-|\*|/)
+  | (?P<lbracket>\[)
+  | (?P<rbracket>\])
+  | (?P<lparen>\()
+  | (?P<rparen>\))
+  | (?P<comma>,)
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
+  | (?P<ws>\s+)
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize(src: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    while i < len(src):
+        m = _TOKEN_RX.match(src, i)
+        if not m:
+            raise ValueError(f"OTTL syntax error at {src[i:i+20]!r}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind != "ws":
+            out.append((kind, m.group()))
+    out.append(("eof", ""))
+    return out
+
+
+# converter name -> Column function
+def _converters():
+    return {
+        "Concat": lambda args: ottl.concat_(*([args[1]] + args[0] if isinstance(args[0], list) else args[::-1])),
+        "Int": lambda a: ottl.int_(a[0]),
+        "Double": lambda a: ottl.double_(a[0]),
+        "String": lambda a: ottl.string_(a[0]),
+        "SHA1": lambda a: F.sha1(a[0]),
+        "SHA256": lambda a: ottl.sha256_(a[0]),
+        "SHA512": lambda a: ottl.sha512_(a[0]),
+        "MD5": lambda a: F.md5(a[0]),
+        "Len": lambda a: ottl.len_(a[0]),
+        "ToUpperCase": lambda a: F.upper(a[0]),
+        "ToLowerCase": lambda a: F.lower(a[0]),
+        "Substring": lambda a: F.substring(a[0], _lit_int(a[1]) + 1, _lit_int(a[2])),
+        "Split": lambda a: F.split(a[0], re.escape(_lit_str(a[1]))),
+        "Trim": lambda a: ottl.trim_(a[0]),
+        "TrimPrefix": lambda a: ottl.trim_prefix(a[0], _lit_str(a[1])),
+        "TrimSuffix": lambda a: ottl.trim_suffix(a[0], _lit_str(a[1])),
+        "IsMatch": lambda a: ottl.is_match(a[0], _lit_str(a[1])),
+        "ParseJSON": lambda a: ottl.parse_json_(a[0]),
+        "ParseKeyValue": lambda a: ottl.parse_key_value(a[0]),
+        "ExtractPatterns": lambda a: ottl.extract_patterns(a[0], _lit_str(a[1])),
+        "UUID": lambda a: ottl.uuid_(),
+        "Hex": lambda a: F.hex(a[0]),
+        "Unhex": lambda a: F.unhex(a[0]),
+    }
+
+
+def _lit_str(c) -> str:
+    if not isinstance(c, str):
+        raise ValueError(f"expected string literal, got {c}")
+    return c
+
+
+def _lit_int(c) -> int:
+    if not isinstance(c, int):
+        raise ValueError(f"expected int literal, got {c}")
+    return c
+
+
+@dataclass
+class _Path:
+    """A settable path: top-level column or map key."""
+
+    col: str
+    key: str | None
+
+    def get(self) -> Column:
+        if self.key is None:
+            return F.col(self.col)
+        return F.element_at(F.col(self.col), self.key)
+
+
+class _Parser:
+    def __init__(self, src: str):
+        self.toks = _tokenize(src)
+        self.pos = 0
+        self.convs = _converters()
+
+    def peek(self):
+        return self.toks[self.pos]
+
+    def next(self):
+        t = self.toks[self.pos]
+        self.pos += 1
+        return t
+
+    def expect(self, kind: str):
+        t = self.next()
+        if t[0] != kind:
+            raise ValueError(f"expected {kind}, got {t}")
+        return t
+
+    # term := literal | path | Converter(args) | ( expr )
+    def term(self):
+        kind, val = self.peek()
+        if kind == "string":
+            self.next()
+            return val[1:-1].encode().decode("unicode_escape")
+        if kind == "int":
+            self.next()
+            return int(val)
+        if kind == "float":
+            self.next()
+            return float(val)
+        if kind == "lparen":
+            self.next()
+            e = self.expr()
+            self.expect("rparen")
+            return e
+        if kind == "ident":
+            self.next()
+            if val in ("true", "false"):
+                return val == "true"
+            if val in ("nil", "null"):
+                return None
+            nk, _ = self.peek()
+            if nk == "lparen" and val in self.convs:
+                raw = self.args()
+                # paths become Columns; literal strings/ints stay raw so
+                # converter signatures can take patterns/lengths verbatim
+                cooked = [a.get() if isinstance(a, _Path) else a for a in raw]
+                return self.convs[val](cooked)
+            if nk == "lbracket":  # path with map key: attributes["k"]
+                self.next()
+                key = _lit_str(self.term())
+                self.expect("rbracket")
+                return _Path(val.replace("resource.attributes", "resource_attributes"), key)
+            return _Path(val.replace("resource.attributes", "resource_attributes"), None)
+        raise ValueError(f"unexpected token {self.peek()}")
+
+    def args(self) -> list:
+        self.expect("lparen")
+        out = []
+        if self.peek()[0] != "rparen":
+            out.append(self.expr())
+            while self.peek()[0] == "comma":
+                self.next()
+                out.append(self.expr())
+        self.expect("rparen")
+        return out
+
+    # expr := term (mathop term)*  — + - * /
+    def expr(self):
+        left = self.term()
+        while self.peek() == ("op", "+") or self.peek() == ("op", "-") or \
+              self.peek() == ("op", "*") or self.peek() == ("op", "/"):
+            _, op = self.next()
+            right = self.term()
+            lc, rc = _to_col(left), _to_col(right)
+            left = {"+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc}[op]
+        return left
+
+    # comparison := expr (cmp expr)?
+    def comparison(self) -> Column:
+        left = self.expr()
+        kind, val = self.peek()
+        if kind == "op" and val in ("==", "!=", ">", ">=", "<", "<="):
+            self.next()
+            right = self.expr()
+            lc, rc = _to_col(left), _to_col(right)
+            return {
+                "==": lc == rc, "!=": lc != rc, ">": lc > rc,
+                ">=": lc >= rc, "<": lc < rc, "<=": lc <= rc,
+            }[val]
+        return _to_col(left).cast("boolean")
+
+    # bool := comparison | not(...) | bool and bool | bool or bool
+    def boolean(self) -> Column:
+        def unit() -> Column:
+            kind, val = self.peek()
+            if kind == "ident" and val == "not":
+                self.next()
+                self.expect("lparen")
+                inner = self.boolean()
+                self.expect("rparen")
+                return ~inner
+            if kind == "lparen":
+                self.next()
+                inner = self.boolean()
+                self.expect("rparen")
+                return inner
+            return self.comparison()
+
+        left = unit()
+        while True:
+            kind, val = self.peek()
+            if kind == "ident" and val == "and":
+                self.next()
+                left = left & unit()
+            elif kind == "ident" and val == "or":
+                self.next()
+                left = left | unit()
+            else:
+                return left
+
+
+def _to_col(v) -> Column:
+    if isinstance(v, Column):
+        return v
+    if isinstance(v, _Path):
+        return v.get()
+    return F.lit(v)
+
+
+@dataclass
+class Statement:
+    """One parsed OTTL statement: apply(df) executes editor-where on a
+    flat log-record DataFrame."""
+
+    editor: str
+    args: list
+    condition: Column | None
+    source: str
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        e, a, cond = self.editor, self.args, self.condition
+
+        def edit_map(col_name: str, new_map: Column) -> DataFrame:
+            final = new_map if cond is None else F.when(cond, new_map).otherwise(F.col(col_name))
+            return df.withColumn(col_name, final)
+
+        if e == "set":
+            target = a[0]
+            value = _to_col(a[1])
+            if isinstance(target, _Path) and target.key is not None:
+                return edit_map(target.col, ottl.set_key(F.col(target.col), target.key, value.cast("string")))
+            if isinstance(target, _Path):
+                final = value if cond is None else F.when(cond, value).otherwise(F.col(target.col))
+                return df.withColumn(target.col, final)
+            raise ValueError("set target must be a path")
+        if e == "delete_key":
+            t = a[0]
+            return edit_map(t.col, ottl.delete_key(F.col(t.col), _lit_str(a[1])))
+        if e == "delete_matching_keys":
+            t = a[0]
+            return edit_map(t.col, ottl.delete_matching_keys(F.col(t.col), _lit_str(a[1])))
+        if e == "keep_matching_keys":
+            t = a[0]
+            return edit_map(t.col, ottl.keep_matching_keys(F.col(t.col), _lit_str(a[1])))
+        if e == "keep_keys":
+            t = a[0]
+            keys = [x for x in a[1]] if isinstance(a[1], list) else a[1:]
+            return edit_map(t.col, ottl.keep_keys(F.col(t.col), [_lit_str(k) for k in keys]))
+        if e == "truncate_all":
+            t = a[0]
+            return edit_map(t.col, ottl.truncate_all(F.col(t.col), _lit_int(a[1])))
+        if e == "limit":
+            t = a[0]
+            prio = [_lit_str(x) for x in a[2]] if len(a) > 2 and isinstance(a[2], list) else None
+            return edit_map(t.col, ottl.limit_map(F.col(t.col), _lit_int(a[1]), prio))
+        if e == "replace_pattern":
+            t = a[0]
+            new_val = ottl.replace_pattern(t.get(), _lit_str(a[1]), _lit_str(a[2]))
+            if t.key is not None:
+                return edit_map(t.col, ottl.set_key(F.col(t.col), t.key, new_val))
+            final = new_val if cond is None else F.when(cond, new_val).otherwise(F.col(t.col))
+            return df.withColumn(t.col, final)
+        if e == "replace_all_patterns":
+            t = a[0]
+            # reference signature: (target, mode, pattern, replacement)
+            pattern, repl = (_lit_str(a[2]), _lit_str(a[3])) if len(a) == 4 else (_lit_str(a[1]), _lit_str(a[2]))
+            return edit_map(t.col, ottl.replace_all_patterns(F.col(t.col), pattern, repl))
+        if e == "merge_maps":
+            t = a[0]
+            return edit_map(t.col, ottl.merge_maps(F.col(t.col), _to_col(a[1]), _lit_str(a[2])))
+        raise ValueError(f"unsupported editor {e!r}")
+
+
+def parse_statement(src: str) -> Statement:
+    """Parse `editor(args...) [where condition]`."""
+    where_split = re.split(r"\bwhere\b", src, maxsplit=1)
+    p = _Parser(where_split[0].strip())
+    kind, editor = p.expect("ident")
+    del kind
+    # argument list, allowing list literals [a, b] as editor args
+    args = _editor_args(p)
+    cond = None
+    if len(where_split) > 1:
+        cp = _Parser(where_split[1].strip())
+        cond = cp.boolean()
+        cp.expect("eof")
+    return Statement(editor, args, cond, src)
+
+
+def _editor_args(p: _Parser) -> list:
+    p.expect("lparen")
+    out = []
+    while p.peek()[0] != "rparen":
+        if p.peek()[0] == "lbracket":  # list literal
+            p.next()
+            lst = []
+            while p.peek()[0] != "rbracket":
+                lst.append(p.expr())
+                if p.peek()[0] == "comma":
+                    p.next()
+            p.expect("rbracket")
+            out.append(lst)
+        else:
+            out.append(p.expr())
+        if p.peek()[0] == "comma":
+            p.next()
+    p.expect("rparen")
+    return out
+
+
+def parse_condition(src: str) -> Column:
+    """Parse a bare OTTL condition (filterprocessor / routingconnector
+    route expressions) into a boolean Column."""
+    p = _Parser(src.strip())
+    cond = p.boolean()
+    p.expect("eof")
+    return cond
+
+
+def apply_statements(df: DataFrame, statements: list[str]) -> DataFrame:
+    """StatementSequence.Execute (parser.go:398-418): statements apply in
+    order, each seeing the previous one's effects."""
+    for s in statements:
+        df = parse_statement(s).apply(df)
+    return df

@@ -1,0 +1,105 @@
+"""OTTL statement-string parser: reference statement syntax -> Column
+pipelines. Statements drawn from the transformprocessor README and the
+e2e corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.functions.ottl_parser import (
+    apply_statements,
+    parse_condition,
+    parse_statement,
+)
+
+
+@pytest.fixture(scope="module")
+def record(spark):
+    return spark.createDataFrame(
+        [("operationA", 17, "err-1"), ("operationB", 9, "ok-2")],
+        "body string, severity_number int, tag string",
+    ).withColumn(
+        "attributes",
+        F.create_map(
+            F.lit("http.method"), F.lit("get"),
+            F.lit("http.path"), F.lit("/health"),
+            F.lit("secret"), F.lit("hunter2"),
+        ),
+    )
+
+
+def _attrs(df, body="operationA"):
+    return df.filter(F.col("body") == body).first()["attributes"]
+
+
+def test_set_literal_and_where(record):
+    out = parse_statement(
+        'set(attributes["env"], "prod") where severity_number >= 17'
+    ).apply(record)
+    assert _attrs(out)["env"] == "prod"
+    assert "env" not in _attrs(out, "operationB")
+
+
+def test_set_from_path_and_converter(record):
+    out = parse_statement('set(attributes["b"], ToUpperCase(body))').apply(record)
+    assert _attrs(out)["b"] == "OPERATIONA"
+    out2 = parse_statement('set(attributes["h"], SHA256(attributes["secret"]))').apply(record)
+    assert _attrs(out2)["h"].startswith("f52fbd32")  # sha256("hunter2")
+
+
+def test_delete_and_keep(record):
+    out = parse_statement('delete_key(attributes, "secret")').apply(record)
+    assert "secret" not in _attrs(out)
+    out2 = parse_statement('delete_matching_keys(attributes, "^http")').apply(record)
+    assert set(_attrs(out2)) == {"secret"}
+    out3 = parse_statement('keep_matching_keys(attributes, "^http")').apply(record)
+    assert set(_attrs(out3)) == {"http.method", "http.path"}
+    out4 = parse_statement('keep_keys(attributes, ["http.method"])').apply(record)
+    assert set(_attrs(out4)) == {"http.method"}
+
+
+def test_truncate_and_replace(record):
+    out = parse_statement("truncate_all(attributes, 3)").apply(record)
+    assert _attrs(out)["secret"] == "hun"
+    out2 = parse_statement(
+        'replace_pattern(attributes["http.path"], "hea.*", "x")'
+    ).apply(record)
+    assert _attrs(out2)["http.path"] == "/x"
+    out3 = parse_statement(
+        'replace_all_patterns(attributes, "value", "/", "@")'
+    ).apply(record)
+    assert _attrs(out3)["http.path"] == "@health"
+
+
+def test_statement_sequence_order(record):
+    out = apply_statements(
+        record,
+        [
+            'set(attributes["a"], "1")',
+            'set(attributes["b"], attributes["a"])',  # sees the previous edit
+            'delete_key(attributes, "a")',
+        ],
+    )
+    m = _attrs(out)
+    assert m["b"] == "1" and "a" not in m
+
+
+def test_conditions_for_filter_and_routing(record):
+    drop = parse_condition('severity_number >= 17 and IsMatch(body, "^operation")')
+    kept = record.filter(~drop)
+    assert [r["body"] for r in kept.collect()] == ["operationB"]
+
+    route = parse_condition('attributes["http.method"] == "get" or severity_number > 20')
+    assert record.filter(route).count() == 2
+
+    math = parse_condition("severity_number * 2 + 1 == 35")
+    assert record.filter(math).count() == 1
+
+
+def test_set_top_level_column(record):
+    out = parse_statement('set(severity_text, "ERROR") where severity_number == 17').apply(
+        record.withColumn("severity_text", F.lit(""))
+    )
+    got = {r["body"]: r["severity_text"] for r in out.collect()}
+    assert got == {"operationA": "ERROR", "operationB": ""}
