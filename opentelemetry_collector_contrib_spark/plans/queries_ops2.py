@@ -509,6 +509,44 @@ FROM events
 # ---------------------------------------------------------------------------
 
 
+def q_config_pipeline(spark, sf_dir):
+    """YAML-configured operator chain (collector config surface) compiled
+    to one plan: parse -> severity -> OTTL transform -> filter -> route."""
+    from .config import build_pipeline, routed_counts
+
+    cfg = """
+operators:
+  - type: json_parser
+    parse_from: props
+  - type: transform
+    statements:
+      - 'set(attributes["bucket"], String(Int(Int(attributes["k"]) / 25)))'
+  - type: filter
+    conditions:
+      - 'Int(attributes["k"]) < 10'
+  - type: router
+    routes:
+      - name: low
+        condition: 'attributes["bucket"] == "1"'
+      - name: high
+        condition: 'Int(attributes["k"]) >= 75'
+"""
+    ev = _events(spark, sf_dir)
+    out = build_pipeline(cfg)(ev)
+    return routed_counts(out)
+
+
+SQL_CONFIG_PIPELINE = """
+WITH k AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+), kept AS (SELECT * FROM k WHERE k >= 10)
+SELECT CASE WHEN (k // 25) = 1 THEN 'low'
+            WHEN k >= 75 THEN 'high' ELSE 'default' END AS route,
+       COUNT(*) AS records_out
+FROM kept GROUP BY 1
+"""
+
+
 def q_partition_keys(spark, sf_dir):
     """mapHash16 resource-hash + FNV-1a-64 partition keys
     (messenger.go:34-57 / fnvhasher.go parity — bit-exactness is asserted
@@ -551,4 +589,5 @@ REGISTRY_OPS2: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "field_transformers": (q_field_transformers, SQL_FIELD_TRANSFORMERS),
     "ottl_map_editors": (q_ottl_map_editors, SQL_OTTL_MAP_EDITORS),
     "partition_keys_maphash16_fnv": (q_partition_keys, None),
+    "config_pipeline_yaml": (q_config_pipeline, SQL_CONFIG_PIPELINE),
 }
