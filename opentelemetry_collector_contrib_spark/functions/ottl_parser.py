@@ -70,9 +70,17 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
 
 
 # converter name -> Column function
+def _concat(args):
+    # OTTL: Concat([vals...], delimiter) -> concat_ws(delimiter, *vals)
+    vals, delim = args[0], _lit_str(args[1])
+    if not isinstance(vals, list):
+        vals = [vals]
+    return ottl.concat_(delim, *[_to_col(v) for v in vals])
+
+
 def _converters():
     return {
-        "Concat": lambda args: ottl.concat_(*([args[1]] + args[0] if isinstance(args[0], list) else args[::-1])),
+        "Concat": _concat,
         "Int": lambda a: ottl.int_(a[0]),
         "Double": lambda a: ottl.double_(a[0]),
         "String": lambda a: ottl.string_(a[0]),
@@ -181,14 +189,26 @@ class _Parser:
             return _Path(val.replace("resource.attributes", "resource_attributes"), None)
         raise ValueError(f"unexpected token {self.peek()}")
 
+    def _arg(self):
+        if self.peek()[0] == "lbracket":  # list literal [a, b, ...]
+            self.next()
+            lst = []
+            while self.peek()[0] != "rbracket":
+                lst.append(self.expr())
+                if self.peek()[0] == "comma":
+                    self.next()
+            self.expect("rbracket")
+            return lst
+        return self.expr()
+
     def args(self) -> list:
         self.expect("lparen")
         out = []
         if self.peek()[0] != "rparen":
-            out.append(self.expr())
+            out.append(self._arg())
             while self.peek()[0] == "comma":
                 self.next()
-                out.append(self.expr())
+                out.append(self._arg())
         self.expect("rparen")
         return out
 
@@ -336,24 +356,7 @@ def parse_statement(src: str) -> Statement:
 
 
 def _editor_args(p: _Parser) -> list:
-    p.expect("lparen")
-    out = []
-    while p.peek()[0] != "rparen":
-        if p.peek()[0] == "lbracket":  # list literal
-            p.next()
-            lst = []
-            while p.peek()[0] != "rbracket":
-                lst.append(p.expr())
-                if p.peek()[0] == "comma":
-                    p.next()
-            p.expect("rbracket")
-            out.append(lst)
-        else:
-            out.append(p.expr())
-        if p.peek()[0] == "comma":
-            p.next()
-    p.expect("rparen")
-    return out
+    return p.args()
 
 
 def parse_condition(src: str) -> Column:

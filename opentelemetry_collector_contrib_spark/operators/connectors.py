@@ -115,6 +115,48 @@ def spanmetrics_connector(
     ).drop(*[f"bucket_{i}" for i in range(len(bounds_ms) + 1)])
 
 
+def spanmetrics_exponential(
+    df: DataFrame,
+    dims: list[str],
+    duration_col: str = "duration_ns",
+    scale: int = 2,
+    max_exemplars: int = 3,
+    trace_col: str | None = None,
+) -> DataFrame:
+    """spanmetricsconnector exponential-histogram mode
+    (/root/reference/connector/spanmetricsconnector/connector.go histogram
+    config `exponential_histogram`, pdata exponential buckets): bucket
+    index = ceil(log_base(duration)) - 1 with base = 2^(2^-scale), i.e.
+    index = ceil(scale-scaled log2) - 1; zero/negative durations land in
+    the zero bucket. Output: one row per (dims, bucket_index) with counts,
+    plus per-dim calls/sum and up to `max_exemplars` exemplar trace ids
+    (deterministic: lowest ids kept).
+
+    Same single-shuffle shape as the explicit variant; the exemplar
+    collect is bounded by slice(sort(collect_set)), so state per group
+    stays O(max_exemplars) after the slice."""
+    dur_ms = F.col(duration_col).cast("double") / 1e6
+    # index = ceil(2^scale * log2(d)) - 1  (pdata mapping for positive d)
+    idx = F.ceil(F.log2(dur_ms) * F.lit(2**scale)).cast("long") - 1
+    bucketed = df.withColumn(
+        "bucket_index", F.when(dur_ms > 0, idx).otherwise(F.lit(None))
+    )
+    aggs = [F.count(F.lit(1)).alias("bucket_count")]
+    if trace_col and max_exemplars > 0:
+        aggs.append(
+            F.slice(F.sort_array(F.collect_set(F.col(trace_col))), 1, max_exemplars).alias(
+                "exemplar_traces"
+            )
+        )
+    per_bucket = bucketed.groupBy(*dims, "bucket_index").agg(*aggs)
+    totals = bucketed.groupBy(*dims).agg(
+        F.count(F.lit(1)).alias("calls"),
+        F.round(F.sum(dur_ms), 4).alias("duration_sum_ms"),
+        F.sum(F.when(F.col("bucket_index").isNull(), 1).otherwise(0)).alias("zero_count"),
+    )
+    return per_bucket.join(totals, dims)
+
+
 def servicegraph_connector(
     df: DataFrame,
     trace_col: str = "trace_id",

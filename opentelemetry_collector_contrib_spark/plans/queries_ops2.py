@@ -509,6 +509,45 @@ FROM events
 # ---------------------------------------------------------------------------
 
 
+def q_spanmetrics_exponential(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn(
+        "duration_ns", (F.col("value") * 1e6).cast("long")
+    ).withColumn("trace_id", F.md5(F.col("event_id").cast("string")))
+    out = connectors.spanmetrics_exponential(
+        ev, dims=["event_type"], scale=1, max_exemplars=2, trace_col="trace_id"
+    )
+    return out.select(
+        "event_type", "bucket_index", "bucket_count", "calls",
+        "duration_sum_ms", "zero_count",
+        F.array_join("exemplar_traces", ",").alias("exemplars"),
+    )
+
+
+SQL_SPANMETRICS_EXPONENTIAL = """
+WITH base AS (
+  SELECT event_type, event_id,
+         (floor(value * 1e6)::BIGINT)::DOUBLE / 1e6 AS ms,
+         md5(event_id::VARCHAR) AS trace_id
+  FROM events
+), idx AS (
+  SELECT event_type, trace_id, ms,
+         CASE WHEN ms > 0 THEN ceil(log2(ms) * 2)::BIGINT - 1 END AS bucket_index
+  FROM base
+), per_bucket AS (
+  SELECT event_type, bucket_index, COUNT(*) AS bucket_count,
+         array_to_string((list_sort(list(DISTINCT trace_id)))[1:2], ',') AS exemplars
+  FROM idx GROUP BY 1, 2
+), totals AS (
+  SELECT event_type, COUNT(*) AS calls, ROUND(SUM(ms), 4) AS duration_sum_ms,
+         COUNT(*) FILTER (bucket_index IS NULL) AS zero_count
+  FROM idx GROUP BY 1
+)
+SELECT p.event_type, p.bucket_index, p.bucket_count, t.calls,
+       t.duration_sum_ms, t.zero_count, p.exemplars
+FROM per_bucket p JOIN totals t USING (event_type)
+"""
+
+
 def q_config_pipeline(spark, sf_dir):
     """YAML-configured operator chain (collector config surface) compiled
     to one plan: parse -> severity -> OTTL transform -> filter -> route."""
@@ -590,4 +629,5 @@ REGISTRY_OPS2: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "ottl_map_editors": (q_ottl_map_editors, SQL_OTTL_MAP_EDITORS),
     "partition_keys_maphash16_fnv": (q_partition_keys, None),
     "config_pipeline_yaml": (q_config_pipeline, SQL_CONFIG_PIPELINE),
+    "spanmetrics_exponential": (q_spanmetrics_exponential, SQL_SPANMETRICS_EXPONENTIAL),
 }

@@ -103,3 +103,16 @@ def test_set_top_level_column(record):
     )
     got = {r["body"]: r["severity_text"] for r in out.collect()}
     assert got == {"operationA": "ERROR", "operationB": ""}
+
+
+def test_concat_list_form(record):
+    out = parse_statement(
+        'set(attributes["c"], Concat([body, attributes["http.method"]], "-"))'
+    ).apply(record)
+    assert _attrs(out)["c"] == "operationA-get"
+    # dynamic (Column-valued) patterns aren't supported — regexes must be
+    # literals so they compile at plan time; the error is raised eagerly
+    with pytest.raises(ValueError, match="string literal"):
+        parse_statement(
+            'keep_matching_keys(attributes, Concat(["^", "http"], ""))'
+        ).apply(record)
