@@ -126,6 +126,11 @@ def minhash_lsh_pairs(
     10^12 rows this is the only viable shape (the verify join touches
     only candidate ids, a tiny fraction of the corpus).
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "otherwise trailing signature elements are silently unused"
+        )
     rows = num_hashes // bands
     base = docs.select(
         F.col(id_col).alias("id"),
@@ -245,22 +250,26 @@ def duplicate_clusters(
     """
     edges = pairs.select(
         F.col(id_a).alias("a"), F.col(id_b).alias("b")
-    ).unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+    ).unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b"))).persist()
     labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
         "cluster", F.col("id")
-    )
+    ).persist()
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["id"])
             .groupBy("a")
             .agg(F.min("cluster").alias("nmin"))
         )
+        # persist each round's labels: without it, round r's convergence
+        # count() would re-execute all r prior join rounds (O(r^2) work)
+        # and the lineage would grow unboundedly
         new_labels = (
             labels.join(neighbor_min, labels["id"] == neighbor_min["a"], "left")
             .select(
                 "id",
                 F.least(F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))).alias("cluster"),
             )
+            .persist()
         )
         changed = (
             new_labels.alias("n")
@@ -269,7 +278,9 @@ def duplicate_clusters(
             .limit(1)
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels

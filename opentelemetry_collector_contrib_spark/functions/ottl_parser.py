@@ -55,6 +55,24 @@ _TOKEN_RX = re.compile(
 )
 
 
+_ESCAPES = {'"': '"', "\\": "\\", "n": "\n", "t": "\t", "r": "\r"}
+
+
+def _unescape(s: str) -> str:
+    """Unescape \\" \\\\ \\n \\t \\r without mangling non-ASCII text
+    (unicode_escape would reinterpret UTF-8 bytes as Latin-1)."""
+    out, i = [], 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            out.append(_ESCAPES.get(s[i + 1], s[i + 1]))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def _tokenize(src: str) -> list[tuple[str, str]]:
     out, i = [], 0
     while i < len(src):
@@ -156,7 +174,7 @@ class _Parser:
         kind, val = self.peek()
         if kind == "string":
             self.next()
-            return val[1:-1].encode().decode("unicode_escape")
+            return _unescape(val[1:-1])
         if kind == "int":
             self.next()
             return int(val)
@@ -212,15 +230,24 @@ class _Parser:
         self.expect("rparen")
         return out
 
-    # expr := term (mathop term)*  — + - * /
-    def expr(self):
+    # muldiv := term (('*'|'/') term)*  — binds tighter, per LANGUAGE.md
+    def muldiv(self):
         left = self.term()
-        while self.peek() == ("op", "+") or self.peek() == ("op", "-") or \
-              self.peek() == ("op", "*") or self.peek() == ("op", "/"):
+        while self.peek() in (("op", "*"), ("op", "/")):
             _, op = self.next()
             right = self.term()
             lc, rc = _to_col(left), _to_col(right)
-            left = {"+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc}[op]
+            left = lc * rc if op == "*" else lc / rc
+        return left
+
+    # expr := muldiv (('+'|'-') muldiv)*
+    def expr(self):
+        left = self.muldiv()
+        while self.peek() in (("op", "+"), ("op", "-")):
+            _, op = self.next()
+            right = self.muldiv()
+            lc, rc = _to_col(left), _to_col(right)
+            left = lc + rc if op == "+" else lc - rc
         return left
 
     # comparison := expr (cmp expr)?
@@ -248,10 +275,22 @@ class _Parser:
                 self.expect("rparen")
                 return ~inner
             if kind == "lparen":
-                self.next()
-                inner = self.boolean()
-                self.expect("rparen")
-                return inner
+                # '(' is ambiguous: boolean grouping or parenthesized
+                # arithmetic like (x + 1) > 3 — try boolean grouping and
+                # backtrack to a comparison if that doesn't consume cleanly
+                saved = self.pos
+                try:
+                    self.next()
+                    inner = self.boolean()
+                    self.expect("rparen")
+                    nk, nv = self.peek()
+                    if nk == "op":  # trailing comparison/math: not a group
+                        raise ValueError("not a boolean group")
+                    del nv
+                    return inner
+                except ValueError:
+                    self.pos = saved
+                    return self.comparison()
             return self.comparison()
 
         left = unit()
@@ -336,22 +375,32 @@ class Statement:
         if e == "merge_maps":
             t = a[0]
             return edit_map(t.col, ottl.merge_maps(F.col(t.col), _to_col(a[1]), _lit_str(a[2])))
+        if e == "append":
+            t = a[0]
+            if t.key is not None:
+                raise ValueError("append targets a top-level list column")
+            new_val = ottl.append_list(F.col(t.col), _to_col(a[1]))
+            final = new_val if cond is None else F.when(cond, new_val).otherwise(F.col(t.col))
+            return df.withColumn(t.col, final)
         raise ValueError(f"unsupported editor {e!r}")
 
 
 def parse_statement(src: str) -> Statement:
-    """Parse `editor(args...) [where condition]`."""
-    where_split = re.split(r"\bwhere\b", src, maxsplit=1)
-    p = _Parser(where_split[0].strip())
+    """Parse `editor(args...) [where condition]`. The statement is
+    tokenized ONCE; the `where` keyword is located as a token (never
+    inside a string literal), and every token must be consumed — trailing
+    garbage (e.g. a misspelled `where`) is an error, not a silent
+    unconditional edit."""
+    p = _Parser(src.strip())
     kind, editor = p.expect("ident")
     del kind
-    # argument list, allowing list literals [a, b] as editor args
     args = _editor_args(p)
     cond = None
-    if len(where_split) > 1:
-        cp = _Parser(where_split[1].strip())
-        cond = cp.boolean()
-        cp.expect("eof")
+    kind2, val2 = p.peek()
+    if kind2 == "ident" and val2 == "where":
+        p.next()
+        cond = p.boolean()
+    p.expect("eof")
     return Statement(editor, args, cond, src)
 
 

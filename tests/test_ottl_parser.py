@@ -116,3 +116,35 @@ def test_concat_list_form(record):
         parse_statement(
             'keep_matching_keys(attributes, Concat(["^", "http"], ""))'
         ).apply(record)
+
+
+def test_review_fixes(record, spark):
+    # trailing garbage (misspelled where) is an error, not a silent
+    # unconditional edit
+    with pytest.raises(ValueError):
+        parse_statement('set(attributes["env"], "prod") wher severity_number >= 17')
+    # 'where' inside a string literal is not a clause boundary
+    out = parse_statement('set(attributes["m"], "where did it fail")').apply(record)
+    assert _attrs(out)["m"] == "where did it fail"
+    # operator precedence: * binds tighter than +
+    assert record.filter(parse_condition("1 + 2 * 3 == 7")).count() == 2
+    assert record.filter(parse_condition("1 + 2 * 3 == 9")).count() == 0
+    # parenthesized arithmetic at the head of a comparison
+    assert record.filter(
+        parse_condition("(severity_number + 1) * 2 == 36")
+    ).count() == 1
+    # non-ASCII string literals survive unescaping
+    out2 = parse_statement('set(attributes["u"], "café \\"x\\"")').apply(record)
+    assert _attrs(out2)["u"] == 'café "x"'
+    # append editor wired to ottl.append_list
+    df = spark.createDataFrame([(["a"],)], "tags array<string>")
+    out3 = parse_statement('append(tags, "b")').apply(df)
+    assert out3.first()["tags"] == ["a", "b"]
+
+
+def test_minhash_band_divisibility(spark):
+    from opentelemetry_collector_contrib_spark.dataprep import dedup as D
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divisible"):
+        D.minhash_lsh_pairs(df, num_hashes=16, bands=3)
