@@ -210,6 +210,43 @@ def bench_log_pipeline(
     return best, best_cpu
 
 
+def bench_filelog_ingest(spark: SparkSession, n_lines: int) -> tuple[float, float]:
+    """The reference's sustained-throughput scenario shape
+    (testbed large-file tests: filelog tail -> split -> forward, ~100B
+    lines at 200-330k lines/s): read a text file, split each line into
+    (ts, level, msg) columns, count per level. Measures raw ingest+split
+    throughput for the apples-to-apples comparison in BASELINE.md."""
+    from pyspark.sql import functions as F
+
+    path = f"/tmp/spark_graft_bench_lines_{n_lines}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            spark.range(n_lines)
+            .select(
+                F.format_string(
+                    "1760104536.%06d INFO event number %d from source svc-%d",
+                    F.col("id") % 1000000, F.col("id"), F.col("id") % 10,
+                ).alias("value")
+            )
+            .write.mode("overwrite").text(path)
+        )
+    df = spark.read.text(path)
+    parts = F.split(F.col("value"), " ")
+    parsed = df.select(
+        F.element_at(parts, 1).alias("ts"),
+        F.element_at(parts, 2).alias("level"),
+        F.element_at(parts, 5).cast("long").alias("n"),
+    )
+    job = parsed.groupBy("level").agg(F.count(F.lit(1)).alias("cnt"), F.sum("n").alias("s"))
+    job.collect()  # warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        job.collect()
+        best = min(best, time.perf_counter() - t0)
+    return best, n_lines / best
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
@@ -237,6 +274,9 @@ def main() -> None:
         queries["log_pipeline_tokens"] = round(t, 3)
         seq_per_sec = n_rows / t
 
+        t_ingest, lines_per_sec = bench_filelog_ingest(spark, n_rows)
+        queries["filelog_ingest_lines"] = round(t_ingest, 3)
+
         if not args.skip_registry:
             from opentelemetry_collector_contrib_spark.plans.queries import REGISTRY
 
@@ -261,6 +301,7 @@ def main() -> None:
                     "pipeline_rows": n_rows,
                     "pipeline_seq_per_sec": round(seq_per_sec, 1),
                     "pipeline_cpu_sec": round(cpu, 2),
+                    "ingest_lines_per_sec": round(lines_per_sec, 1),
                 }
             )
         )
