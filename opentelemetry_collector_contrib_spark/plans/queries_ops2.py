@@ -586,6 +586,37 @@ FROM kept GROUP BY 1
 """
 
 
+def q_formatter_metric_rows(spark, sf_dir):
+    """Metric-row formatting parity: sum-type datapoint rows
+    (formatter.go:337-379 Value/AggregationTemporality/IsMonotonic +
+    CH TimeUnix) from per-type aggregated events."""
+    from ..sinks.formatter import format_sum_rows
+
+    ev = _events(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.round(F.sum("value"), 4).alias("value"),
+        (F.max(F.unix_micros(F.col("ts").cast("timestamp"))) * 1000).alias("time_unix_nano"),
+    )
+    out = format_sum_rows(agg, dims=["event_type"])
+    return out.select(
+        "event_type", "TimeUnix", F.round("Value", 4).alias("Value"),
+        "AggregationTemporality", "IsMonotonic",
+    )
+
+
+SQL_FORMATTER_METRIC_ROWS = """
+WITH agg AS (
+  SELECT event_type, ROUND(SUM(value), 4) AS value, MAX(ts) AS mts
+  FROM events GROUP BY 1
+)
+SELECT event_type,
+       strftime(mts, '%Y-%m-%d %H:%M:%S') || '.' ||
+         lpad(((epoch_us(mts) % 1000000) * 1000)::VARCHAR, 9, '0') AS TimeUnix,
+       ROUND(value, 4) AS Value, 2 AS AggregationTemporality, TRUE AS IsMonotonic
+FROM agg
+"""
+
+
 def q_partition_keys(spark, sf_dir):
     """mapHash16 resource-hash + FNV-1a-64 partition keys
     (messenger.go:34-57 / fnvhasher.go parity — bit-exactness is asserted
@@ -630,4 +661,5 @@ REGISTRY_OPS2: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "partition_keys_maphash16_fnv": (q_partition_keys, None),
     "config_pipeline_yaml": (q_config_pipeline, SQL_CONFIG_PIPELINE),
     "spanmetrics_exponential": (q_spanmetrics_exponential, SQL_SPANMETRICS_EXPONENTIAL),
+    "formatter_metric_rows": (q_formatter_metric_rows, SQL_FORMATTER_METRIC_ROWS),
 }
