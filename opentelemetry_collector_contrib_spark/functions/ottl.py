@@ -153,7 +153,10 @@ def parse_csv_(col: Column, header: list[str], delimiter: str = ",") -> Column:
 
 
 def parse_key_value(col: Column, delimiter: str = "=", pair_delimiter: str = " ") -> Column:
-    return F.str_to_map(F.trim(col), F.lit(pair_delimiter), F.lit(delimiter))
+    # str_to_map delimiters are regexes in Spark; escape to literal semantics
+    return F.str_to_map(
+        F.trim(col), F.lit(re.escape(pair_delimiter)), F.lit(re.escape(delimiter))
+    )
 
 
 def extract_patterns(col: Column, pattern: str) -> Column:
@@ -187,7 +190,17 @@ def extract_patterns(col: Column, pattern: str) -> Column:
     for name, idx in idx_of.items():
         keys.append(F.lit(name))
         vals.append(F.regexp_extract(col, spark_pat, idx))
-    return F.map_from_arrays(F.array(*keys), F.array(*vals))
+    m = F.map_filter(
+        F.map_from_arrays(F.array(*keys), F.array(*vals)),
+        # regexp_extract can't distinguish a non-participating group from an
+        # empty match; drop '' like the reference omits absent groups
+        lambda _, v: v != "",
+    )
+    # NULL on a non-matching row (reference returns no result; parser
+    # on_error='drop' semantics depend on this — base.set_parsed)
+    return F.when(col.rlike(spark_pat), m).otherwise(
+        F.lit(None).cast("map<string,string>")
+    )
 
 
 def url_(col: Column) -> Column:

@@ -106,7 +106,10 @@ def salted_repartition(
     rand() — so repeated runs place rows identically. Use before per-key
     heavy work when AQE alone can't split (e.g. a hot `source` at 55% of
     all rows; FIXTURES.md §1)."""
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns[:1]], F.col(key)), F.lit(salt_buckets))
+    # salt over ALL columns: hashing just one column + the key degenerates
+    # to a constant salt when that column IS the key (or is constant within
+    # the hot key), silently defeating the spread
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
     salted = df.withColumn("__salt", salt)
     # explicit num_partitions opts out of AQE coalescing (which would fold
     # small shuffles back into few partitions and defeat the spread)

@@ -90,7 +90,11 @@ def keyvalue_parser(
 ) -> DataFrame:
     """key_value_parser (/root/reference/pkg/stanza/operator/parser/keyvalue/config.go:30-53)."""
     src = get_field(df, parse_from)
-    parsed = F.str_to_map(F.trim(src), F.lit(pair_delimiter), F.lit(delimiter))
+    # str_to_map treats both delimiters as REGEXES — escape so user
+    # delimiters like '|', '.', '+' behave as literals (stanza semantics)
+    parsed = F.str_to_map(
+        F.trim(src), F.lit(re.escape(pair_delimiter)), F.lit(re.escape(delimiter))
+    )
     return set_parsed(df, parsed, parse_to, on_error)
 
 

@@ -103,11 +103,14 @@ def attributes_processor(
             # SHA-256 of the current value (attraction.go sha2Hasher)
             m = F.when(has, set_key(m, a.key, F.sha2(F.element_at(m, a.key), 256))).otherwise(m)
         elif a.action == "extract":
-            m = F.map_concat(
-                F.map_filter(m, lambda k, _: ~F.array_contains(
-                    F.map_keys(extract_patterns(F.element_at(m, a.key), a.pattern)), k)),
-                extract_patterns(F.element_at(m, a.key), a.pattern),
+            # only write extracted groups on a successful match
+            # (attraction.go extract); extract_patterns is NULL on no-match
+            ext = extract_patterns(F.element_at(m, a.key), a.pattern)
+            merged = F.map_concat(
+                F.map_filter(m, lambda k, _: ~F.array_contains(F.map_keys(ext), k)),
+                ext,
             )
+            m = F.when(ext.isNotNull(), merged).otherwise(m)
         elif a.action == "convert":
             m = F.when(
                 has, set_key(m, a.key, F.element_at(m, a.key).cast(a.converted_type).cast("string"))
@@ -195,7 +198,13 @@ def logdedup_processor(
 
     One shuffle: groupBy(window, key). first_observed/last_observed are
     min/max; the representative record is the earliest (min_by)."""
-    key_cols = key_cols or ["body", "severity_text"]
+    if key_cols is None:
+        # reference default key: everything except the timestamp and the
+        # excluded fields (counter.go:185-243 hash over remaining fields)
+        excluded = set(exclude_fields or [])
+        key_cols = [c for c in df.columns if c != ts_col and c not in excluded]
+        if not key_cols:
+            key_cols = ["body", "severity_text"]
     win = F.window(F.col(ts_col), f"{interval_seconds} seconds")
     others = [c for c in df.columns if c not in key_cols and c != ts_col]
     agg = [

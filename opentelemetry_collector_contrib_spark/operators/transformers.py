@@ -77,9 +77,15 @@ def flatten(df: DataFrame, map_col: str, prefix: str | None = None) -> DataFrame
 
 
 def assign_keys(df: DataFrame, list_col: str, keys: list[str], out_col: str = "attributes") -> DataFrame:
-    """assign_keys (transformer/assignkeys): zip a list value with keys."""
+    """assign_keys (transformer/assignkeys): zip a list value with keys.
+    Short lists pad with NULL (try_element_at) instead of failing the job
+    on map_from_arrays' equal-length requirement — the stanza reference
+    logs and continues on malformed entries."""
+    vals = F.array(
+        *[F.try_element_at(F.col(list_col), F.lit(i + 1)) for i in range(len(keys))]
+    )
     return df.withColumn(
-        out_col, F.map_from_arrays(F.array(*[F.lit(k) for k in keys]), F.slice(F.col(list_col), 1, len(keys)))
+        out_col, F.map_from_arrays(F.array(*[F.lit(k) for k in keys]), vals)
     )
 
 
@@ -188,10 +194,14 @@ def recombine_partial_lines(
     order_by: str = "ingest_ts",
 ) -> DataFrame:
     """Container partial-line merge (parser/container internal recombine):
-    cri logtag 'P' = partial, 'F' = final; concatenate P* F runs."""
+    cri logtag 'P' = partial, 'F' = final; concatenate P* F runs. The
+    combined content is the PARSED log value (attributes[log_key]) when
+    present — after container_parser, body still holds the raw CRI line —
+    falling back to body for unparsed input."""
     tag = F.element_at(F.col("attributes"), logtag_key)
+    content = F.coalesce(F.element_at(F.col("attributes"), log_key), F.col("body"))
     return recombine(
-        df,
+        df.withColumn("body", content),
         is_last_entry=tag == F.lit("F"),
         combine_field="body",
         combine_with="",

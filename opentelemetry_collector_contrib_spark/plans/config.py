@@ -109,7 +109,7 @@ def _stage(cfg: dict) -> Callable[[DataFrame], DataFrame]:
         return lambda df: transformers.router(df, routes, default)
     if t == "logdedup":
         return lambda df: processors.logdedup_processor(
-            df, cfg.get("interval", 10), cfg.get("timestamp", "ts"), cfg["keys"]
+            df, cfg.get("interval", 10), cfg.get("timestamp", "ts"), key_cols=cfg["keys"]
         )
     raise ValueError(f"unknown operator type {t!r}")
 

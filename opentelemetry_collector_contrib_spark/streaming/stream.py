@@ -134,7 +134,9 @@ def stateful_delta_to_cumulative(
         out.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
         # next state: streams seen this batch take their last cumulative;
         # unseen streams carry forward
-        upd = joined.groupBy(*stream_cols).agg(F.max("cumulative").alias("running"))
+        upd = joined.groupBy(*stream_cols).agg(
+            F.max_by("cumulative", F.col(ts_col)).alias("running")
+        )
         carried = state.join(upd.select(*stream_cols), stream_cols, "left_anti")
         upd.unionByName(carried).write.mode("overwrite").parquet(
             f"{state_path}/v={batch_id}"
