@@ -1,0 +1,98 @@
+"""Regression tests for review-pass fixes: parser drop semantics, literal
+delimiters, extract-on-match-only, partial-line content, salt spread."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators import parsers, processors, transformers
+from opentelemetry_collector_contrib_spark.operators.enrich import salted_repartition
+
+
+def test_regex_parser_on_error_drop_actually_drops(spark):
+    df = spark.createDataFrame(
+        [("code=42",), ("garbage line",)], "body string"
+    )
+    out = parsers.regex_parser(df, r"code=(?P<code>\d+)", on_error="drop")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["attributes"] == {"code": "42"}
+    # send mode keeps both; non-matching row has NULL attributes
+    kept = parsers.regex_parser(df, r"code=(?P<code>\d+)", on_error="send")
+    got = {r["body"]: r["attributes"] for r in kept.collect()}
+    assert got["code=42"] == {"code": "42"} and got["garbage line"] is None
+
+
+def test_regex_parser_send_does_not_clobber_existing_attrs(spark):
+    df = spark.createDataFrame([("nope",)], "body string").withColumn(
+        "attributes", F.create_map(F.lit("code"), F.lit("keep-me"))
+    )
+    out = parsers.regex_parser(df, r"code=(?P<code>\d+)", on_error="send")
+    assert out.first()["attributes"] == {"code": "keep-me"}
+
+
+def test_keyvalue_parser_regex_metachar_delimiters(spark):
+    df = spark.createDataFrame([("a=1|b=2",)], "body string")
+    out = parsers.keyvalue_parser(df, delimiter="=", pair_delimiter="|")
+    assert out.first()["attributes"] == {"a": "1", "b": "2"}
+    df2 = spark.createDataFrame([("x.1 y.2",)], "body string")
+    out2 = parsers.keyvalue_parser(df2, delimiter=".", pair_delimiter=" ")
+    assert out2.first()["attributes"] == {"x": "1", "y": "2"}
+
+
+def test_attributes_extract_only_on_match(spark):
+    df = spark.createDataFrame([(1,), (2,)], "id long").withColumn(
+        "attributes",
+        F.when(
+            F.col("id") == 1, F.create_map(F.lit("msg"), F.lit("code=7"), F.lit("code"), F.lit("old"))
+        ).otherwise(F.create_map(F.lit("msg"), F.lit("nope"), F.lit("code"), F.lit("old"))),
+    )
+    out = processors.attributes_processor(
+        df, [processors.AttrAction("extract", "msg", pattern=r"code=(?P<code>\d+)")]
+    )
+    got = {r["id"]: r["attributes"]["code"] for r in out.collect()}
+    assert got == {1: "7", 2: "old"}  # non-matching row keeps old value
+
+
+def test_logdedup_exclude_fields_default_key(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "y"), (3, "b", "x")],
+        "ts long, body string, noise string",
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    out = processors.logdedup_processor(
+        df, interval_seconds=3600, ts_col="ts", exclude_fields=["noise"]
+    )
+    got = {r["body"]: r["log_count"] for r in out.collect()}
+    assert got == {"a": 2, "b": 1}  # 'noise' excluded from the dedup key
+
+
+def test_partial_line_merge_uses_parsed_log(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", 1, "raw1", {"logtag": "P", "log": "foo"}),
+            ("a", 2, "raw2", {"logtag": "F", "log": "bar"}),
+        ],
+        "source string, ingest_ts long, body string, attributes map<string,string>",
+    )
+    out = transformers.recombine_partial_lines(df)
+    assert out.first()["body"] == "foobar"  # parsed content, not raw lines
+
+
+def test_salted_repartition_key_is_first_column(spark):
+    # key == first column used to degenerate to one salt value
+    df = spark.range(1000).select(
+        F.when(F.col("id") % 10 < 9, "hot").otherwise("cold").alias("source"),
+        F.col("id"),
+    )
+    out = salted_repartition(df, "source", salt_buckets=8, num_partitions=8)
+    parts = (
+        out.withColumn("p", F.spark_partition_id())
+        .filter(F.col("source") == "hot").select("p").distinct().count()
+    )
+    assert parts >= 4
+
+
+def test_assign_keys_short_list_pads_null(spark):
+    df = spark.createDataFrame([(["only"],)], "vals array<string>")
+    out = transformers.assign_keys(df, "vals", ["a", "b"])
+    m = out.first()["attributes"]
+    assert m["a"] == "only" and m["b"] is None
