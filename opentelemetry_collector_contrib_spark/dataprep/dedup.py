@@ -254,6 +254,7 @@ def duplicate_clusters(
     labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
         "cluster", F.col("id")
     ).persist()
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["id"])
@@ -283,4 +284,13 @@ def duplicate_clusters(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # exiting via max_iter means labels are NOT the component minimum
+        # (a duplicate chain longer than max_iter hops) — failing loudly
+        # beats returning silently non-canonical clusters
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within max_iter={max_iter} "
+            "rounds; raise max_iter (rounds needed ~ log2 of the longest "
+            "duplicate-chain diameter)"
+        )
     return labels

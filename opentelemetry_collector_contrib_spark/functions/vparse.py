@@ -35,9 +35,17 @@ CONTAINERD_RX = re.compile(
 def _parse_one(body: str | None, fmt: int | None) -> dict | None:
     if body is None:
         return None
+    # Arrow delivers a null int series as float64 NaN — normalize so the
+    # auto-detect branches (`fmt is None`) actually fire for tables
+    # without a fmt column instead of falling through to CONTAINERD_RX
+    if fmt is not None and pd.isna(fmt):
+        fmt = None
     if fmt == 1 or (fmt is None and body.startswith("{")):
         try:
-            return {k: str(v) for k, v in _json.loads(body).items()}
+            return {
+                k: (v if isinstance(v, str) else _json.dumps(v, separators=(",", ":")))
+                for k, v in _json.loads(body).items()
+            }
         except ValueError:
             return {}
     if fmt == 2 or (fmt is None and re.match(r"^\w+=\S+( \w+=\S+)*$", body)):
@@ -52,8 +60,9 @@ def _parse_one(body: str | None, fmt: int | None) -> dict | None:
 @pandas_udf(T.MapType(T.StringType(), T.StringType()))
 def parse_multiformat(body: pd.Series, fmt: pd.Series) -> pd.Series:
     """body + fmt tag -> map<string,string> of extracted attributes.
-    JSON values are stringified with str() (parity with from_json to a
-    map<string,string> for string/int payloads)."""
+    Non-string JSON values are stringified with compact json.dumps
+    (booleans -> 'true'/'false', nested objects -> JSON text), matching
+    the JVM from_json map<string,string> path."""
     return pd.Series(
         [_parse_one(b, f) for b, f in zip(body, fmt)], dtype=object
     )

@@ -154,7 +154,18 @@ def spanmetrics_exponential(
         F.round(F.sum(dur_ms), 4).alias("duration_sum_ms"),
         F.sum(F.when(F.col("bucket_index").isNull(), 1).otherwise(0)).alias("zero_count"),
     )
-    return per_bucket.join(totals, dims)
+    # null-safe equality on the dims: a plain equi-join silently drops every
+    # group whose dim value is NULL (NULL keys never match)
+    l, r = per_bucket.alias("l"), totals.alias("r")
+    cond = None
+    for d in dims:
+        c = F.col(f"l.{d}").eqNullSafe(F.col(f"r.{d}"))
+        cond = c if cond is None else (cond & c)
+    joined = l.join(r, cond)
+    return joined.select(
+        *[F.col(f"l.{c}") for c in per_bucket.columns],
+        *[F.col(f"r.{c}") for c in totals.columns if c not in dims],
+    )
 
 
 def servicegraph_connector(

@@ -106,10 +106,19 @@ def salted_repartition(
     rand() — so repeated runs place rows identically. Use before per-key
     heavy work when AQE alone can't split (e.g. a hot `source` at 55% of
     all rows; FIXTURES.md §1)."""
-    # salt over ALL columns: hashing just one column + the key degenerates
-    # to a constant salt when that column IS the key (or is constant within
-    # the hot key), silently defeating the spread
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    # salt over ALL hashable columns: hashing just one column + the key
+    # degenerates to a constant salt when that column IS the key (or is
+    # constant within the hot key), silently defeating the spread.
+    # xxhash64 rejects MapType (HASH_MAP_TYPE) — log frames always carry an
+    # attributes map, so convert maps to their sorted entry list first.
+    def hashable(f):
+        from pyspark.sql import types as T
+
+        if isinstance(f.dataType, T.MapType):
+            return F.array_sort(F.map_entries(F.col(f.name)))
+        return F.col(f.name)
+
+    salt = F.pmod(F.xxhash64(*[hashable(f) for f in df.schema.fields]), F.lit(salt_buckets))
     salted = df.withColumn("__salt", salt)
     # explicit num_partitions opts out of AQE coalescing (which would fold
     # small shuffles back into few partitions and defeat the spread)

@@ -317,7 +317,8 @@ WITH w AS (
          COUNT(*) AS log_count, MIN(ts) AS first_o, MAX(ts) AS last_o
   FROM events GROUP BY 1, 2, 3
 )
-SELECT user_id, event_type, COUNT(*) AS n_windows, SUM(log_count) AS total,
+SELECT user_id, event_type, COUNT(*) AS n_windows,
+       CAST(SUM(log_count) AS BIGINT) AS total,
        MIN(epoch_us(first_o)) AS first_us, MAX(epoch_us(last_o)) AS last_us
 FROM w GROUP BY 1, 2
 """

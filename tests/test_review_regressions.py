@@ -96,3 +96,76 @@ def test_assign_keys_short_list_pads_null(spark):
     out = transformers.assign_keys(df, "vals", ["a", "b"])
     m = out.first()["attributes"]
     assert m["a"] == "only" and m["b"] is None
+
+
+# ---------------------------------------------------------------------------
+# round-2 ADVICE fixes
+# ---------------------------------------------------------------------------
+
+
+def test_parse_records_pandas_without_fmt_column(spark):
+    """Arrow null-int -> NaN broke auto-detect: every payload fell through
+    to CONTAINERD_RX and returned {} (vparse.py fmt normalization)."""
+    from opentelemetry_collector_contrib_spark.plans.pipeline import parse_records
+
+    df = spark.createDataFrame(
+        [
+            ('{"a": 1, "ok": true}',),
+            ("k=v x=2",),
+            ('10.0.0.1 - bob [10/Oct/2025:13:55:36 +0000] "GET /p HTTP/1.1" 200 10',),
+        ],
+        "body string",
+    )
+    out = parse_records(df, impl="pandas")
+    got = [r["attributes"] for r in out.collect()]
+    assert got[0]["a"] == "1" and got[0]["ok"] == "true"
+    assert got[1] == {"k": "v", "x": "2"}
+    assert got[2]["method"] == "GET" and got[2]["status"] == "200"
+
+
+def test_parse_pandas_json_value_parity_with_jvm(spark):
+    """Booleans/nested objects stringify as JSON text ('true', compact
+    object), matching the from_json map<string,string> path."""
+    from opentelemetry_collector_contrib_spark.functions.vparse import _parse_one
+
+    got = _parse_one('{"b": false, "o": {"k": 1}, "f": 1.5, "s": "x"}', 1)
+    assert got == {"b": "false", "o": '{"k":1}', "f": "1.5", "s": "x"}
+
+
+def test_salted_repartition_with_map_column(spark):
+    """xxhash64 rejects MapType; log frames always carry attributes maps —
+    salt must skip/convert them instead of raising DATATYPE_MISMATCH."""
+    df = spark.createDataFrame(
+        [(i, "hot") for i in range(200)], "id long, source string"
+    ).withColumn("attributes", F.create_map(F.lit("k"), F.col("id").cast("string")))
+    out = salted_repartition(df, "source", salt_buckets=8, num_partitions=8)
+    assert out.count() == 200
+    used = out.rdd.glom().map(len).filter(lambda n: n > 0).count()
+    assert used >= 4  # hot key spread over several partitions
+
+
+def test_spanmetrics_exponential_null_dim_groups_survive(spark):
+    from opentelemetry_collector_contrib_spark.operators import connectors
+
+    df = spark.createDataFrame(
+        [(None, 4_000_000), (None, 8_000_000), ("svc", 4_000_000)],
+        "service string, duration_ns long",
+    )
+    out = connectors.spanmetrics_exponential(df, dims=["service"], scale=1)
+    rows = {(r["service"], r["bucket_index"]): r for r in out.collect()}
+    null_rows = [k for k in rows if k[0] is None]
+    assert null_rows, "NULL dim group was dropped by the totals join"
+    assert rows[null_rows[0]]["calls"] == 2
+
+
+def test_duplicate_clusters_raises_on_non_convergence(spark):
+    import pytest as _pytest
+
+    from opentelemetry_collector_contrib_spark.dataprep import dedup
+
+    # a 6-node chain needs >1 round; max_iter=1 must fail loudly
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(pairs, max_iter=1)

@@ -77,6 +77,13 @@ def main():
             print(f"SKIP {name}: rows-only check -> {len(srows)} rows")
             continue
         try:
+            rel = con.sql(oracles[name])
+            # the driver fetches via pandas where HUGEINT -> float64
+            # ("128" vs "128.0") — reject un-cast SUM-of-integer columns
+            # locally instead of finding out from CORRECTNESS_r{N}
+            huge = [c for c, t in zip(rel.columns, rel.types) if "HUGEINT" in str(t).upper()]
+            if huge:
+                raise ValueError(f"oracle emits HUGEINT columns {huge}; add CAST(... AS BIGINT)")
             cur = con.execute(oracles[name])
             dcols_raw = [d[0] for d in cur.description]
             drows = [dict(zip(dcols_raw, row)) for row in cur.fetchall()]
