@@ -394,4 +394,132 @@ def uuid_() -> Column:
     return F.expr("uuid()")
 
 
+def uuid_v7(ts_ms: Column, entropy: Column) -> Column:
+    """UUIDv7 (func_uuidv7.go): 48-bit unix-ms timestamp, version 7,
+    variant 10, remaining bits random. The reference draws crypto
+    randomness; here the 74 random bits derive from xxhash64(entropy) so
+    the ids are time-ordered AND reproducible (re-running a batch yields
+    identical ids — the property a resumable pipeline actually needs)."""
+    ts = F.lpad(F.lower(F.hex(ts_ms.cast("long"))), 12, "0")
+    h = F.lower(F.hex(F.xxhash64(entropy)))  # 16 hex chars
+    h2 = F.lower(F.hex(F.xxhash64(entropy, F.lit(7))))
+    rand_a = F.substring(F.rpad(h, 16, "0"), 1, 3)
+    # variant nibble in {8,9,a,b}: 8 + (first entropy nibble % 4)
+    var_nibble = F.substring(
+        F.lit("89ab89ab89ab89ab"), F.conv(F.substring(h2, 1, 1), 16, 10).cast("int") + 1, 1
+    )
+    rand_b = F.concat(F.substring(h2, 2, 3), F.substring(F.rpad(h, 16, "0"), 4, 12))
+    return F.concat_ws(
+        "-",
+        F.substring(ts, 1, 8),
+        F.substring(ts, 9, 4),
+        F.concat(F.lit("7"), rand_a),
+        F.concat(var_nibble, F.substring(rand_b, 1, 3)),
+        F.substring(rand_b, 4, 12),
+    )
+
+
+def is_valid_luhn(col: Column) -> Column:
+    """IsValidLuhn (func_luhn_valid.go): Luhn checksum over the digit
+    string (spaces stripped). Pure column expression: reverse + per-index
+    aggregate; NULL for inputs with non-digit characters (the reference
+    errors), false for empty strings."""
+    s = F.regexp_replace(col, " ", "")
+    rev = F.reverse(s)
+    n = F.length(rev)
+    idxs = F.sequence(F.lit(2), n)
+    def add_digit(acc, i):
+        d = F.substring(rev, i, 1).cast("int")
+        doubled = F.when(i % 2 == 0, F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+        return acc + doubled
+
+    total = F.when(n >= 2, F.aggregate(idxs, F.lit(0), add_digit)).otherwise(F.lit(0))
+    check = F.substring(rev, 1, 1).cast("int")
+    valid = ((F.lit(10) - total % 10) % 10) == check
+    return F.when(n == 0, F.lit(False)).when(
+        s.rlike("^[0-9]+$"), valid
+    ).otherwise(F.lit(None).cast("boolean"))
+
+
+def decode_(col: Column, encoding: str) -> Column:
+    """Decode converter (func_decode.go): base64 family + hex + utf8
+    passthrough -> string."""
+    enc = encoding.lower().replace("-", "")
+    if enc in ("base64", "base64std"):
+        return F.unbase64(col).cast("string")
+    if enc in ("base64url",):
+        fixed = F.translate(col, "-_", "+/")
+        return F.unbase64(fixed).cast("string")
+    if enc == "hex":
+        return F.unhex(col).cast("string")
+    if enc in ("utf8", "utf8raw", "us-ascii", "usascii"):
+        return col.cast("string")
+    raise ValueError(f"unsupported Decode encoding {encoding!r}")
+
+
+# UserAgent converter (func_useragent.go): the reference runs the full
+# uap-go regex database; this is a JVM-side regexp chain covering the
+# dominant browser/bot/tool families plus OS name/version — the common
+# web-log shapes — with semconv keys (user_agent.name/version/original,
+# os.name/os.version). Unknown agents -> family 'Other' like uap-core.
+_UA_FAMILIES: list[tuple[str, str]] = [
+    # (family, version-capture regex) — order matters (Edge/OPR before
+    # Chrome, Chrome before Safari), mirroring uap-core precedence
+    ("Edge", r"Edg(?:e|A|iOS)?/(\d+(?:\.\d+)*)"),
+    ("Opera", r"OPR/(\d+(?:\.\d+)*)"),
+    ("Chrome Mobile", r"(?=.*Mobile)(?=.*Android).*Chrome/(\d+(?:\.\d+)*)"),
+    ("Chrome", r"Chrome/(\d+(?:\.\d+)*)"),
+    ("Firefox", r"Firefox/(\d+(?:\.\d+)*)"),
+    ("Mobile Safari", r"(?=.*iPhone|.*iPad).*Version/(\d+(?:\.\d+)*).*Safari"),
+    ("Safari", r"Version/(\d+(?:\.\d+)*).*Safari"),
+    ("IE", r"MSIE (\d+(?:\.\d+)*)"),
+    ("Googlebot", r"Googlebot/(\d+(?:\.\d+)*)"),
+    ("bingbot", r"bingbot/(\d+(?:\.\d+)*)"),
+    ("curl", r"curl/(\d+(?:\.\d+)*)"),
+    ("Wget", r"Wget/(\d+(?:\.\d+)*)"),
+    ("Python Requests", r"python-requests/(\d+(?:\.\d+)*)"),
+]
+_UA_OS: list[tuple[str, str]] = [
+    ("Windows", r"Windows NT (\d+(?:\.\d+)*)"),
+    ("iOS", r"(?:iPhone|iPad).*OS (\d+(?:[_.]\d+)*)"),
+    ("Mac OS X", r"Mac OS X (\d+(?:[_.]\d+)*)"),
+    ("Android", r"Android (\d+(?:\.\d+)*)"),
+    ("Linux", r"(Linux)"),
+]
+
+
+def user_agent(col: Column) -> Column:
+    """UserAgent -> map with user_agent.name / user_agent.version /
+    user_agent.original / os.name / os.version keys."""
+    name = None
+    version = None
+    for fam, rx in _UA_FAMILIES:
+        hit = col.rlike(rx)
+        v = F.regexp_extract(col, rx, 1)
+        name = F.when(hit, fam) if name is None else name.when(hit, fam)
+        version = F.when(hit, v) if version is None else version.when(hit, v)
+    name = name.otherwise("Other")
+    version = version.otherwise("")
+    os_name = None
+    os_version = None
+    for osf, rx in _UA_OS:
+        hit = col.rlike(rx)
+        ov = F.regexp_replace(F.regexp_extract(col, rx, 1), "_", ".")
+        if osf == "Linux":
+            ov = F.lit("")
+        os_name = F.when(hit, osf) if os_name is None else os_name.when(hit, osf)
+        os_version = F.when(hit, ov) if os_version is None else os_version.when(hit, ov)
+    os_name = os_name.otherwise(F.lit(None).cast("string"))
+    os_version = os_version.otherwise(F.lit(None).cast("string"))
+    full = F.map_from_arrays(
+        F.array(
+            F.lit("user_agent.name"), F.lit("user_agent.original"),
+            F.lit("user_agent.version"), F.lit("os.name"), F.lit("os.version"),
+        ),
+        F.array(name, col, version, os_name, os_version),
+    )
+    # reference omits os.* keys when undetected (func_useragent.go:48-57)
+    return F.map_filter(full, lambda _, v: v.isNotNull())
+
+
 log_ = F.log

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -110,7 +111,7 @@ _RFC3164 = (
 _RFC5424 = (
     r"^<(?P<priority>\d{1,3})>(?P<version>\d+) "
     r"(?P<timestamp>\S+) (?P<hostname>\S+) (?P<appname>\S+) "
-    r"(?P<proc_id>\S+) (?P<msg_id>\S+) (?P<structured_data>-|\[.*?\])\s*"
+    r"(?P<proc_id>\S+) (?P<msg_id>\S+) (?P<structured_data>-|(?:\[.*?\])+)\s*"
     r"(?P<message>.*)$"
 )
 
@@ -121,12 +122,45 @@ def syslog_parser(
     parse_from: str = "body",
     parse_to: str = "attributes",
     on_error: str = "send",
+    parse_structured_data: bool = True,
 ) -> DataFrame:
+    """syslog_parser (RFC3164 / RFC5424,
+    /root/reference/pkg/stanza/operator/parser/syslog/config.go:22-82).
+
+    RFC5424 STRUCTURED-DATA ([id k="v" ...][id2 ...]) is flattened into
+    the attribute map as 'structured_data.<id>.<key>' entries — the flat
+    analog of the reference's nested map — entirely JVM-side
+    (regexp_extract_all + higher-order transform, no UDF)."""
     from ..functions.ottl import extract_patterns
 
     pattern = _RFC5424 if protocol == "rfc5424" else _RFC3164
     src = get_field(df, parse_from)
     out = set_parsed(df, extract_patterns(src, pattern), parse_to, on_error)
+    if protocol == "rfc5424" and parse_structured_data:
+        sd = F.element_at(F.col(parse_to), "structured_data")
+        elems = F.regexp_extract_all(sd, F.lit(r"\[[^\]]*\]"), 0)
+        def elem_map(e):
+            sd_id = F.regexp_extract(e, r"^\[([^ \]]+)", 1)
+            keys = F.regexp_extract_all(e, F.lit(r'([\w.@-]+)="'), 1)
+            vals = F.regexp_extract_all(e, F.lit(r'[\w.@-]+="([^"]*)"'), 1)
+            return F.map_from_arrays(
+                F.transform(
+                    keys,
+                    lambda k: F.concat(F.lit("structured_data."), sd_id, F.lit("."), k),
+                ),
+                vals,
+            )
+
+        sd_map = F.aggregate(
+            F.transform(elems, elem_map),
+            F.create_map().cast("map<string,string>"),
+            lambda acc, x: F.map_concat(acc, x),
+        )
+        merged = F.when(
+            sd.isNotNull() & (sd != "-"),
+            F.map_concat(F.col(parse_to), sd_map),
+        ).otherwise(F.col(parse_to))
+        out = out.withColumn(parse_to, merged)
     # severity from priority: sev = priority & 7, facility = priority >> 3
     pri = F.element_at(F.col(parse_to), "priority").cast("int")
     syslog_sev = pri.bitwiseAND(F.lit(7))
@@ -295,3 +329,64 @@ def jsonarray_parser(
     """jsonarray_parser (/root/reference/pkg/stanza/operator/parser/jsonarray/config.go)."""
     src = get_field(df, parse_from)
     return df.withColumn(parse_to, F.from_json(src, f"array<{element_type}>"))
+
+
+# ---------------------------------------------------------------------------
+# syslog stream framing (tcp input framing modes,
+# /root/reference/pkg/stanza/operator/input/syslog/config.go:60-101 —
+# octet counting and non-transparent framing)
+# ---------------------------------------------------------------------------
+
+
+def deframe_octet_counting(
+    df: DataFrame, col: str = "body", out_col: str = "body"
+) -> DataFrame:
+    """Octet-counting framing (RFC6587 §3.4.1): each frame is
+    '<len> <len bytes of message>' and frames are concatenated. Splits a
+    raw chunk column into one row per frame.
+
+    JVM-side: an unrolled split loop can't express variable-length jumps,
+    so this is the one framing helper that uses a pandas UDF (Arrow
+    batches; the per-chunk loop is bounded by frames-per-chunk)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _frames(s: pd.Series) -> pd.Series:
+        def one(chunk: str):
+            out = []
+            i, n = 0, len(chunk)
+            while i < n:
+                sp = chunk.find(" ", i)
+                if sp == -1 or not chunk[i:sp].isdigit():
+                    # trailing garbage: emit the remainder as-is (the
+                    # reference's tcp input forwards undecodable frames)
+                    out.append(chunk[i:])
+                    break
+                ln = int(chunk[i:sp])
+                out.append(chunk[sp + 1 : sp + 1 + ln])
+                i = sp + 1 + ln
+            return out
+
+        return s.map(one, na_action="ignore")
+
+    return (
+        df.withColumn("__frames", _frames(F.col(col)))
+        .withColumn(out_col, F.explode("__frames"))
+        .drop("__frames")
+    )
+
+
+def deframe_non_transparent(
+    df: DataFrame, col: str = "body", out_col: str = "body", trailer: str = "\n"
+) -> DataFrame:
+    """Non-transparent framing (RFC6587 §3.4.2): frames separated by a
+    trailer character (LF default, NUL supported). Pure JVM split+explode."""
+    import re as _re
+
+    parts = F.split(F.col(col), _re.escape(trailer))
+    return (
+        df.withColumn("__frames", F.filter(parts, lambda x: x != ""))
+        .withColumn(out_col, F.explode("__frames"))
+        .drop("__frames")
+    )

@@ -285,6 +285,172 @@ def metricstransform_aggregate(
     return df.groupBy(*keep_labels).agg(aggs[aggregation](value_col).alias(value_col))
 
 
+_MT_AGGS = {"sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max, "count": F.count}
+
+
+def _mt_name_matches(metric_col: F.Column, include: str, match_type: str) -> F.Column:
+    if match_type == "regexp":
+        return metric_col.rlike(include)
+    return metric_col == F.lit(include)
+
+
+def metricstransform_processor(
+    df: DataFrame,
+    rules: list[dict],
+    metric_col: str = "metric",
+    labels_col: str = "labels",
+    value_col: str = "value",
+) -> DataFrame:
+    """metricstransformprocessor — the full transform set
+    (/root/reference/processor/metricstransformprocessor/config.go:60-211):
+    per-rule `action` in {update, insert} with `new_name` (strict or
+    regexp with $1-style submatch refs) and `operations`:
+
+      add_label / update_label (label rename + value_actions) /
+      delete_label_value / toggle_scalar_data_type /
+      experimental_scale_value / aggregate_labels / aggregate_label_values
+
+    Data model: one datapoint per row with a `labels` map<string,string>
+    column. Each rule compiles to narrow column expressions; only the two
+    aggregate_* operations shuffle (one keyed hash-agg each), identical
+    to what the Go processor's in-memory regroup does per batch.
+
+    rule dict keys: include, match_type ('strict'|'regexp'), action
+    ('update'|'insert'), new_name, operations: list of dicts with
+    action + (label, new_label, new_value, value_actions{old:new},
+    label_value, aggregation_type, label_set, aggregated_values,
+    experimental_scale).
+    """
+    from ..functions.ottl import delete_key, set_key
+
+    out = df
+    for rule in rules:
+        match = _mt_name_matches(F.col(metric_col), rule["include"], rule.get("match_type", "strict"))
+        if rule.get("action", "update") == "insert":
+            copy = out.filter(match)
+            if rule.get("new_name"):
+                copy = copy.withColumn(metric_col, F.lit(rule["new_name"]))
+            out = _mt_apply_operations(
+                copy, rule.get("operations", []), F.lit(True), metric_col, labels_col, value_col
+            ).unionByName(out, allowMissingColumns=True)
+            continue
+        # update in place
+        if rule.get("new_name"):
+            if rule.get("match_type") == "regexp":
+                renamed = F.regexp_replace(
+                    F.col(metric_col), rule["include"], rule["new_name"]
+                )
+            else:
+                renamed = F.lit(rule["new_name"])
+            out = out.withColumn(
+                metric_col, F.when(match, renamed).otherwise(F.col(metric_col))
+            )
+            match = _mt_name_matches(
+                F.col(metric_col),
+                rule["new_name"] if rule.get("match_type") != "regexp" else rule["new_name"].replace("$1", ".*"),
+                rule.get("match_type", "strict"),
+            )
+        out = _mt_apply_operations(
+            out, rule.get("operations", []), match, metric_col, labels_col, value_col
+        )
+    return out
+
+
+def _mt_apply_operations(
+    df: DataFrame, operations: list[dict], match: F.Column,
+    metric_col: str, labels_col: str, value_col: str,
+) -> DataFrame:
+    from ..functions.ottl import set_key
+
+    out = df
+    m = lambda: F.col(labels_col)  # noqa: E731
+    for op in operations:
+        a = op["action"]
+        if a == "add_label":
+            newm = set_key(m(), op["new_label"], F.lit(op["new_value"]))
+            out = out.withColumn(labels_col, F.when(match, newm).otherwise(m()))
+        elif a == "update_label":
+            cur = m()
+            if op.get("value_actions"):
+                remap = None
+                v = F.element_at(cur, op["label"])
+                for old, new in op["value_actions"].items():
+                    remap = (F.when(v == old, new) if remap is None else remap.when(v == old, new))
+                remap = remap.otherwise(v)
+                cur = F.when(
+                    F.array_contains(F.map_keys(cur), op["label"]),
+                    set_key(cur, op["label"], remap),
+                ).otherwise(cur)
+            if op.get("new_label"):
+                cur = F.transform_keys(
+                    cur, lambda k, _: F.when(k == op["label"], op["new_label"]).otherwise(k)
+                )
+            out = out.withColumn(labels_col, F.when(match, cur).otherwise(m()))
+        elif a == "delete_label_value":
+            # drop datapoints carrying this label value (config.go:190)
+            out = out.filter(
+                ~(match & (F.element_at(m(), op["label"]) == op["label_value"]))
+            )
+        elif a == "toggle_scalar_data_type":
+            # long <-> double; our flat model carries doubles, so toggling
+            # to int truncates (matching the Go int64(f) cast)
+            out = out.withColumn(
+                value_col,
+                F.when(match, F.col(value_col).cast("long").cast("double")).otherwise(
+                    F.col(value_col)
+                ),
+            )
+        elif a == "experimental_scale_value":
+            out = out.withColumn(
+                value_col,
+                F.when(match, F.col(value_col) * F.lit(op["experimental_scale"])).otherwise(
+                    F.col(value_col)
+                ),
+            )
+        elif a == "aggregate_labels":
+            keep = op["label_set"]
+            agg = _MT_AGGS[op.get("aggregation_type", "sum")]
+            shrunk = out.withColumn(
+                labels_col,
+                F.when(
+                    match,
+                    F.map_filter(m(), lambda k, _: F.array_contains(F.array(*[F.lit(x) for x in keep]), k)),
+                ).otherwise(m()),
+            )
+            matched = shrunk.filter(match)
+            rest = shrunk.filter(~F.coalesce(match, F.lit(False)))
+            regrouped = (
+                matched.groupBy(metric_col, F.array_sort(F.map_entries(labels_col)).alias("__e"))
+                .agg(agg(value_col).alias(value_col))
+                .withColumn(labels_col, F.map_from_entries(F.col("__e")))
+                .drop("__e")
+            )
+            out = regrouped.unionByName(rest, allowMissingColumns=True)
+        elif a == "aggregate_label_values":
+            # collapse listed values of one label into new_value, combine
+            v = F.element_at(m(), op["label"])
+            vals = F.array(*[F.lit(x) for x in op["aggregated_values"]])
+            newv = F.when(F.array_contains(vals, v), op["new_value"]).otherwise(v)
+            from ..functions.ottl import set_key as _sk
+
+            remapped = out.withColumn(
+                labels_col, F.when(match, _sk(m(), op["label"], newv)).otherwise(m())
+            )
+            agg = _MT_AGGS[op.get("aggregation_type", "sum")]
+            matched = remapped.filter(match)
+            rest = remapped.filter(~F.coalesce(match, F.lit(False)))
+            regrouped = (
+                matched.groupBy(metric_col, F.array_sort(F.map_entries(labels_col)).alias("__e"))
+                .agg(agg(value_col).alias(value_col))
+                .withColumn(labels_col, F.map_from_entries(F.col("__e")))
+                .drop("__e")
+            )
+            out = regrouped.unionByName(rest, allowMissingColumns=True)
+        else:
+            raise ValueError(f"unknown metricstransform operation {a!r}")
+    return out
+
+
 def metricsgeneration_processor(
     df: DataFrame, name1: str, name2: str, operation: str,
     id_cols: list[str], metric_col: str = "metric", value_col: str = "value",
@@ -343,6 +509,230 @@ def tail_sampling(
         agg = cond if agg is None else (agg | cond)
     keep = df.groupBy(trace_col).agg(agg.alias("__sampled")).filter(F.col("__sampled"))
     return df.join(keep.select(trace_col), trace_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# tailsampling policy DSL
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TailPolicy:
+    """One tailsampling policy
+    (/root/reference/processor/tailsamplingprocessor/internal/sampling/):
+
+    kind:
+      'agg'           — cond is a boolean AGGREGATE over the trace's spans
+                        (covers latency / numeric_tag / string_tag /
+                        boolean_tag / status_code / ottl / span_count forms)
+      'probabilistic' — deterministic hash(trace) < pct (probabilistic.go)
+      'rate_limiting' — spans-per-second budget (rate_limiting.go):
+                        a trace samples iff the cumulative span count in
+                        its arrival second, including itself, stays below
+                        spans_per_second
+      'and'           — all subpolicies sample (and.go)
+      'drop'          — all subpolicies sample => trace is DROPPED with
+                        veto over every other policy (drop.go)
+      'always'        — always_sample.go
+    """
+
+    name: str
+    kind: str = "agg"
+    cond: Column | None = None
+    percent: float = 100.0
+    spans_per_second: int = 0
+    subpolicies: list["TailPolicy"] | None = None
+
+
+def _leaf_decision(p: TailPolicy, trace_col: str, ts_col: str | None):
+    """-> (aggregate Column | post-agg Column builder) per policy kind."""
+    if p.kind in ("agg",):
+        return p.cond
+    if p.kind == "always":
+        return F.lit(True)
+    if p.kind == "probabilistic":
+        # deterministic hash of the trace id (probabilistic.go hashes the
+        # trace id with a seed; we reuse the FNV-based sample predicate)
+        return sample_predicate(F.first(F.col(trace_col)), p.percent)
+    if p.kind == "and":
+        agg = None
+        for sub in p.subpolicies or []:
+            c = _leaf_decision(sub, trace_col, ts_col)
+            agg = c if agg is None else (agg & c)
+        return agg
+    raise ValueError(f"policy kind {p.kind} must be handled at the trace level")
+
+
+def tail_sampling_policies(
+    df: DataFrame,
+    policies: list[TailPolicy],
+    trace_col: str = "trace_id",
+    ts_col: str | None = None,
+) -> DataFrame:
+    """tailsamplingprocessor with the full policy set: OR of sampling
+    policies, minus 'drop' vetoes, with 'rate_limiting' applying a
+    per-second span budget over traces in arrival order
+    (rate_limiting.go:35-50: sample iff spansInSecond + count < limit).
+
+    Plan: one groupBy(trace) computing every aggregate policy at once,
+    window-based budget pass for rate_limiting policies (partitioned by
+    arrival second — bounded state), then a semi-join back. Two shuffles
+    total regardless of policy count."""
+    aggs = [F.count(F.lit(1)).alias("__span_count")]
+    if ts_col:
+        aggs.append(F.min(ts_col).alias("__first_ts"))
+    names: list[str] = []
+    drop_names: list[str] = []
+    rate_policies: list[TailPolicy] = []
+    for p in policies:
+        if p.kind == "drop":
+            sub = None
+            for s in p.subpolicies or []:
+                c = _leaf_decision(s, trace_col, ts_col)
+                sub = c if sub is None else (sub & c)
+            aggs.append(F.coalesce(sub, F.lit(False)).alias(f"__drop_{p.name}"))
+            drop_names.append(p.name)
+        elif p.kind == "rate_limiting":
+            rate_policies.append(p)
+        elif p.kind == "probabilistic":
+            # hash the trace id (logsprocessor.go hash_seed mode)
+            pred = sample_predicate(F.first(F.col(trace_col)), p.percent)
+            aggs.append(pred.alias(f"__pol_{p.name}"))
+            names.append(p.name)
+        else:
+            c = _leaf_decision(p, trace_col, ts_col)
+            aggs.append(F.coalesce(c, F.lit(False)).alias(f"__pol_{p.name}"))
+            names.append(p.name)
+    per_trace = df.groupBy(trace_col).agg(*aggs)
+    for p in rate_policies:
+        if not ts_col:
+            raise ValueError("rate_limiting policy needs ts_col")
+        sec = F.floor(F.col("__first_ts").cast("double")).cast("long")
+        w = (
+            Window.partitionBy(sec)
+            .orderBy(F.col("__first_ts"), F.col(trace_col))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = F.sum("__span_count").over(w)
+        per_trace = per_trace.withColumn(
+            f"__pol_{p.name}", cum < F.lit(p.spans_per_second)
+        )
+        names.append(p.name)
+    sampled = None
+    for n in names:
+        c = F.col(f"__pol_{n}")
+        sampled = c if sampled is None else (sampled | c)
+    for n in drop_names:
+        sampled = sampled & ~F.col(f"__drop_{n}")
+    keep = per_trace.filter(sampled).select(trace_col)
+    return df.join(keep, trace_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# span processor
+# ---------------------------------------------------------------------------
+
+
+def span_processor(
+    df: DataFrame,
+    from_attributes: list[str] | None = None,
+    separator: str = "",
+    to_attributes_rules: list[str] | None = None,
+    keep_original_name: bool = False,
+    break_after_match: bool = False,
+    name_col: str = "span_name",
+    attrs_col: str = "attributes",
+) -> DataFrame:
+    """spanprocessor (/root/reference/processor/spanprocessor/span.go):
+
+    1. from_attributes: span name := values of the listed attribute keys
+       joined by `separator` — ALL keys must be present or the name is
+       left unchanged (span.go:100-137).
+    2. to_attributes rules: each regex with named groups extracts
+       attributes from the span name; the matched portion is replaced by
+       the attribute-name placeholder `^{key}` unless keep_original_name;
+       rules chain on the running name, stopping after the first match
+       when break_after_match (span.go processToAttributes).
+    """
+    from ..functions.ottl import extract_patterns, set_key
+
+    out = df
+    if from_attributes:
+        vals = [F.element_at(F.col(attrs_col), k) for k in from_attributes]
+        all_present = None
+        for v in vals:
+            p = v.isNotNull()
+            all_present = p if all_present is None else (all_present & p)
+        new_name = F.concat_ws(separator, *vals)
+        out = out.withColumn(
+            name_col, F.when(all_present, new_name).otherwise(F.col(name_col))
+        )
+    if to_attributes_rules:
+        import re as _re
+
+        matched_before = F.lit(False)
+        for rule in to_attributes_rules:
+            ext = extract_patterns(F.col(name_col), rule)
+            hit = ext.isNotNull()  # NULL = regex did not match the name
+            apply = hit & (~matched_before if break_after_match else F.lit(True))
+            attrs = F.col(attrs_col)
+            merged = F.map_concat(
+                F.map_filter(attrs, lambda k, _: ~F.array_contains(F.map_keys(ext), k)),
+                ext,
+            )
+            out = out.withColumn(attrs_col, F.when(apply, merged).otherwise(attrs))
+            if not keep_original_name:
+                # rewrite the name in one regexp_replace: the full match is
+                # replaced by a template keeping the non-group text and
+                # swapping each named group for its ^{name} placeholder
+                jvm_rule = _re.sub(r"\(\?P<", "(?<", rule)
+                template = _span_name_template(rule)
+                replaced = F.regexp_replace(F.col(name_col), jvm_rule, template)
+                out = out.withColumn(
+                    name_col, F.when(apply, replaced).otherwise(F.col(name_col))
+                )
+            matched_before = matched_before | hit
+    return out
+
+
+def _span_name_template(rule: str) -> str:
+    """Build the regexp_replace template: non-group pattern text kept
+    literally (escapes unwrapped, anchors dropped), each named group
+    replaced by its {group_name} placeholder (span.go:188-199). Assumes
+    inter-group pattern text is literal — the shape of real rename rules
+    like /api/v1/document/(?P<documentId>.*)/update."""
+    import re as _re
+
+    out = []
+    depth = 0
+    i = 0
+    while i < len(rule):
+        ch = rule[i]
+        if rule.startswith("(?P<", i) or rule.startswith("(?<", i):
+            m = _re.match(r"\(\?P?<([A-Za-z][A-Za-z0-9]*)>", rule[i:])
+            name = m.group(1)
+            out.append("{" + name + "}")
+            depth_local = 1
+            i += m.end()
+            while i < len(rule) and depth_local > 0:
+                if rule[i] == "(" and rule[i - 1] != "\\":
+                    depth_local += 1
+                elif rule[i] == ")" and rule[i - 1] != "\\":
+                    depth_local -= 1
+                i += 1
+            continue
+        if ch == "(" and (i == 0 or rule[i - 1] != "\\"):
+            depth += 1
+        elif ch == ")" and rule[i - 1] != "\\":
+            depth -= 1
+        elif depth == 0 and ch not in "^$":
+            if ch == "\\" and i + 1 < len(rule):
+                out.append(rule[i + 1])
+                i += 2
+                continue
+            out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def unroll_processor(df: DataFrame, col: str, out_col: str | None = None, recursive: bool = False) -> DataFrame:

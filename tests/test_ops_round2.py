@@ -1,0 +1,364 @@
+"""Round-2 operators: OTTL XML family (reference e2e vectors), UserAgent /
+Luhn / UUIDv7 / Decode converters, metricstransform full op set,
+tailsampling policy DSL, span processor, RFC5424 structured data, syslog
+framing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.functions import ottl, xmlfuncs
+from opentelemetry_collector_contrib_spark.operators import parsers, processors
+
+
+# ---------------------------------------------------------------------------
+# XML — vectors from /root/reference/pkg/ottl/e2e/e2e_test.go
+# ---------------------------------------------------------------------------
+
+
+def test_xml_reference_e2e_vectors(spark):
+    df = spark.createDataFrame(
+        [('<a><b>1</b><c><b>2</b></c></a>',)], "doc string"
+    )
+    got = df.select(
+        xmlfuncs.get_xml(F.col("doc"), "/a//b").alias("g"),
+        xmlfuncs.insert_xml(F.lit("<a></a>"), "/a", F.lit("<b></b>")).alias("i"),
+        xmlfuncs.remove_xml(
+            F.lit('<Log id="1"><Message>This is a log message!</Message></Log>'),
+            "/Log/Message",
+        ).alias("r"),
+        xmlfuncs.convert_attributes_to_elements_xml(
+            F.lit('<Log id="1"><Message>This is a log message!</Message></Log>')
+        ).alias("ca"),
+        xmlfuncs.convert_text_to_elements_xml(F.lit("<a><b/>foo</a>")).alias("ct"),
+        xmlfuncs.convert_text_to_elements_xml(
+            F.lit("<a><b/>foo</a><c><b/>bar</c>"), "/a", "custom"
+        ).alias("ct2"),
+    ).first()
+    assert got["g"] == "<b>1</b><b>2</b>"
+    assert got["i"] == "<a><b></b></a>"
+    assert got["r"] == '<Log id="1"></Log>'
+    assert got["ca"] == "<Log><Message>This is a log message!</Message><id>1</id></Log>"
+    assert got["ct"] == "<a><b></b><value>foo</value></a>"
+    assert got["ct2"] == "<a><b></b><custom>foo</custom></a><c><b></b>bar</c>"
+
+
+def test_xml_parse_vectors(spark):
+    import json
+
+    df = spark.createDataFrame(
+        [('<Log id="1"><Message>This is a log message!</Message></Log>',)], "doc string"
+    )
+    got = df.select(
+        xmlfuncs.parse_xml_json(F.col("doc")).alias("p"),
+        xmlfuncs.parse_simplified_xml(
+            F.lit("<Log><id>1</id><Message>This is a log message!</Message></Log>")
+        ).alias("s"),
+    ).first()
+    assert json.loads(got["p"]) == {
+        "tag": "Log",
+        "attributes": {"id": "1"},
+        "children": [{"tag": "Message", "content": "This is a log message!"}],
+    }
+    assert got["s"] == {"Log.id": "1", "Log.Message": "This is a log message!"}
+
+
+def test_xml_roundtrip_insert_remove(spark):
+    doc = "<Data><From><Test>1</Test><Test>2</Test></From><To></To></Data>"
+    df = spark.createDataFrame([(doc,)], "doc string")
+    rt = df.select(
+        xmlfuncs.remove_xml(
+            xmlfuncs.insert_xml(
+                F.col("doc"), "/Data/To", xmlfuncs.get_xml(F.col("doc"), "/Data/From/Test")
+            ),
+            "/Data/To/Test",
+        ).alias("out")
+    ).first()["out"]
+    assert rt == doc
+
+
+def test_xml_unsupported_xpath_raises_at_plan_time():
+    with pytest.raises(ValueError):
+        xmlfuncs._tokenize_xpath("relative/path")
+    with pytest.raises(ValueError):
+        xmlfuncs._tokenize_xpath("/a[position()=1]")
+
+
+# ---------------------------------------------------------------------------
+# converters
+# ---------------------------------------------------------------------------
+
+
+def test_luhn_validity(spark):
+    df = spark.createDataFrame(
+        [("79927398713", True), ("79927398710", False), ("4539 1488 0343 6467", True), ("", False)],
+        "s string, want boolean",
+    )
+    rows = df.select(ottl.is_valid_luhn(F.col("s")).alias("v"), "want").collect()
+    assert all(r["v"] == r["want"] for r in rows)
+    # non-digit input -> NULL (reference errors)
+    bad = spark.range(1).select(ottl.is_valid_luhn(F.lit("12a4")).alias("v")).first()
+    assert bad["v"] is None
+
+
+def test_user_agent_families(spark):
+    ua = "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36"
+    got = spark.range(1).select(ottl.user_agent(F.lit(ua)).alias("m")).first()["m"]
+    assert got["user_agent.name"] == "Chrome"
+    assert got["user_agent.version"] == "120.0.0.0"
+    assert got["os.name"] == "Windows" and got["os.version"] == "10.0"
+    assert got["user_agent.original"] == ua
+    other = spark.range(1).select(ottl.user_agent(F.lit("x/1")).alias("m")).first()["m"]
+    assert other["user_agent.name"] == "Other" and "os.name" not in other
+
+
+def test_uuid_v7_layout_and_determinism(spark):
+    df = spark.createDataFrame([(1700000000000, "k1"), (1700000000000, "k1"), (1700000001000, "k1")], "ts long, e string")
+    rows = [r["u"] for r in df.select(ottl.uuid_v7(F.col("ts"), F.col("e")).alias("u")).collect()]
+    assert rows[0] == rows[1]  # deterministic
+    assert rows[0] != rows[2]  # time-dependent
+    assert len(rows[0]) == 36 and rows[0][14] == "7"  # version nibble
+    assert rows[0][19] in "89ab"  # variant
+    assert rows[2] > rows[0]  # time-ordered (lexicographically sortable)
+
+
+def test_decode_variants(spark):
+    got = spark.range(1).select(
+        ottl.decode_(F.lit("aGVsbG8="), "base64").alias("b"),
+        ottl.decode_(F.lit("aGVsbG8"), "base64url").alias("u"),
+        ottl.decode_(F.lit("68656c6c6f"), "hex").alias("h"),
+    ).first()
+    assert got["b"] == "hello" and got["h"] == "hello"
+
+
+# ---------------------------------------------------------------------------
+# metricstransform — full op set
+# ---------------------------------------------------------------------------
+
+
+def _metrics_df(spark):
+    rows = [
+        ("sys.cpu", {"core": "0", "host": "a"}, 1.0),
+        ("sys.cpu", {"core": "1", "host": "a"}, 2.0),
+        ("sys.cpu", {"core": "0", "host": "b"}, 4.0),
+        ("sys.mem", {"host": "a"}, 100.0),
+    ]
+    return spark.createDataFrame(rows, "metric string, labels map<string,string>, value double")
+
+
+def test_mt_rename_strict_and_regexp(spark):
+    df = _metrics_df(spark)
+    out = processors.metricstransform_processor(
+        df, [{"include": "sys.mem", "action": "update", "new_name": "system.memory"}]
+    )
+    assert {r["metric"] for r in out.collect()} == {"sys.cpu", "system.memory"}
+    out2 = processors.metricstransform_processor(
+        df, [{"include": r"sys\.(.*)", "match_type": "regexp", "action": "update", "new_name": "system.$1"}]
+    )
+    assert {r["metric"] for r in out2.collect()} == {"system.cpu", "system.mem"}
+
+
+def test_mt_insert_with_scale(spark):
+    df = _metrics_df(spark)
+    out = processors.metricstransform_processor(
+        df,
+        [{
+            "include": "sys.mem", "action": "insert", "new_name": "sys.mem.mb",
+            "operations": [{"action": "experimental_scale_value", "experimental_scale": 0.001}],
+        }],
+    )
+    got = {r["metric"]: r["value"] for r in out.collect() if r["metric"].startswith("sys.mem")}
+    assert got == {"sys.mem": 100.0, "sys.mem.mb": 0.1}
+    assert out.count() == 5  # insert appends, original rows intact
+
+
+def test_mt_label_ops(spark):
+    df = _metrics_df(spark)
+    out = processors.metricstransform_processor(
+        df,
+        [{
+            "include": "sys.cpu",
+            "operations": [
+                {"action": "add_label", "new_label": "unit", "new_value": "pct"},
+                {"action": "update_label", "label": "core", "new_label": "cpu",
+                 "value_actions": {"0": "zero"}},
+            ],
+        }],
+    )
+    rows = [r for r in out.collect() if r["metric"] == "sys.cpu"]
+    assert all(r["labels"]["unit"] == "pct" for r in rows)
+    assert {r["labels"].get("cpu") for r in rows} == {"zero", "1"}
+    mem = [r for r in out.collect() if r["metric"] == "sys.mem"][0]
+    assert "unit" not in mem["labels"]
+
+
+def test_mt_delete_label_value_and_toggle(spark):
+    df = _metrics_df(spark)
+    out = processors.metricstransform_processor(
+        df,
+        [{
+            "include": "sys.cpu",
+            "operations": [{"action": "delete_label_value", "label": "core", "label_value": "1"}],
+        }],
+    )
+    assert out.count() == 3
+    t = processors.metricstransform_processor(
+        spark.createDataFrame([("m", {}, 1.7)], "metric string, labels map<string,string>, value double"),
+        [{"include": "m", "operations": [{"action": "toggle_scalar_data_type"}]}],
+    )
+    assert t.first()["value"] == 1.0  # int64(1.7) cast
+
+
+def test_mt_aggregate_labels_and_label_values(spark):
+    df = _metrics_df(spark)
+    out = processors.metricstransform_processor(
+        df,
+        [{
+            "include": "sys.cpu",
+            "operations": [{"action": "aggregate_labels", "label_set": ["host"], "aggregation_type": "sum"}],
+        }],
+    )
+    got = {tuple(sorted(r["labels"].items())): r["value"] for r in out.collect() if r["metric"] == "sys.cpu"}
+    assert got == {(("host", "a"),): 3.0, (("host", "b"),): 4.0}
+    out2 = processors.metricstransform_processor(
+        df,
+        [{
+            "include": "sys.cpu",
+            "operations": [{
+                "action": "aggregate_label_values", "label": "core",
+                "aggregated_values": ["0", "1"], "new_value": "all",
+                "aggregation_type": "sum",
+            }],
+        }],
+    )
+    rows = [r for r in out2.collect() if r["metric"] == "sys.cpu"]
+    got2 = {(r["labels"]["host"], r["labels"]["core"]): r["value"] for r in rows}
+    assert got2 == {("a", "all"): 3.0, ("b", "all"): 4.0}
+
+
+# ---------------------------------------------------------------------------
+# tailsampling policy DSL
+# ---------------------------------------------------------------------------
+
+
+def _spans_df(spark):
+    # trace t1: 3 spans err; t2: 1 span slow; t3: 2 spans plain; t4: 5 spans
+    rows = []
+    rows += [("t1", i, 10.0, "error", 100.0 + i) for i in range(3)]
+    rows += [("t2", 0, 900.0, "ok", 100.5)]
+    rows += [("t3", i, 5.0, "ok", 101.0 + i) for i in range(2)]
+    rows += [("t4", i, 5.0, "ok", 102.0 + i * 0.1) for i in range(5)]
+    return spark.createDataFrame(rows, "trace_id string, sid long, dur double, status string, ts double")
+
+
+def test_tailsampling_or_and_drop(spark):
+    df = _spans_df(spark)
+    P = processors.TailPolicy
+    out = processors.tail_sampling_policies(
+        df,
+        [
+            P("errors", "agg", cond=F.max(F.col("status") == "error")),
+            P("slow", "agg", cond=F.max("dur") > 500.0),
+            P("big", "agg", cond=F.count(F.lit(1)) >= 5),
+            # drop veto: any trace whose spans are ALL under 6ms AND tiny
+            P("drop_small", "drop", subpolicies=[P("s", "agg", cond=F.max("dur") < 6.0)]),
+        ],
+    )
+    kept = {r["trace_id"] for r in out.select("trace_id").distinct().collect()}
+    # t1 errors, t2 slow, t4 big-but-dropped? t4 max dur 5.0 < 6 -> drop veto
+    assert kept == {"t1", "t2"}
+
+
+def test_tailsampling_and_policy(spark):
+    df = _spans_df(spark)
+    P = processors.TailPolicy
+    out = processors.tail_sampling_policies(
+        df,
+        [P("err_and_multi", "and", subpolicies=[
+            P("e", "agg", cond=F.max(F.col("status") == "error")),
+            P("m", "agg", cond=F.count(F.lit(1)) >= 2),
+        ])],
+    )
+    assert {r["trace_id"] for r in out.select("trace_id").distinct().collect()} == {"t1"}
+
+
+def test_tailsampling_rate_limiting(spark):
+    df = _spans_df(spark)
+    P = processors.TailPolicy
+    # second 100: t1 (3 spans, first) then t2 (1 span) -> budget 4:
+    # t1 cum 3 < 4 keep; t2 cum 4 not < 4 reject. t3 sec 101 cum 2 keep;
+    # t4 sec 102 cum 5 not < 6? 5 < 4? reject (budget 4)
+    out = processors.tail_sampling_policies(
+        df, [P("rl", "rate_limiting", spans_per_second=4)], ts_col="ts"
+    )
+    assert {r["trace_id"] for r in out.select("trace_id").distinct().collect()} == {"t1", "t3"}
+
+
+# ---------------------------------------------------------------------------
+# span processor
+# ---------------------------------------------------------------------------
+
+
+def test_span_from_attributes(spark):
+    df = spark.createDataFrame(
+        [("old", {"db.svc": "loc", "operation": "get"}), ("keep", {"db.svc": "x"})],
+        "span_name string, attributes map<string,string>",
+    )
+    out = processors.span_processor(
+        df, from_attributes=["db.svc", "operation"], separator="::"
+    )
+    got = {r["attributes"].get("db.svc"): r["span_name"] for r in out.collect()}
+    # all keys present -> renamed; missing 'operation' -> unchanged
+    assert got == {"loc": "loc::get", "x": "keep"}
+
+
+def test_span_to_attributes(spark):
+    df = spark.createDataFrame(
+        [("/api/v1/document/12345678/update", {}), ("/other", {})],
+        "span_name string, attributes map<string,string>",
+    )
+    out = processors.span_processor(
+        df, to_attributes_rules=[r"^/api/v1/document/(?P<documentId>.*)/update$"]
+    )
+    rows = {r["span_name"]: r["attributes"] for r in out.collect()}
+    assert rows["/api/v1/document/{documentId}/update"] == {"documentId": "12345678"}
+    assert rows["/other"] == {}
+
+
+# ---------------------------------------------------------------------------
+# RFC5424 structured data + framing
+# ---------------------------------------------------------------------------
+
+
+def test_rfc5424_structured_data(spark):
+    body = (
+        '<165>1 2025-10-10T13:55:36Z host app 1234 ID47 '
+        '[exampleSDID@32473 iut="3" eventSource="App"][other x="y"] hello'
+    )
+    df = spark.createDataFrame([(body,)], "body string")
+    out = parsers.syslog_parser(df, protocol="rfc5424")
+    attrs = out.first()["attributes"]
+    assert attrs["structured_data.exampleSDID@32473.iut"] == "3"
+    assert attrs["structured_data.exampleSDID@32473.eventSource"] == "App"
+    assert attrs["structured_data.other.x"] == "y"
+    assert attrs["message"] == "hello"
+    assert attrs["proc_id"] == "1234" and attrs["msg_id"] == "ID47"
+    # nil SD unchanged
+    df2 = spark.createDataFrame([("<165>1 2025-10-10T13:55:36Z h a - - - msg",)], "body string")
+    a2 = parsers.syslog_parser(df2, protocol="rfc5424").first()["attributes"]
+    assert not any(k.startswith("structured_data.") for k in a2)
+
+
+def test_octet_counting_deframe(spark):
+    chunk = "10 <165>1 abc25 <34>1 longer message here"
+    df = spark.createDataFrame([(chunk,)], "body string")
+    out = parsers.deframe_octet_counting(df)
+    frames = [r["body"] for r in out.collect()]
+    assert frames == ["<165>1 abc", "<34>1 longer message here"]
+
+
+def test_non_transparent_deframe(spark):
+    df = spark.createDataFrame([("<1>a\n<2>b\n",)], "body string")
+    out = parsers.deframe_non_transparent(df)
+    assert [r["body"] for r in out.collect()] == ["<1>a", "<2>b"]
