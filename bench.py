@@ -34,15 +34,15 @@ sys.path.insert(0, REPO)
 # window functions, regex/JSON parse, sessionization, dedup + ANN).
 HEADLINE = [
     "pipeline_events",
-    "routing_first_match",
+    "routing_suite",
     "logdedup_processor",
-    "deltatocumulative",
+    "metrics_temporal",
     "recombine_sessions",
     "spanmetrics_connector",
     "transform_ottl",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
-    "text_quality_score",
+    "text_stats_suite",
 ]
 
 

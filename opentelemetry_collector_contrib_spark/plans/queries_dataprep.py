@@ -471,6 +471,9 @@ FROM events
 """
 
 
+# text_* and multimodal_* queries are folded into text_stats_suite /
+# multimodal_suite (queries_suites.py) to fit the driver's 50-query cap;
+# their single-operator fns above remain for tests.
 REGISTRY_DATAPREP: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
@@ -483,10 +486,4 @@ REGISTRY_DATAPREP: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_sign_lsh": (q_ann_sign_lsh, SQL_ANN_SIGN_LSH),
-    "text_language_id": (q_text_language_id, SQL_TEXT_LANGUAGE_ID),
-    "text_quality_score": (q_text_quality, SQL_TEXT_QUALITY),
-    "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
-    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
-    "multimodal_metadata": (q_multimodal_metadata, SQL_MULTIMODAL_METADATA),
-    "multimodal_decode_stub": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
 }

@@ -638,28 +638,12 @@ def q_partition_keys(spark, sf_dir):
     )
 
 
+# Only entries not folded into a queries_suites suite remain here; the
+# individual query fns above are kept for tests and as documentation of
+# the single-operator shapes.
 REGISTRY_OPS2: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    "csv_parser": (q_csv_parser, SQL_CSV_PARSER),
-    "uri_parser": (q_uri_parser, SQL_URI_PARSER),
-    "trace_parser": (q_trace_parser, SQL_TRACE_PARSER),
-    "syslog_parser_rfc3164": (q_syslog_rfc3164, SQL_SYSLOG_RFC3164),
-    "syslog_parser_rfc5424": (q_syslog_rfc5424, SQL_SYSLOG_RFC5424),
-    "time_parser": (q_time_parser, SQL_TIME_PARSER),
-    "container_parser": (q_container_parser, SQL_CONTAINER_PARSER),
-    "grok_parser": (q_grok_parser, SQL_GROK_PARSER),
-    "jsonarray_parser": (q_jsonarray_parser, SQL_JSONARRAY_PARSER),
-    "k8sattributes_enrich": (q_k8sattributes, SQL_K8SATTRIBUTES),
-    "geoip_enrich": (q_geoip, SQL_GEOIP),
-    "signaltometrics_connector": (q_signaltometrics, SQL_SIGNALTOMETRICS),
-    "exceptions_connector": (q_exceptions, SQL_EXCEPTIONS),
-    "slowsql_connector": (q_slowsql, SQL_SLOWSQL),
-    "otlpjson_connector": (q_otlpjson, SQL_OTLPJSON),
-    "schema_processor": (q_schema_processor, SQL_SCHEMA_PROCESSOR),
-    "resourcedetection_processor": (q_resourcedetection, SQL_RESOURCEDETECTION),
-    "field_transformers": (q_field_transformers, SQL_FIELD_TRANSFORMERS),
-    "ottl_map_editors": (q_ottl_map_editors, SQL_OTTL_MAP_EDITORS),
-    "partition_keys_maphash16_fnv": (q_partition_keys, None),
-    "config_pipeline_yaml": (q_config_pipeline, SQL_CONFIG_PIPELINE),
     "spanmetrics_exponential": (q_spanmetrics_exponential, SQL_SPANMETRICS_EXPONENTIAL),
-    "formatter_metric_rows": (q_formatter_metric_rows, SQL_FORMATTER_METRIC_ROWS),
+    "config_pipeline_yaml": (q_config_pipeline, SQL_CONFIG_PIPELINE),
+    "field_transformers": (q_field_transformers, SQL_FIELD_TRANSFORMERS),
+    "partition_keys_maphash16_fnv": (q_partition_keys, None),
 }
