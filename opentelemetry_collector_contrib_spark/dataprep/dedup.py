@@ -70,37 +70,46 @@ def exact_dedup(
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+def hash_xx(col: Column, seed: int = 0) -> Column:
+    """Production 64-bit hash: one JVM xxhash64 call — roughly an order of
+    magnitude cheaper per shingle than the md5/conv/substring chain of
+    hash32. Not DuckDB-expressible, so operators built on it are verified
+    by parity tests against the hash32 path instead of a SQL oracle."""
+    return F.xxhash64(F.lit(seed), col)
+
+
+def minhash_signature(
+    shingles: Column, num_hashes: int = 16, hash_impl: str = "md5"
+) -> Column:
     """MinHash signature: array of num_hashes longs, element s =
-    min over shingles of hash32(s ':' shingle)."""
+    min over shingles of hash(seed=s, shingle). hash_impl 'md5' is the
+    oracle-checkable path; 'xxhash' is the production path (~10x cheaper:
+    16 seeds x every shingle dominates the whole pipeline's CPU)."""
+    if hash_impl == "xxhash":
+        hf = lambda x, s: hash_xx(x, s)  # noqa: E731
+    else:
+        hf = lambda x, s: hash32(x, f"{s}:")  # noqa: E731
     return F.array(
         *[
-            F.array_min(
-                F.transform(shingles, lambda x, s=s: hash32(x, f"{s}:"))
-            )
+            F.array_min(F.transform(shingles, lambda x, s=s: hf(x, s)))
             for s in range(num_hashes)
         ]
     )
 
 
-def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
+def lsh_bands(sig: Column, bands: int, rows: int, hash_impl: str = "md5") -> Column:
     """Explodeable array of (band, band_hash) structs. Two docs whose
     signatures agree on all `rows` values of some band land in the same
     bucket — the equality-join key that replaces the all-pairs product."""
+    def band_hash(j: int) -> Column:
+        vals = [F.element_at(sig, j * rows + i + 1) for i in range(rows)]
+        if hash_impl == "xxhash":
+            return F.xxhash64(*vals).cast("string")
+        return F.md5(F.concat_ws(",", *[v.cast("string") for v in vals]))
+
     return F.array(
         *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at(sig, j * rows + i + 1).cast("string")
-                            for i in range(rows)
-                        ],
-                    )
-                ).alias("band_hash"),
-            )
+            F.struct(F.lit(j).alias("band"), band_hash(j).alias("band_hash"))
             for j in range(bands)
         ]
     )
@@ -116,15 +125,25 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     cache: bool = True,
+    hash_impl: str = "md5",
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash+LSH candidate generation, exact
     word-k-gram Jaccard verification. Returns (id_a, id_b, jaccard) with
     id_a < id_b and jaccard >= threshold (rounded to 4).
 
-    Plan shape: one narrow pass computes shingles+signature+bands; the
-    candidate join is an equality self-join on (band, band_hash) — at
-    10^12 rows this is the only viable shape (the verify join touches
-    only candidate ids, a tiny fraction of the corpus).
+    Plan shape (the 100 TB design):
+    1. one narrow pass computes shingles + signature + band hashes;
+    2. the candidate self-join runs over the SLIM (id, band, band_hash)
+       frame only — shingle arrays never enter the band shuffle, which
+       keeps shuffle bytes ~ O(rows x bands x 24B) instead of carrying
+       every shingle array `bands` times;
+    3. surviving candidate pairs (tiny vs the corpus) re-join the cached
+       shingle frame for exact verification — AQE broadcasts the
+       candidate side, so the verify join is map-side.
+
+    hash_impl: 'md5' (default) is bit-reproducible in DuckDB — the
+    correctness-oracle path; 'xxhash' is the production path (same plan,
+    ~10x cheaper signatures — see BASELINE.md bench table).
     """
     if num_hashes % bands != 0:
         raise ValueError(
@@ -136,34 +155,38 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
     )
-    sigs = base.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
-    banded = sigs.select(
-        "id", "sh", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("b")
-    ).select("id", "sh", F.col("b.band").alias("band"), F.col("b.band_hash").alias("bh"))
     if cache:
-        # the self-join would otherwise recompute shingles + the full
-        # signature (num_hashes x shingles hashes) on BOTH sides — at any
-        # scale the signature pass is the dominant cost, so materialize it
-        # once (memory-and-disk; evictable, safe on executors)
+        # reused by the signature pass AND the verify re-join — without
+        # persist both would recompute the shingle transform
+        base = base.persist()
+    sigs = base.withColumn(
+        "sig", minhash_signature(F.col("sh"), num_hashes, hash_impl)
+    )
+    banded = sigs.select(
+        "id", F.explode(lsh_bands(F.col("sig"), bands, rows, hash_impl)).alias("b")
+    ).select("id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("bh"))
+    if cache:
+        # the self-join would otherwise recompute the full signature
+        # (num_hashes x shingles hashes) on BOTH sides — the signature
+        # pass dominates cost at any scale, so materialize the slim
+        # banded frame once (memory-and-disk; evictable)
         banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
         a.join(b, ["band", "bh"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    scored = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     jac = F.round(inter / union, 4)
     return (
-        cand.withColumn("jaccard", jac)
+        scored.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -57,15 +57,78 @@ def _parse_one(body: str | None, fmt: int | None) -> dict | None:
     return {k: v for k, v in m.groupdict().items() if v is not None} if m else {}
 
 
+_KV_DETECT_RX = re.compile(r"^\w+=\S+( \w+=\S+)*$")
+
+
+def _json_one(b: str) -> dict:
+    try:
+        return {
+            k: (v if isinstance(v, str) else _json.dumps(v, separators=(",", ":")))
+            for k, v in _json.loads(b).items()
+        }
+    except ValueError:
+        return {}
+
+
+def _kv_one(b: str) -> dict:
+    return dict(p.split("=", 1) for p in b.strip().split(" ") if "=" in p)
+
+
+def _extract_records(sub: pd.Series, rx) -> pd.Series:
+    """Vectorized named-group extraction: one C-level str.extract pass for
+    the whole batch slice; non-matching rows become {} (parser on_error
+    semantics are applied downstream on empty maps)."""
+    recs = sub.str.extract(rx).to_dict("records")
+    return pd.Series(
+        [{k: v for k, v in r.items() if isinstance(v, str)} for r in recs],
+        index=sub.index,
+        dtype=object,
+    )
+
+
 @pandas_udf(T.MapType(T.StringType(), T.StringType()))
 def parse_multiformat(body: pd.Series, fmt: pd.Series) -> pd.Series:
     """body + fmt tag -> map<string,string> of extracted attributes.
+
+    Group-wise vectorized: rows are partitioned by format once per batch,
+    then each regex format runs as a single pandas str.extract (C regex
+    loop) instead of a per-row Python re.match. JSON/key=value rows keep
+    per-row parsing (inherently dict-shaped) but skip the format dispatch.
     Non-string JSON values are stringified with compact json.dumps
     (booleans -> 'true'/'false', nested objects -> JSON text), matching
     the JVM from_json map<string,string> path."""
-    return pd.Series(
-        [_parse_one(b, f) for b, f in zip(body, fmt)], dtype=object
-    )
+    out = pd.Series([None] * len(body), index=body.index, dtype=object)
+    bn = body.notna()
+    fnum = pd.to_numeric(fmt, errors="coerce")
+    known = fnum.notna() & bn
+    is0 = known & (fnum == 0)
+    is1 = known & (fnum == 1)
+    is2 = known & (fnum == 2)
+    auto = bn & fnum.isna()
+    if auto.any():
+        b = body[auto]
+        j = b.str.startswith("{").fillna(False)
+        is1.loc[j[j].index] = True
+        rem = b[~j]
+        kv = rem.str.match(_KV_DETECT_RX).fillna(False)
+        is2.loc[kv[kv].index] = True
+        rem2 = rem[~kv]
+        ap = rem2.str.match(APACHE_RX).fillna(False)
+        is0.loc[ap[ap].index] = True
+    # everything else (fmt==3, unknown tags, auto-fallthrough) -> containerd,
+    # matching _parse_one's dispatch
+    is3 = bn & ~is0 & ~is1 & ~is2
+    if is1.any():
+        sub = body[is1]
+        out.loc[is1] = pd.Series([_json_one(x) for x in sub], index=sub.index, dtype=object)
+    if is2.any():
+        sub = body[is2]
+        out.loc[is2] = pd.Series([_kv_one(x) for x in sub], index=sub.index, dtype=object)
+    if is0.any():
+        out.loc[is0] = _extract_records(body[is0], APACHE_RX)
+    if is3.any():
+        out.loc[is3] = _extract_records(body[is3], CONTAINERD_RX)
+    return out
 
 
 def parse_multiformat_col(body: Column, fmt: Column) -> Column:

@@ -362,3 +362,76 @@ def test_non_transparent_deframe(spark):
     df = spark.createDataFrame([("<1>a\n<2>b\n",)], "body string")
     out = parsers.deframe_non_transparent(df)
     assert [r["body"] for r in out.collect()] == ["<1>a", "<2>b"]
+
+
+# ---------------------------------------------------------------------------
+# round-2 performance paths (parity with the oracle-checked paths)
+# ---------------------------------------------------------------------------
+
+
+def test_vectorized_parse_matches_scalar_reference(spark):
+    """parse_multiformat's group-wise vectorized dispatch must agree with
+    the per-row _parse_one reference on every format x edge case."""
+    import pandas as pd
+
+    from opentelemetry_collector_contrib_spark.functions import vparse
+
+    bodies = [
+        '{"a": 1, "b": true, "o": {"x": 2}}',          # json
+        "not json {",                                   # fmt 1 parse error
+        "k=v multi=a=b plain",                          # kv with '=' in value
+        '1.2.3.4 - alice [10/Oct/2025:13:55:36 +0000] "GET /x HTTP/1.1" 200 99',
+        "garbage apache line",                          # fmt 0 no-match
+        "2025-10-10T13:55:36Z stdout F hello world",    # containerd
+        None,
+        "k=v",                                          # auto kv
+        '{"auto": "json"}',                             # auto json
+        "2025-10-10T13:55:36Z stderr P partial",        # auto containerd
+    ]
+    fmts = [1, 1, 2, 0, 0, 3, 2, None, None, None]
+    expected = [vparse._parse_one(b, f) for b, f in zip(bodies, fmts)]
+    got = list(
+        vparse.parse_multiformat.func(
+            pd.Series(bodies, dtype=object),
+            pd.to_numeric(pd.Series(fmts), errors="coerce"),
+        )
+    )
+    assert got == expected
+
+
+def test_minhash_xxhash_production_path_parity(spark, sf_dir):
+    """Production (xxhash64) vs oracle (md5) MinHash paths: both are SOUND
+    (exact-Jaccard verification means every emitted pair truly has
+    jaccard >= threshold, with identical scores on shared pairs); recall
+    differs only by banding luck of the hash family, so require >=85%
+    overlap rather than equality."""
+    from opentelemetry_collector_contrib_spark.dataprep import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    md5_pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs).collect()
+    }
+    xx_pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs, hash_impl="xxhash").collect()
+    }
+    assert len(md5_pairs) > 0 and len(xx_pairs) > 0
+    shared = set(md5_pairs) & set(xx_pairs)
+    assert all(md5_pairs[p] == xx_pairs[p] for p in shared)  # identical scores
+    overlap = len(shared) / max(len(md5_pairs), len(xx_pairs))
+    assert overlap >= 0.85, f"LSH recall diverged: {overlap:.2f}"
+
+
+def test_minhash_band_shuffle_is_slim(spark, sf_dir):
+    """The candidate self-join must NOT carry shingle arrays: no Exchange
+    in the plan may ship the `sh` column (verify re-join gets it after
+    candidate pruning)."""
+    from opentelemetry_collector_contrib_spark.dataprep import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = dedup.minhash_lsh_pairs(docs, cache=False)._jdf.queryExecution().toString()
+    import re as _re
+
+    for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "sh#" not in m.group(1)
