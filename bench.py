@@ -293,6 +293,20 @@ def main() -> None:
                     t = min(t, time.perf_counter() - t0)
                 queries[name] = round(t, 3)
 
+            # MinHash production path (xxhash64 signatures + slim candidate
+            # join) benchmarked against the md5 oracle path above
+            from opentelemetry_collector_contrib_spark.dataprep import dedup as _dedup
+
+            docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+            t0 = time.perf_counter()
+            _force(_dedup.minhash_lsh_pairs(docs, hash_impl="xxhash"))
+            t = time.perf_counter() - t0
+            if t > 5.0:
+                t0 = time.perf_counter()
+                _force(_dedup.minhash_lsh_pairs(docs, hash_impl="xxhash"))
+                t = min(t, time.perf_counter() - t0)
+            queries["dedup_minhash_xxhash"] = round(t, 3)
+
         total = round(sum(queries.values()), 3)
         print(
             json.dumps(

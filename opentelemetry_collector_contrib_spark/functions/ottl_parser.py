@@ -121,7 +121,33 @@ def _converters():
         "UUID": lambda a: ottl.uuid_(),
         "Hex": lambda a: F.hex(a[0]),
         "Unhex": lambda a: F.unhex(a[0]),
+        # round-2 additions (functions.go registry parity)
+        "UserAgent": lambda a: ottl.user_agent(a[0]),
+        "IsValidLuhn": lambda a: ottl.is_valid_luhn(a[0]),
+        "Decode": lambda a: ottl.decode_(
+            F.lit(a[0]) if isinstance(a[0], str) else a[0], _lit_str(a[1])
+        ),
+        "FNV": lambda a: ottl.fnv1a64(a[0]),
+        "Murmur3Hash": lambda a: ottl.murmur3_hash(a[0]),
+        "XXH64": lambda a: ottl.xxh64(a[0]),
+        "GetXML": lambda a: _xml().get_xml(a[0], _lit_str(a[1])),
+        "RemoveXML": lambda a: _xml().remove_xml(a[0], _lit_str(a[1])),
+        "InsertXML": lambda a: _xml().insert_xml(a[0], _lit_str(a[1]), _to_col(a[2])),
+        "ParseXML": lambda a: _xml().parse_xml_json(a[0]),
+        "ParseSimplifiedXML": lambda a: _xml().parse_simplified_xml(a[0]),
+        "ConvertTextToElementsXML": lambda a: _xml().convert_text_to_elements_xml(
+            a[0],
+            _lit_str(a[1]) if len(a) > 1 else None,
+            _lit_str(a[2]) if len(a) > 2 else "value",
+        ),
+        "ConvertAttributesToElementsXML": lambda a: _xml().convert_attributes_to_elements_xml(a[0]),
     }
+
+
+def _xml():
+    from . import xmlfuncs
+
+    return xmlfuncs
 
 
 def _lit_str(c) -> str:
@@ -198,7 +224,19 @@ class _Parser:
                 # paths become Columns; literal strings/ints stay raw so
                 # converter signatures can take patterns/lengths verbatim
                 cooked = [a.get() if isinstance(a, _Path) else a for a in raw]
-                return self.convs[val](cooked)
+                res = self.convs[val](cooked)
+                # OTTL indexable converter results: UserAgent(x)["os.name"],
+                # Split(x, ",")[0] (LANGUAGE.md: slice indices are 0-based;
+                # Spark element_at is 1-based for arrays)
+                while self.peek()[0] == "lbracket":
+                    self.next()
+                    key = self.term()
+                    self.expect("rbracket")
+                    if isinstance(key, int):
+                        res = F.element_at(res, key + 1)
+                    else:
+                        res = F.element_at(res, _lit_str(key))
+                return res
             if nk == "lbracket":  # path with map key: attributes["k"]
                 self.next()
                 key = _lit_str(self.term())

@@ -737,12 +737,20 @@ def _span_name_template(rule: str) -> str:
 
 def unroll_processor(df: DataFrame, col: str, out_col: str | None = None, recursive: bool = False) -> DataFrame:
     """unrollprocessor (/root/reference/processor/unrollprocessor/
-    processor.go:31-71): body that is a slice -> one record per element."""
-    out = df.withColumn(out_col or col, F.explode(F.col(col)))
+    processor.go:31-71): body that is a slice -> one record per element.
+    recursive=True keeps exploding while the result is still an array —
+    the reference recurses until non-slice; Spark's schema is static, so
+    the depth is read from the column's DataType and the explode chain is
+    built to match."""
+    from pyspark.sql import types as T
+
+    target = out_col or col
+    out = df.withColumn(target, F.explode(F.col(col)))
     if recursive:
-        # one extra level (the reference recurses until non-slice; schema
-        # depth is static in Spark so callers chain as needed)
-        pass
+        dt = df.schema[col].dataType
+        while isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.ArrayType):
+            out = out.withColumn(target, F.explode(F.col(target)))
+            dt = dt.elementType
     return out
 
 

@@ -435,3 +435,26 @@ def test_minhash_band_shuffle_is_slim(spark, sf_dir):
 
     for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "sh#" not in m.group(1)
+
+
+def test_ottl_parser_round2_converters(spark):
+    from opentelemetry_collector_contrib_spark.functions.ottl_parser import apply_statements
+
+    df = spark.createDataFrame(
+        [("curl/8.4.0", "<a><b>1</b></a>", "79927398713")],
+        "body string, xml string, card string",
+    ).withColumn("attributes", F.create_map().cast("map<string,string>"))
+    out = apply_statements(
+        df,
+        [
+            'set(attributes["ua"], UserAgent(body)["user_agent.name"])',
+            'set(attributes["xml_b"], GetXML(xml, "/a/b"))',
+            'set(attributes["luhn"], String(IsValidLuhn(card)))',
+            'set(attributes["dec"], Decode("aGk=", "base64"))',
+        ],
+    )
+    attrs = out.first()["attributes"]
+    assert attrs["ua"] == "curl"
+    assert attrs["xml_b"] == "<b>1</b>"
+    assert attrs["luhn"] == "true"
+    assert attrs["dec"] == "hi"
