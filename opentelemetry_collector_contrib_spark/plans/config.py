@@ -111,6 +111,61 @@ def _stage(cfg: dict) -> Callable[[DataFrame], DataFrame]:
         return lambda df: processors.logdedup_processor(
             df, cfg.get("interval", 10), cfg.get("timestamp", "ts"), key_cols=cfg["keys"]
         )
+    if t == "span":
+        # processor/spanprocessor/config.go `name:` block
+        name_cfg = cfg.get("name", {})
+        to_attrs = name_cfg.get("to_attributes", {})
+        return lambda df: processors.span_processor(
+            df,
+            from_attributes=name_cfg.get("from_attributes"),
+            separator=name_cfg.get("separator", ""),
+            to_attributes_rules=to_attrs.get("rules"),
+            keep_original_name=to_attrs.get("keep_original_name", False),
+            break_after_match=to_attrs.get("break_after_match", False),
+        )
+    if t == "tail_sampling":
+        # processor/tailsamplingprocessor config `policies:` — leaf
+        # condition strings are OTTL-style aggregate conditions evaluated
+        # per trace; composite forms nest under and_sub_policy/drop
+        def compile_policy(p: dict) -> processors.TailPolicy:
+            kind = p["type"]
+            if kind in ("and", "drop"):
+                subs = [compile_policy(sp) for sp in p.get("policies", [])]
+                return processors.TailPolicy(p["name"], kind, subpolicies=subs)
+            if kind == "probabilistic":
+                return processors.TailPolicy(
+                    p["name"], "probabilistic", percent=p.get("sampling_percentage", 100.0)
+                )
+            if kind == "rate_limiting":
+                return processors.TailPolicy(
+                    p["name"], "rate_limiting", spans_per_second=p["spans_per_second"]
+                )
+            if kind == "always_sample":
+                return processors.TailPolicy(p["name"], "always")
+            if kind == "span_count":
+                return processors.TailPolicy(
+                    p["name"], "agg", cond=F.count(F.lit(1)) >= p["min_spans"]
+                )
+            if kind == "latency":
+                return processors.TailPolicy(
+                    p["name"], "agg",
+                    cond=F.max(F.col(p.get("duration_col", "duration_ns")))
+                    > p["threshold_ms"] * 1_000_000,
+                )
+            # generic aggregate condition string, e.g. 'max(value) > 195.0'
+            return processors.TailPolicy(p["name"], "agg", cond=F.expr(p["condition"]))
+
+        pols = [compile_policy(p) for p in cfg["policies"]]
+        return lambda df: processors.tail_sampling_policies(
+            df, pols, trace_col=cfg.get("trace_col", "trace_id"), ts_col=cfg.get("ts_col")
+        )
+    if t == "metricstransform":
+        return lambda df: processors.metricstransform_processor(
+            df, cfg["transforms"],
+            metric_col=cfg.get("metric_col", "metric"),
+            labels_col=cfg.get("labels_col", "labels"),
+            value_col=cfg.get("value_col", "value"),
+        )
     raise ValueError(f"unknown operator type {t!r}")
 
 

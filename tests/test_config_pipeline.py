@@ -67,3 +67,58 @@ def test_dict_config_with_stanza_parsers(spark):
     assert rows["ok"]["severity_number"] == 9
     assert rows["ok"]["attributes"]["seen"] == "1"
     assert out.columns == ["attributes", "severity_number"]
+
+
+def test_config_span_and_tailsampling_and_metricstransform(spark):
+    """Round-2 config surface: span / tail_sampling / metricstransform
+    blocks compile from YAML to the same results as the direct operators."""
+    from opentelemetry_collector_contrib_spark.plans.config import build_pipeline
+
+    spans = spark.createDataFrame(
+        [
+            ("t1", "/api/v1/document/7/update", 600_000_000),
+            ("t1", "op-b", 1_000_000),
+            ("t2", "op-c", 2_000_000),
+        ],
+        "trace_id string, span_name string, duration_ns long",
+    ).withColumn("attributes", F.create_map().cast("map<string,string>"))
+    cfg = """
+operators:
+  - type: span
+    name:
+      to_attributes:
+        rules:
+          - '^/api/v1/document/(?P<documentId>.*)/update$'
+  - type: tail_sampling
+    trace_col: trace_id
+    policies:
+      - name: slow
+        type: latency
+        threshold_ms: 500
+"""
+    out = build_pipeline(cfg)(spans)
+    rows = out.collect()
+    assert {r["trace_id"] for r in rows} == {"t1"}  # whole trace kept
+    doc = [r for r in rows if r["attributes"].get("documentId")]
+    assert doc and doc[0]["span_name"] == "/api/v1/document/{documentId}/update"
+
+    metrics = spark.createDataFrame(
+        [("sys.mem", {"host": "a"}, 100.0)],
+        "metric string, labels map<string,string>, value double",
+    )
+    mt = build_pipeline(
+        {
+            "operators": [
+                {
+                    "type": "metricstransform",
+                    "transforms": [
+                        {"include": "sys.mem", "action": "update", "new_name": "system.memory",
+                         "operations": [{"action": "experimental_scale_value",
+                                         "experimental_scale": 2.0}]},
+                    ],
+                }
+            ]
+        }
+    )(metrics)
+    r = mt.first()
+    assert r["metric"] == "system.memory" and r["value"] == 200.0
