@@ -141,6 +141,45 @@ def _converters():
             _lit_str(a[2]) if len(a) > 2 else "value",
         ),
         "ConvertAttributesToElementsXML": lambda a: _xml().convert_attributes_to_elements_xml(a[0]),
+        # string family
+        "Format": lambda a: F.format_string(_lit_str(a[0]), *[_to_col(x) for x in a[1]]),
+        "ToSnakeCase": lambda a: ottl.to_snake_case(a[0]),
+        "ToCamelCase": lambda a: ottl.to_camel_case(a[0]),
+        "HasPrefix": lambda a: ottl.has_prefix(a[0], _lit_str(a[1])),
+        "HasSuffix": lambda a: ottl.has_suffix(a[0], _lit_str(a[1])),
+        "ToKeyValueString": lambda a: ottl.to_key_value_string(
+            a[0],
+            _lit_str(a[1]) if len(a) > 1 else "=",
+            _lit_str(a[2]) if len(a) > 2 else " ",
+        ),
+        "ParseCSV": lambda a: ottl.parse_csv_(a[0], [_lit_str(h) for h in a[1]]),
+        "URL": lambda a: ottl.url_(a[0]),
+        "Base64Decode": lambda a: ottl.base64_decode(a[0]),
+        # time family
+        "Time": lambda a: ottl.time_(a[0], _lit_str(a[1])),
+        "FormatTime": lambda a: ottl.format_time(a[0], _lit_str(a[1])),
+        "TruncateTime": lambda a: ottl.truncate_time(a[0], _lit_str(a[1])),
+        "UnixSeconds": lambda a: ottl.unix_seconds(a[0]),
+        "UnixMilli": lambda a: ottl.unix_milli(a[0]),
+        "UnixMicro": lambda a: ottl.unix_micro(a[0]),
+        "UnixNano": lambda a: ottl.unix_nano(a[0]),
+        "Now": lambda a: ottl.now_(),
+        "Year": lambda a: ottl.year_(a[0]),
+        "Month": lambda a: ottl.month_(a[0]),
+        "Day": lambda a: ottl.day_(a[0]),
+        "Weekday": lambda a: ottl.weekday_(a[0]),
+        "Hour": lambda a: ottl.hour_(a[0]),
+        "Minute": lambda a: ottl.minute_(a[0]),
+        "Second": lambda a: ottl.second_(a[0]),
+        "UUIDv7": lambda a: ottl.uuid_v7(_to_col(a[0]), _to_col(a[1])),
+        # type / collection family
+        "IsString": lambda a: ottl.is_string(a[0]),
+        "ContainsValue": lambda a: ottl.contains_value(a[0], _to_col(a[1])),
+        "Keys": lambda a: ottl.keys_(a[0]),
+        "Values": lambda a: ottl.values_(a[0]),
+        "Sort": lambda a: ottl.sort_(a[0]),
+        "SliceToMap": lambda a: ottl.slice_to_map(a[0]),
+        "Log": lambda a: F.log(_to_col(a[0])),
     }
 
 

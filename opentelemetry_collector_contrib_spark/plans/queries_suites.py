@@ -876,6 +876,42 @@ SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.35
 """
 
 
+def q_streaming_windowed_counts(spark, sf_dir):
+    """Structured Streaming surface under the driver gate (rows-only — a
+    stream's trigger/commit cycle is not SQL-expressible): bounded
+    file-source stream over the events table -> watermarked tumbling
+    window counts -> memory sink, availableNow trigger. The same
+    windowed_counts transformation the streaming pipeline uses
+    (streaming/stream.py), proving the batch operators run unchanged
+    under a micro-batch trigger."""
+    import os
+
+    from ..streaming.stream import windowed_counts
+
+    # events.parquet is a single file; the file stream source needs a
+    # directory, so stream the parent dir with a glob filter
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = windowed_counts(src, "ts", ["event_type"], interval="3600 seconds")
+    name = f"stream_counts_{os.getpid()}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name).select(
+        F.col("window.start").cast("long").alias("win_start"), "event_type", "value"
+    )
+
+
 REGISTRY_SUITES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # round-2 additions first (never yet seen by the driver)
     "tailsampling_policies": (q_tailsampling_policies, SQL_TAILSAMPLING_POLICIES),
@@ -886,6 +922,7 @@ REGISTRY_SUITES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str |
     "dedup_embedding_cosine_bucketed": (
         q_dedup_embedding_cosine_bucketed, SQL_DEDUP_EMBEDDING_COSINE_BUCKETED
     ),
+    "streaming_windowed_counts": (q_streaming_windowed_counts, None),
     # consolidated suites (operators unchecked in r01 come first)
     "parsers_syslog_time": (q_parsers_syslog_time, SQL_PARSERS_SYSLOG_TIME),
     "parsers_web": (q_parsers_web, SQL_PARSERS_WEB),

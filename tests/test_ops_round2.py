@@ -458,3 +458,30 @@ def test_ottl_parser_round2_converters(spark):
     assert attrs["xml_b"] == "<b>1</b>"
     assert attrs["luhn"] == "true"
     assert attrs["dec"] == "hi"
+
+
+def test_ottl_parser_time_string_collection_converters(spark):
+    from opentelemetry_collector_contrib_spark.functions.ottl_parser import apply_statements
+
+    df = spark.createDataFrame(
+        [("2025-10-10 13:55:36", "HelloWorld", "a,b,c")],
+        "tstr string, camel string, csvs string",
+    ).withColumn("attributes", F.create_map().cast("map<string,string>"))
+    out = apply_statements(
+        df,
+        [
+            'set(attributes["year"], String(Year(Time(tstr, "%Y-%m-%d %H:%M:%S"))))',
+            'set(attributes["snake"], ToSnakeCase(camel))',
+            'set(attributes["fmt"], Format("%s-%d", [camel, 7]))',
+            'set(attributes["csv_b"], ParseCSV(csvs, ["x", "y", "z"])["y"])',
+            'set(attributes["pfx"], String(HasPrefix(camel, "Hello")))',
+            'set(attributes["us"], String(UnixSeconds(Time(tstr, "%Y-%m-%d %H:%M:%S"))))',
+        ],
+    )
+    attrs = out.first()["attributes"]
+    assert attrs["year"] == "2025"
+    assert attrs["snake"] == "hello_world"
+    assert attrs["fmt"] == "HelloWorld-7"
+    assert attrs["csv_b"] == "b"
+    assert attrs["pfx"] == "true"
+    assert attrs["us"] == "1760104536"
