@@ -55,30 +55,86 @@ DEFAULT_PATTERNS: dict[str, str] = {
     "MONTHNUM": r"(?:0?[1-9]|1[0-2])",
     "LOGLEVEL": r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|[Ii]nfo?(?:rmation)?|INFO?(?:RMATION)?|[Ww]arn?(?:ing)?|WARN?(?:ING)?|[Ee]rr?(?:or)?|ERR?(?:OR)?|[Cc]rit?(?:ical)?|CRIT?(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)",
     "COMMONAPACHELOG": r'%{IPORHOST:source_address} %{USER:apache_ident} %{USER:user_name} \[%{HTTPDATE:timestamp}\] "(?:%{WORD:http_request_method} %{NOTSPACE:url_original}(?: HTTP/%{NUMBER:http_version})?|%{DATA})" %{INT:http_response_status_code} (?:%{INT:http_response_body_bytes}|-)',
+    # date/time composites (logstash/go-grok names)
+    "POSINT": r"\b(?:[1-9][0-9]*)\b",
+    "NONNEGINT": r"\b(?:[0-9]+)\b",
+    "TZ": r"(?:[APMCE][SD]T|UTC|GMT|[A-Z]{3,4}|[+-]\d{2}:?\d{2})",
+    "DATE_US": r"%{MONTHNUM}[/-]%{MONTHDAY}[/-]%{YEAR}",
+    "DATE_EU": r"%{MONTHDAY}[./-]%{MONTHNUM}[./-]%{YEAR}",
+    "DATE": r"%{DATE_US}|%{DATE_EU}",
+    "DATESTAMP": r"%{DATE}[- ]%{TIME}",
+    # URI family (logstash set; the ELB_* forms are the AWS pack shapes
+    # exercised by func_extract_grok_patterns_test.go)
+    "URIPROTO": r"[A-Za-z]([A-Za-z0-9+\-.]+)+",
+    "URIHOST": r"%{IPORHOST}(?::%{POSINT})?",
+    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_\-]*)+",
+    "URIQUERY": r"[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*",
+    "URIPARAM": r"\?%{URIQUERY}",
+    "URIPATHPARAM": r"%{URIPATH}(?:\?%{URIQUERY})?",
+    "URI": r"%{URIPROTO}://(?:%{USER}(?::[^@]*)?@)?(?:%{URIHOST})?(?:%{URIPATHPARAM})?",
+    "ELB_URIPATHQUERY": r"%{URIPATH:url.path}(?:\?%{URIQUERY:url.query})?",
+    "ELB_URI": r"%{URIPROTO:url.scheme}://(?:%{USER:url.username}(?::[^@]*)?@)?(?:%{IPORHOST:url.domain}(?::%{POSINT:url.port:int})?)?(?:%{ELB_URIPATHQUERY})?",
 }
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]@]+))?(?::(int|long|float|double|string|boolean))?\}")
 
 
+def parse_definitions(definitions: list[str] | None) -> dict[str, str]:
+    """The converter's pattern_definitions form: 'NAME=pattern' strings
+    (func_extract_grok_patterns.go optional arg) -> custom dict."""
+    out: dict[str, str] = {}
+    for d in definitions or []:
+        name, _, rx = d.partition("=")
+        out[name.strip()] = rx
+    return out
+
+
+class _Expander:
+    """Grok -> plain regex. Every capture gets a unique safe group name
+    g<N> (Python and Java both reject duplicate/dotted group names; grok
+    allows both) with a g<N> -> original-key mapping kept alongside.
+
+    named_captures_only=False mirrors go-grok: a bare %{NAME} reference
+    ALSO captures under the pattern's own name (the URI vector's
+    URIPROTO/USER/URIHOST/... keys)."""
+
+    def __init__(self, custom: dict[str, str] | None, named_captures_only: bool):
+        self.defs = {**DEFAULT_PATTERNS, **(custom or {})}
+        self.nco = named_captures_only
+        self.names: list[str] = []  # index i -> original key of group g{i}
+
+    def _group(self, key: str, inner: str) -> str:
+        gi = len(self.names)
+        self.names.append(key)
+        return f"(?P<g{gi}>{inner})"
+
+    def expand(self, pattern: str, depth: int = 0) -> str:
+        if depth > 20:
+            raise ValueError("grok pattern recursion too deep")
+
+        def sub(m: re.Match) -> str:
+            name, capture, _typ = m.group(1), m.group(2), m.group(3)
+            if name not in self.defs:
+                raise KeyError(f"unknown grok pattern %{{{name}}}")
+            inner = self.expand(self.defs[name], depth + 1)
+            if capture:
+                return self._group(capture, inner)
+            if not self.nco:
+                return self._group(name, inner)
+            return f"(?:{inner})"
+
+        return _GROK_REF.sub(sub, pattern)
+
+
 def expand(pattern: str, custom: dict[str, str] | None = None, depth: int = 0) -> str:
-    """Expand %{NAME[:capture[:type]]} references into a plain regex with
-    named groups. Capture names have non-word chars mapped to '_' (regex
-    group-name restrictions; same normalization the go library applies)."""
-    if depth > 20:
-        raise ValueError("grok pattern recursion too deep")
-    defs = {**DEFAULT_PATTERNS, **(custom or {})}
-
-    def sub(m: re.Match) -> str:
-        name, capture, _typ = m.group(1), m.group(2), m.group(3)
-        if name not in defs:
-            raise KeyError(f"unknown grok pattern %{{{name}}}")
-        inner = expand(defs[name], custom, depth + 1)
-        if capture:
-            safe = re.sub(r"\W", "_", capture)
-            return f"(?P<{safe}>{inner})"
-        return f"(?:{inner})"
-
-    return _GROK_REF.sub(sub, pattern)
+    """Back-compat form: named-captures-only regex with the ORIGINAL
+    capture names, non-word chars mapped to '_'."""
+    del depth
+    ex = _Expander(custom, named_captures_only=True)
+    rx = ex.expand(pattern)
+    for i, orig in enumerate(ex.names):
+        rx = rx.replace(f"(?P<g{i}>", f"(?P<{re.sub(r'[^A-Za-z0-9]', '_', orig)}>", 1)
+    return rx
 
 
 def grok_extract(
@@ -86,20 +142,66 @@ def grok_extract(
     pattern: str,
     custom: dict[str, str] | None = None,
     impl: str = "pandas",
+    named_captures_only: bool = True,
 ) -> Column:
-    """ExtractGrokPatterns -> map<string,string> of named captures
-    (unmatched rows -> empty map; named-captures-only semantics)."""
-    rx = expand(pattern, custom)
-    names = re.findall(r"\(\?P<(\w+)>", rx)
-    if impl == "jvm":
-        # delegate to extract_patterns: strips group names (Java group-name
-        # charset is narrower than grok capture names) and extracts by index
-        from .ottl import extract_patterns
+    """ExtractGrokPatterns -> map<string,string> of captures keyed by
+    their ORIGINAL grok names (dots and @ preserved; duplicate keys keep
+    the first non-empty match, like go-grok). Unmatched rows -> empty map.
+    Typed captures (%{X:key:int}) stay strings in the flat map model —
+    callers cast (the reference PutInt/PutFloat at this point)."""
+    ex = _Expander(custom, named_captures_only)
+    rx = ex.expand(pattern)
+    names = list(ex.names)
 
-        return extract_patterns(col, rx)
-    _ = names
+    if impl == "jvm":
+        # group g{i} is capturing-group index: count '(' openings in order
+        idx_of: list[tuple[int, str]] = []  # (java_group_index, original key)
+        gi = 0
+        i = 0
+        in_class = False  # '(' inside [...] is a literal, not a group
+        stripped_parts: list[str] = []
+        while i < len(rx):
+            ch = rx[i]
+            escaped = i > 0 and rx[i - 1] == "\\" and (i < 2 or rx[i - 2] != "\\")
+            if ch == "[" and not escaped and not in_class:
+                in_class = True
+            elif ch == "]" and not escaped and in_class:
+                in_class = False
+            elif ch == "(" and not escaped and not in_class:
+                if rx.startswith("(?P<", i):
+                    gi += 1
+                    end = rx.index(">", i)
+                    gname = rx[i + 4 : end]
+                    idx_of.append((gi, names[int(gname[1:])]))
+                    stripped_parts.append("(")
+                    i = end + 1
+                    continue
+                if not rx.startswith("(?", i):
+                    gi += 1
+            stripped_parts.append(rx[i])
+            i += 1
+        jvm_rx = "".join(stripped_parts)
+        keys, vals = [], []
+        seen: dict[str, Column] = {}
+        for idx, orig in idx_of:
+            v = F.regexp_extract(col, jvm_rx, idx)
+            if orig in seen:
+                seen[orig] = F.when(seen[orig] != "", seen[orig]).otherwise(v)
+            else:
+                seen[orig] = v
+                keys.append(orig)
+        m = F.map_filter(
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in keys]), F.array(*[seen[k] for k in keys])
+            ),
+            lambda _, v: v != "",
+        )
+        return F.when(col.rlike(jvm_rx), m).otherwise(
+            F.lit(None).cast("map<string,string>")
+        )
 
     compiled_src = rx
+    names_src = names
 
     @pandas_udf(T.MapType(T.StringType(), T.StringType()))
     def _extract(s: pd.Series) -> pd.Series:
@@ -111,7 +213,14 @@ def grok_extract(
             m = crx.search(v)
             if not m:
                 return {}
-            return {k: val for k, val in m.groupdict().items() if val is not None}
+            out: dict[str, str] = {}
+            for gname, val in m.groupdict().items():
+                if val is None:
+                    continue
+                orig = names_src[int(gname[1:])]
+                if orig not in out:
+                    out[orig] = val
+            return out
 
         return s.map(one)
 

@@ -172,8 +172,15 @@ def extract_patterns(col: Column, pattern: str) -> Column:
     out_parts: list[str] = []
     gi = 0
     i = 0
+    in_class = False  # '(' inside [...] is a literal, not a capturing group
     while i < len(norm):
-        if norm[i] == "(" and (i == 0 or norm[i - 1] != "\\"):
+        ch = norm[i]
+        escaped = i > 0 and norm[i - 1] == "\\" and (i < 2 or norm[i - 2] != "\\")
+        if ch == "[" and not escaped and not in_class:
+            in_class = True
+        elif ch == "]" and not escaped and in_class:
+            in_class = False
+        elif ch == "(" and not escaped and not in_class:
             if norm.startswith("(?<", i) and not norm.startswith("(?<=", i) and not norm.startswith("(?<!", i):
                 gi += 1
                 end = norm.index(">", i)
