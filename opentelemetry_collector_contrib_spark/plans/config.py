@@ -189,3 +189,148 @@ def build_pipeline(config: dict | str) -> Callable[[DataFrame], DataFrame]:
 def routed_counts(df: DataFrame) -> DataFrame:
     """Convenience: per-route obsreport counts after a router stage."""
     return df.groupBy("route").agg(F.count(F.lit(1)).alias("records_out"))
+
+
+# ---------------------------------------------------------------------------
+# Full collector-config surface: receivers / processors / exporters /
+# service.pipelines — the YAML shape a reference user actually runs
+# (e.g. /root/reference/cmd/oteltestbedcol config layout; processor config
+# key shapes per each processor's config.go). Logs pipelines only: the
+# flat row model carries any signal, but the receiver set here is log-
+# shaped (filelog / otlpjsonfile / table scans).
+# ---------------------------------------------------------------------------
+
+
+def _collector_processor_stage(ptype: str, cfg: dict) -> Callable[[DataFrame], DataFrame]:
+    """Collector-level processor config -> stage. Key shapes follow the
+    reference's config.go for each processor (NOT the stanza operator
+    keys, which _stage handles)."""
+    cfg = cfg or {}
+    if ptype == "filter":
+        conds = [parse_condition(c) for c in cfg.get("logs", {}).get("log_record", [])]
+        return lambda df: processors.filter_processor(df, conds)
+    if ptype == "transform":
+        stmts: list[str] = []
+        for block in cfg.get("log_statements", []):
+            if isinstance(block, str):
+                stmts.append(block)
+            else:
+                stmts.extend(block.get("statements", []))
+        return lambda df: apply_statements(df, stmts)
+    if ptype == "attributes":
+        actions = [processors.AttrAction(**a) for a in cfg["actions"]]
+        return lambda df: processors.attributes_processor(df, actions)
+    if ptype == "resource":
+        actions = [processors.AttrAction(**a) for a in cfg["attributes"]]
+        return lambda df: processors.attributes_processor(
+            df, actions, target="resource_attributes"
+        )
+    if ptype == "redaction":
+        return lambda df: processors.redaction_processor(
+            df, cfg.get("allowed_keys"), cfg.get("blocked_values", []),
+            cfg.get("summary_mask", cfg.get("mask", "****")),
+        )
+    if ptype == "probabilistic_sampler":
+        pct = cfg["sampling_percentage"]
+        key = cfg.get("attribute_source", "event_id")
+        return lambda df: processors.probabilistic_sampler(df, pct, key_col=key)
+    if ptype == "groupbyattrs":
+        return lambda df: processors.groupbyattrs_processor(df, cfg["keys"])
+    if ptype in ("span", "tail_sampling", "metricstransform", "logdedup"):
+        return _stage({"type": ptype, **cfg})
+    raise ValueError(f"unknown collector processor type {ptype!r}")
+
+
+def compile_collector_config(config: dict | str):
+    """Compile a collector-shaped config into a runnable plan object:
+
+        plan = compile_collector_config(yaml_text)
+        counts = plan.run(spark, out_base)   # {exporter_name: records_out}
+
+    Supported: receivers filelog (include glob + embedded stanza
+    `operators` chain) / otlpjsonfile / table; all processors of
+    `_collector_processor_stage`; exporters file/clickhouse (parquet or
+    json dirs under out_base) and nop; `service.pipelines.logs*` wiring
+    with multi-exporter fan-out written in ONE job per pipeline
+    (fanout.write_fanout_with_counts shape, not one scan per exporter)."""
+    if isinstance(config, str):
+        import yaml
+
+        config = yaml.safe_load(config)
+
+    receivers = config.get("receivers", {})
+    procs = config.get("processors", {})
+    exporters = config.get("exporters", {})
+    pipelines = config.get("service", {}).get("pipelines", {})
+
+    def read_receiver(spark, name: str) -> DataFrame:
+        from ..sources import readers
+
+        ptype = name.split("/", 1)[0]
+        rcfg = receivers[name] or {}
+        if ptype == "filelog":
+            include = rcfg["include"]
+            glob = include[0] if isinstance(include, list) else include
+            df = readers.filelog(
+                spark, glob, include_file_path=rcfg.get("include_file_path", False)
+            )
+            ops = rcfg.get("operators")
+            if ops:
+                df = build_pipeline({"operators": ops})(df)
+            return df
+        if ptype == "otlpjsonfile":
+            include = rcfg["include"]
+            return readers.otlpjson_file(
+                spark, include[0] if isinstance(include, list) else include
+            )
+        if ptype == "table":
+            return readers.table(spark, rcfg["path"], rcfg.get("format", "parquet"))
+        raise ValueError(f"unknown receiver {name!r}")
+
+    class _Plan:
+        def run(self, spark, out_base: str) -> dict[str, dict[str, int]]:
+            from ..sinks.fanout import write_fanout_with_counts
+
+            results: dict[str, dict[str, int]] = {}
+            for pname, pipe in pipelines.items():
+                if not pname.startswith("logs"):
+                    raise ValueError(f"only logs pipelines supported, got {pname!r}")
+                frames = [read_receiver(spark, r) for r in pipe.get("receivers", [])]
+                df = frames[0]
+                for extra in frames[1:]:
+                    df = df.unionByName(extra, allowMissingColumns=True)
+                for proc_name in pipe.get("processors", []):
+                    ptype = proc_name.split("/", 1)[0]
+                    df = _collector_processor_stage(ptype, procs.get(proc_name))(df)
+                exps = pipe.get("exporters", [])
+                for e in exps:
+                    if e not in exporters and e.split("/", 1)[0] != "nop":
+                        raise ValueError(f"pipeline {pname} references unknown exporter {e!r}")
+                # fan-out: tag every record with every exporter (the
+                # collector fanoutconsumer duplicates data to N exporters)
+                # and write in one partitionBy(exporter) job
+                real = [e for e in exps if e.split("/", 1)[0] != "nop"]
+                if not real:
+                    results[pname] = {}
+                    continue
+                tagged = df.withColumn(
+                    "__exporter", F.explode(F.array(*[F.lit(e) for e in real]))
+                )
+                fmt_of = {
+                    e: (exporters[e] or {}).get("format", "json" if e.startswith("file") else "parquet")
+                    for e in real
+                }
+                # one write per distinct format (partitionBy can't mix formats)
+                counts: dict[str, int] = {}
+                for fmt in sorted(set(fmt_of.values())):
+                    sel = [e for e in real if fmt_of[e] == fmt]
+                    part = tagged.filter(F.col("__exporter").isin(sel))
+                    got = write_fanout_with_counts(
+                        part, f"{out_base}/{pname}", route_names=sel,
+                        route_col="__exporter", fmt=fmt,
+                    )
+                    counts.update(got)
+                results[pname] = counts
+            return results
+
+    return _Plan()

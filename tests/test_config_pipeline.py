@@ -122,3 +122,66 @@ operators:
     )(metrics)
     r = mt.first()
     assert r["metric"] == "system.memory" and r["value"] == 200.0
+
+
+def test_full_collector_config_end_to_end(spark, tmp_path):
+    """receivers -> processors -> exporters -> service.pipelines: the
+    reference's actual YAML layout compiled and run as one Spark job per
+    pipeline, multi-exporter fan-out + obsreport counts."""
+    import os
+
+    from opentelemetry_collector_contrib_spark.plans.config import compile_collector_config
+
+    logdir = tmp_path / "logs"
+    logdir.mkdir()
+    with open(logdir / "app.log", "w") as f:
+        for i in range(100):
+            lvl = "ERROR" if i % 10 == 0 else "INFO"
+            f.write(f"{lvl} code={i} msg=event-{i}\n")
+
+    cfg = f"""
+receivers:
+  filelog:
+    include: [{logdir}/*.log]
+    operators:
+      - type: regex_parser
+        regex: '^(?P<level>\\w+) code=(?P<code>\\d+)'
+      - type: severity_parser
+        parse_from: attributes[level]
+processors:
+  filter/drop_debug:
+    logs:
+      log_record:
+        - 'Int(attributes["code"]) >= 90'
+  transform/tag:
+    log_statements:
+      - statements:
+          - 'set(attributes["env"], "prod")'
+exporters:
+  clickhouse:
+    format: parquet
+  file/backup:
+    format: json
+service:
+  pipelines:
+    logs:
+      receivers: [filelog]
+      processors: [filter/drop_debug, transform/tag]
+      exporters: [clickhouse, file/backup, nop]
+"""
+    plan = compile_collector_config(cfg)
+    out = str(tmp_path / "out")
+    counts = plan.run(spark, out)
+    # 100 lines, 10 dropped (code >= 90) -> 90 per exporter
+    assert counts["logs"]["clickhouse"] == 90
+    assert counts["logs"]["file/backup"] == 90
+    # files actually landed, one partition dir per exporter
+    subdirs = os.listdir(f"{out}/logs")
+    assert any("clickhouse" in d for d in subdirs)
+    assert any("backup" in d for d in subdirs)
+    # parquet sink round-trips with the transform applied
+    back = spark.read.parquet(f"{out}/logs/__exporter=clickhouse")
+    assert back.count() == 90
+    row = back.filter(F.element_at("attributes", "code") == "10").first()
+    assert row["attributes"]["env"] == "prod"
+    assert row["severity_number"] == 17  # ERROR line

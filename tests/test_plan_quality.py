@@ -68,3 +68,36 @@ def test_count_connector_partial_aggregation(spark):
     assert "HashAggregate" in plan.split("Exchange")[0] or "partial" in plan
     assert plan.count("Exchange") <= 2  # one shuffle for the agg (+AQE read)
     del pre_exchange
+
+
+def test_parser_suites_are_shuffle_free(spark):
+    """The three parser suite queries chain 4-5 parsers over one scan —
+    pure narrow projections, zero Exchange."""
+    from opentelemetry_collector_contrib_spark.plans.queries_suites import (
+        q_parsers_structured,
+        q_parsers_syslog_time,
+        q_parsers_web,
+    )
+
+    for q in (q_parsers_structured, q_parsers_web):
+        plan = _plan(q(spark, SF_DIR))
+        assert "Exchange" not in plan, f"{q.__name__} shuffles"
+    # syslog/time suite includes trace/severity columns — still narrow
+    plan = _plan(q_parsers_syslog_time(spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_enrichment_suite_broadcasts_all_lookups(spark):
+    """k8s + geoip + resourcedetection in one pass: every join broadcast,
+    exactly one aggregation shuffle at the end."""
+    from opentelemetry_collector_contrib_spark.plans.queries_suites import q_enrichment_suite
+
+    plan = _plan(q_enrichment_suite(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    import re as _re
+
+    non_broadcast = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln and _re.search(r"\bExchange\b", ln)
+    ]
+    assert len(non_broadcast) <= 2, non_broadcast  # the final groupBy (+AQE read)
