@@ -136,23 +136,41 @@ SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
-    return similarity.embedding_cosine_pairs(_embeddings(spark, sf_dir), threshold=0.35)
+    """Both cosine near-dup paths in one oracle row: the exact all-pairs
+    check ('exact') AND the sign-bucketed scale path ('bucketed', the
+    production shape — equality join on the LSH bucket, no theta join)."""
+    emb = _embeddings(spark, sf_dir)
+    exact = similarity.embedding_cosine_pairs(emb, threshold=0.35).withColumn(
+        "path", F.lit("exact")
+    )
+    bucketed = similarity.embedding_cosine_pairs(
+        emb, threshold=0.35, bucket_bits=8
+    ).withColumn("path", F.lit("bucketed"))
+    return exact.unionByName(bucketed)
 
 
-SQL_DEDUP_EMBEDDING_COSINE = """
+_BUCKET8_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
+)
+
+SQL_DEDUP_EMBEDDING_COSINE = f"""
 WITH n AS (
   SELECT vec_id, embedding,
-         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm,
+         {_BUCKET8_SQL} AS bucket
   FROM embeddings
 ),
 scored AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.bucket = b.bucket AS same_bucket,
          ROUND(list_sum(list_transform(range(1, len(a.embedding)+1),
                  i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
                / (a.nrm * b.nrm), 4) AS cos
   FROM n a JOIN n b ON a.vec_id < b.vec_id
 )
-SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.35
+SELECT id_a, id_b, cos, 'exact' AS path FROM scored WHERE cos >= 0.35
+UNION ALL
+SELECT id_a, id_b, cos, 'bucketed' AS path FROM scored WHERE cos >= 0.35 AND same_bucket
 """
 
 

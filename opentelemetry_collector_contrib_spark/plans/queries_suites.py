@@ -845,34 +845,62 @@ FROM events
 """
 
 
-def q_dedup_embedding_cosine_bucketed(spark, sf_dir):
-    """The SCALE path of embedding near-dup: candidates restricted to equal
-    sign-LSH buckets (equality join key), not the all-pairs theta join."""
-    from ..dataprep import similarity
+def q_text_decontamination(spark, sf_dir):
+    """LLM-data hygiene: benchmark n-gram decontamination (broadcast
+    benchmark gram set, map-side join — the GPT-3/Llama data-card method)
+    + PII scrubbing (email/IPv4 regexp counts + scrubbed-text digest),
+    one row per corpus doc."""
+    from ..dataprep import decontaminate
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.embedding_cosine_pairs(emb, threshold=0.35, bucket_bits=8)
+    docs = _documents(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") < 20)
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    cont = decontaminate.ngram_contamination(corpus, bench, n=8)
+    scrubbed = decontaminate.pii_scrub(corpus, kinds=["email", "ipv4"])
+    return scrubbed.join(cont, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) >= 1).alias("contaminated"),
+        "pii_email_count",
+        "pii_ipv4_count",
+        F.md5("text_scrubbed").alias("fp_scrubbed"),
+    )
 
 
-_BUCKET8 = " + ".join(
-    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
+_EMAIL_RX = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_IPV4_RX = (
+    r"\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}"
+    r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b"
 )
 
-SQL_DEDUP_EMBEDDING_COSINE_BUCKETED = f"""
-WITH n AS (
-  SELECT vec_id, embedding,
-         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm,
-         {_BUCKET8} AS bucket
-  FROM embeddings
+SQL_TEXT_DECONTAMINATION = f"""
+WITH bench AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(
+           range(1, greatest(len(w)-7,1)+1),
+           i -> array_to_string(w[i:i+7], ' ')))) AS gram
+  FROM (SELECT string_split(text,' ') AS w FROM documents WHERE doc_id < 20)
 ),
-scored AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         ROUND(list_sum(list_transform(range(1, len(a.embedding)+1),
-                 i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-               / (a.nrm * b.nrm), 4) AS cos
-  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+corpus AS (
+  SELECT doc_id, text, string_split(text,' ') AS w FROM documents WHERE doc_id >= 20
+),
+doc_grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(w)-7,1)+1),
+           i -> array_to_string(w[i:i+7], ' ')))) AS gram
+  FROM corpus
+),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_hits FROM doc_grams JOIN bench USING (gram) GROUP BY 1
 )
-SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.35
+SELECT c.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) >= 1 AS contaminated,
+       length(regexp_extract_all(c.text, '{_EMAIL_RX}')) AS pii_email_count,
+       length(regexp_extract_all(regexp_replace(c.text, '{_EMAIL_RX}', '<email>', 'g'),
+              '{_IPV4_RX}')) AS pii_ipv4_count,
+       md5(regexp_replace(regexp_replace(c.text, '{_EMAIL_RX}', '<email>', 'g'),
+           '{_IPV4_RX}', '<ipv4>', 'g')) AS fp_scrubbed
+FROM corpus c LEFT JOIN hits h USING (doc_id)
 """
 
 
@@ -919,9 +947,7 @@ REGISTRY_SUITES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str |
     "span_processor": (q_span_processor, SQL_SPAN_PROCESSOR),
     "ottl_xml_suite": (q_ottl_xml_suite, SQL_OTTL_XML_SUITE),
     "ottl_converters_misc": (q_ottl_converters_misc, SQL_OTTL_CONVERTERS_MISC),
-    "dedup_embedding_cosine_bucketed": (
-        q_dedup_embedding_cosine_bucketed, SQL_DEDUP_EMBEDDING_COSINE_BUCKETED
-    ),
+    "text_decontamination": (q_text_decontamination, SQL_TEXT_DECONTAMINATION),
     "streaming_windowed_counts": (q_streaming_windowed_counts, None),
     # consolidated suites (operators unchecked in r01 come first)
     "parsers_syslog_time": (q_parsers_syslog_time, SQL_PARSERS_SYSLOG_TIME),

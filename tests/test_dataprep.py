@@ -150,3 +150,39 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         multimodal.decode_image(media, fake=False).collect()
+
+
+def test_ngram_contamination_flags_overlap(spark):
+    from opentelemetry_collector_contrib_spark.dataprep import decontaminate
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix the quick brown fox jumps over the lazy dog today suffix"),
+            (2, "completely unrelated sentence with different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_hits"] for r in
+           decontaminate.ngram_contamination(docs, bench, n=8).collect()}
+    assert 1 in out and out[1] >= 1
+    assert 2 not in out
+
+
+def test_pii_scrub_counts_and_masks(spark):
+    from opentelemetry_collector_contrib_spark.dataprep import decontaminate
+
+    df = spark.createDataFrame(
+        [(1, "contact bob@example.com or alice@test.org from 10.1.2.3 ssn 123-45-6789")],
+        "doc_id long, text string",
+    )
+    out = decontaminate.pii_scrub(df, kinds=["email", "ipv4", "ssn"]).first()
+    assert out["pii_email_count"] == 2
+    assert out["pii_ipv4_count"] == 1
+    assert out["pii_ssn_count"] == 1
+    s = out["text_scrubbed"]
+    assert "<email>" in s and "<ipv4>" in s and "<ssn>" in s
+    assert "bob@example.com" not in s and "10.1.2.3" not in s
