@@ -1,0 +1,58 @@
+"""Sequence packing: tokenized documents -> fixed-length training rows.
+
+The standard concat-and-chunk packing used for LLM pretraining batches
+(documents concatenated in a deterministic order, the token stream sliced
+into max_len windows; the tail shorter than max_len is kept or dropped).
+
+Spark-first shape for 10^12 tokens:
+- the corpus is SHARDED by a deterministic key (doc_id % num_shards) and
+  packed within shards — the same thing a distributed data loader does
+  per worker. Cross-shard boundaries lose at most (num_shards - 1) tail
+  windows, and sharding is what makes the op scale: each shard's token
+  stream must fit one task, so num_shards is sized to
+  corpus_tokens / (tokens per task you want).
+- within a shard everything is JVM higher-order functions: one
+  groupBy(shard) shuffle carrying (doc_id, tokens), an ordered flatten,
+  then slice() windows exploded back out. No Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_len: int,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    num_shards: int = 8,
+    drop_tail: bool = False,
+) -> DataFrame:
+    """-> (shard, seq_index, tokens, n_tok): deterministic fixed-length
+    training sequences. Documents are ordered by id within their shard;
+    a document may span two adjacent output rows (concat-and-chunk, no
+    padding inserted)."""
+    shard = (F.col(id_col) % num_shards).alias("shard")
+    per_shard = (
+        df.select(shard, F.struct(F.col(id_col).alias("id"), F.col(tokens_col).alias("t")).alias("e"))
+        .groupBy("shard")
+        .agg(F.array_sort(F.collect_list("e")).alias("docs"))
+        .withColumn("stream", F.flatten(F.transform(F.col("docs"), lambda d: d["t"])))
+        .drop("docs")
+    )
+    n_chunks = F.ceil(F.size("stream") / F.lit(max_len)).cast("int")
+    chunks = per_shard.select(
+        "shard",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.slice(F.col("stream"), i * max_len + 1, max_len),
+            )
+        ).alias("seq_index", "tokens"),
+    ).withColumn("n_tok", F.size("tokens"))
+    if drop_tail:
+        chunks = chunks.filter(F.col("n_tok") == max_len)
+    return chunks

@@ -645,5 +645,9 @@ REGISTRY_OPS2: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "spanmetrics_exponential": (q_spanmetrics_exponential, SQL_SPANMETRICS_EXPONENTIAL),
     "config_pipeline_yaml": (q_config_pipeline, SQL_CONFIG_PIPELINE),
     "field_transformers": (q_field_transformers, SQL_FIELD_TRANSFORMERS),
-    "partition_keys_maphash16_fnv": (q_partition_keys, None),
+    # partition_keys_maphash16_fnv (q_partition_keys above) left OUT of the
+    # 50-entry registry: its driver check was rows-only (the hashes aren't
+    # SQL-expressible) while tests/test_hashes.py already proves bit parity
+    # against hashlib vectors — the slot buys more evidence as
+    # sequence_packing's full oracle row.
 }

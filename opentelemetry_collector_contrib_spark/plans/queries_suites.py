@@ -904,6 +904,43 @@ FROM corpus c LEFT JOIN hits h USING (doc_id)
 """
 
 
+def q_sequence_packing(spark, sf_dir):
+    """Concat-and-chunk sequence packing over a deterministically
+    tokenized document corpus (the training-batch assembly step for the
+    north rule's pre-tokenized sequence table)."""
+    from ..dataprep import packing
+    from ..dataprep.dedup import hash32
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.transform(
+            F.split(F.col("text"), " "), lambda w: hash32(w) % 50257
+        ).alias("tokens"),
+    )
+    return packing.pack_sequences(docs, max_len=64, num_shards=4)
+
+
+SQL_SEQUENCE_PACKING = """
+WITH tok AS (
+  SELECT doc_id, doc_id % 4 AS shard,
+         list_transform(string_split(text,' '),
+                        w -> ('0x'||substr(md5(w),1,8))::BIGINT % 50257) AS t
+  FROM documents
+),
+streams AS (
+  SELECT shard, flatten(list(t ORDER BY doc_id)) AS stream FROM tok GROUP BY shard
+),
+chunks AS (
+  SELECT shard, i AS seq_index,
+         stream[(i*64+1)::BIGINT : (i*64+64)::BIGINT] AS tokens
+  FROM streams, UNNEST(range(0, ceil(len(stream)/64.0)::BIGINT)) AS u(i)
+)
+SELECT shard, CAST(seq_index AS INT) AS seq_index, tokens,
+       len(tokens) AS n_tok
+FROM chunks
+"""
+
+
 def q_streaming_windowed_counts(spark, sf_dir):
     """Structured Streaming surface under the driver gate (rows-only — a
     stream's trigger/commit cycle is not SQL-expressible): bounded
@@ -948,6 +985,7 @@ REGISTRY_SUITES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str |
     "ottl_xml_suite": (q_ottl_xml_suite, SQL_OTTL_XML_SUITE),
     "ottl_converters_misc": (q_ottl_converters_misc, SQL_OTTL_CONVERTERS_MISC),
     "text_decontamination": (q_text_decontamination, SQL_TEXT_DECONTAMINATION),
+    "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "streaming_windowed_counts": (q_streaming_windowed_counts, None),
     # consolidated suites (operators unchecked in r01 come first)
     "parsers_syslog_time": (q_parsers_syslog_time, SQL_PARSERS_SYSLOG_TIME),

@@ -186,3 +186,30 @@ def test_pii_scrub_counts_and_masks(spark):
     s = out["text_scrubbed"]
     assert "<email>" in s and "<ipv4>" in s and "<ssn>" in s
     assert "bob@example.com" not in s and "10.1.2.3" not in s
+
+
+def test_pack_sequences_properties(spark):
+    from opentelemetry_collector_contrib_spark.dataprep import packing
+
+    docs = spark.createDataFrame(
+        [(i, list(range(i * 100, i * 100 + 10 + i))) for i in range(20)],
+        "doc_id long, tokens array<int>",
+    )
+    out = packing.pack_sequences(docs, max_len=16, num_shards=3).collect()
+    total_in = sum(10 + i for i in range(20))
+    assert sum(r["n_tok"] for r in out) == total_in  # nothing lost
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["seq_index"])
+        assert all(r["n_tok"] == 16 for r in rows[:-1])  # only tail short
+        stream = [t for r in rows for t in r["tokens"]]
+        expect = [
+            t
+            for i in sorted(d for d in range(20) if d % 3 == shard)
+            for t in range(i * 100, i * 100 + 10 + i)
+        ]
+        assert stream == expect  # doc order + token order preserved
+    dropped = packing.pack_sequences(docs, max_len=16, num_shards=3, drop_tail=True)
+    assert all(r["n_tok"] == 16 for r in dropped.collect())
