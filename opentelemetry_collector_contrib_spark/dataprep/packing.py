@@ -42,6 +42,10 @@ def pack_sequences(
         .agg(F.array_sort(F.collect_list("e")).alias("docs"))
         .withColumn("stream", F.flatten(F.transform(F.col("docs"), lambda d: d["t"])))
         .drop("docs")
+        # a shard whose every doc tokenized to [] has an empty stream:
+        # sequence(0, -1) would emit the DESCENDING [0, -1] and fabricate
+        # two zero-length training rows — emit nothing instead
+        .filter(F.size("stream") > 0)
     )
     n_chunks = F.ceil(F.size("stream") / F.lit(max_len)).cast("int")
     chunks = per_shard.select(

@@ -146,44 +146,31 @@ def grok_extract(
 ) -> Column:
     """ExtractGrokPatterns -> map<string,string> of captures keyed by
     their ORIGINAL grok names (dots and @ preserved; duplicate keys keep
-    the first non-empty match, like go-grok). Unmatched rows -> empty map.
-    Typed captures (%{X:key:int}) stay strings in the flat map model —
-    callers cast (the reference PutInt/PutFloat at this point)."""
+    the first non-EMPTY match, like go-grok). Inline regex named groups
+    mixed with %{...} references keep their own names. BOTH impls agree:
+    non-matching rows -> NULL map (parser on_error semantics key off it),
+    matched rows -> map of non-empty captures. Typed captures
+    (%{X:key:int}) stay strings in the flat map model — callers cast (the
+    reference PutInt/PutFloat at this point)."""
+    from .rxutil import strip_named_groups
+
     ex = _Expander(custom, named_captures_only)
     rx = ex.expand(pattern)
     names = list(ex.names)
 
+    def orig_of(gname: str) -> str:
+        # expander groups are g<N>; user-written inline (?P<name>...) keep
+        # their own name
+        if re.fullmatch(r"g\d+", gname) and int(gname[1:]) < len(names):
+            return names[int(gname[1:])]
+        return gname
+
     if impl == "jvm":
-        # group g{i} is capturing-group index: count '(' openings in order
-        idx_of: list[tuple[int, str]] = []  # (java_group_index, original key)
-        gi = 0
-        i = 0
-        in_class = False  # '(' inside [...] is a literal, not a group
-        stripped_parts: list[str] = []
-        while i < len(rx):
-            ch = rx[i]
-            escaped = i > 0 and rx[i - 1] == "\\" and (i < 2 or rx[i - 2] != "\\")
-            if ch == "[" and not escaped and not in_class:
-                in_class = True
-            elif ch == "]" and not escaped and in_class:
-                in_class = False
-            elif ch == "(" and not escaped and not in_class:
-                if rx.startswith("(?P<", i):
-                    gi += 1
-                    end = rx.index(">", i)
-                    gname = rx[i + 4 : end]
-                    idx_of.append((gi, names[int(gname[1:])]))
-                    stripped_parts.append("(")
-                    i = end + 1
-                    continue
-                if not rx.startswith("(?", i):
-                    gi += 1
-            stripped_parts.append(rx[i])
-            i += 1
-        jvm_rx = "".join(stripped_parts)
-        keys, vals = [], []
+        jvm_rx, idx_names = strip_named_groups(rx)
         seen: dict[str, Column] = {}
-        for idx, orig in idx_of:
+        keys: list[str] = []
+        for idx, gname in idx_names:
+            orig = orig_of(gname)
             v = F.regexp_extract(col, jvm_rx, idx)
             if orig in seen:
                 seen[orig] = F.when(seen[orig] != "", seen[orig]).otherwise(v)
@@ -212,12 +199,15 @@ def grok_extract(
                 return None
             m = crx.search(v)
             if not m:
-                return {}
+                return None  # NULL like the jvm path (on_error contract)
             out: dict[str, str] = {}
             for gname, val in m.groupdict().items():
-                if val is None:
+                if not val:  # drop None AND '' (jvm can't distinguish)
                     continue
-                orig = names_src[int(gname[1:])]
+                if re.fullmatch(r"g\d+", gname) and int(gname[1:]) < len(names_src):
+                    orig = names_src[int(gname[1:])]
+                else:
+                    orig = gname
                 if orig not in out:
                     out[orig] = val
             return out

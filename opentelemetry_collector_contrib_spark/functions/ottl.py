@@ -167,34 +167,11 @@ def extract_patterns(col: Column, pattern: str) -> Column:
     # Java group names can't contain '_' etc. — strip names entirely for the
     # JVM pattern (named groups share numbering with plain ones, so indices
     # are unchanged) and extract by index.
-    norm = re.sub(r"\(\?P<", "(?<", pattern)
-    idx_of: dict[str, int] = {}
-    out_parts: list[str] = []
-    gi = 0
-    i = 0
-    in_class = False  # '(' inside [...] is a literal, not a capturing group
-    while i < len(norm):
-        ch = norm[i]
-        escaped = i > 0 and norm[i - 1] == "\\" and (i < 2 or norm[i - 2] != "\\")
-        if ch == "[" and not escaped and not in_class:
-            in_class = True
-        elif ch == "]" and not escaped and in_class:
-            in_class = False
-        elif ch == "(" and not escaped and not in_class:
-            if norm.startswith("(?<", i) and not norm.startswith("(?<=", i) and not norm.startswith("(?<!", i):
-                gi += 1
-                end = norm.index(">", i)
-                idx_of[norm[i + 3 : end]] = gi
-                out_parts.append("(")
-                i = end + 1
-                continue
-            if not norm.startswith("(?", i):
-                gi += 1
-        out_parts.append(norm[i])
-        i += 1
-    spark_pat = "".join(out_parts)
+    from .rxutil import strip_named_groups
+
+    spark_pat, name_list = strip_named_groups(pattern)
     keys, vals = [], []
-    for name, idx in idx_of.items():
+    for idx, name in name_list:
         keys.append(F.lit(name))
         vals.append(F.regexp_extract(col, spark_pat, idx))
     m = F.map_filter(

@@ -109,13 +109,28 @@ def salted_repartition(
     # salt over ALL hashable columns: hashing just one column + the key
     # degenerates to a constant salt when that column IS the key (or is
     # constant within the hot key), silently defeating the spread.
-    # xxhash64 rejects MapType (HASH_MAP_TYPE) — log frames always carry an
-    # attributes map, so convert maps to their sorted entry list first.
+    # xxhash64 rejects MapType anywhere in the type (HASH_MAP_TYPE) — log
+    # frames always carry an attributes map; top-level maps become their
+    # sorted entry list, and any DEEPER map (array<map>, struct with a map
+    # field) hashes its canonical JSON text instead.
+    def _contains_map(dt) -> bool:
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.MapType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return _contains_map(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return any(_contains_map(f.dataType) for f in dt.fields)
+        return False
+
     def hashable(f):
         from pyspark.sql import types as T
 
         if isinstance(f.dataType, T.MapType):
             return F.array_sort(F.map_entries(F.col(f.name)))
+        if _contains_map(f.dataType):
+            return F.to_json(F.col(f.name))
         return F.col(f.name)
 
     salt = F.pmod(F.xxhash64(*[hashable(f) for f in df.schema.fields]), F.lit(salt_buckets))

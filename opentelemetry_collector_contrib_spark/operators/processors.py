@@ -326,33 +326,34 @@ def metricstransform_processor(
     out = df
     for rule in rules:
         match = _mt_name_matches(F.col(metric_col), rule["include"], rule.get("match_type", "strict"))
-        if rule.get("action", "update") == "insert":
-            copy = out.filter(match)
-            if rule.get("new_name"):
-                copy = copy.withColumn(metric_col, F.lit(rule["new_name"]))
-            out = _mt_apply_operations(
-                copy, rule.get("operations", []), F.lit(True), metric_col, labels_col, value_col
-            ).unionByName(out, allowMissingColumns=True)
-            continue
-        # update in place
+        renamed = None
         if rule.get("new_name"):
             if rule.get("match_type") == "regexp":
+                # regexp_replace expands $1-style submatch refs
                 renamed = F.regexp_replace(
                     F.col(metric_col), rule["include"], rule["new_name"]
                 )
             else:
                 renamed = F.lit(rule["new_name"])
+        if rule.get("action", "update") == "insert":
+            copy = out.filter(match)
+            if renamed is not None:
+                copy = copy.withColumn(metric_col, renamed)
+            out = _mt_apply_operations(
+                copy, rule.get("operations", []), F.lit(True), metric_col, labels_col, value_col
+            ).unionByName(out, allowMissingColumns=True)
+            continue
+        # update in place: tag the matched rows BEFORE renaming so the
+        # operations hit exactly the rows `include` selected — never
+        # pre-existing metrics that happen to bear the new name
+        out = out.withColumn("__mt_match", F.coalesce(match, F.lit(False)))
+        if renamed is not None:
             out = out.withColumn(
-                metric_col, F.when(match, renamed).otherwise(F.col(metric_col))
-            )
-            match = _mt_name_matches(
-                F.col(metric_col),
-                rule["new_name"] if rule.get("match_type") != "regexp" else rule["new_name"].replace("$1", ".*"),
-                rule.get("match_type", "strict"),
+                metric_col, F.when(F.col("__mt_match"), renamed).otherwise(F.col(metric_col))
             )
         out = _mt_apply_operations(
-            out, rule.get("operations", []), match, metric_col, labels_col, value_col
-        )
+            out, rule.get("operations", []), F.col("__mt_match"), metric_col, labels_col, value_col
+        ).drop("__mt_match")
     return out
 
 
@@ -387,9 +388,14 @@ def _mt_apply_operations(
                 )
             out = out.withColumn(labels_col, F.when(match, cur).otherwise(m()))
         elif a == "delete_label_value":
-            # drop datapoints carrying this label value (config.go:190)
+            # drop datapoints carrying this label value (config.go:190);
+            # rows WITHOUT the label make element_at NULL — coalesce so
+            # they are kept, not silently dropped by a NULL predicate
             out = out.filter(
-                ~(match & (F.element_at(m(), op["label"]) == op["label_value"]))
+                ~F.coalesce(
+                    match & (F.element_at(m(), op["label"]) == op["label_value"]),
+                    F.lit(False),
+                )
             )
         elif a == "toggle_scalar_data_type":
             # long <-> double; our flat model carries doubles, so toggling
@@ -425,6 +431,10 @@ def _mt_apply_operations(
                 .withColumn(labels_col, F.map_from_entries(F.col("__e")))
                 .drop("__e")
             )
+            if "__mt_match" in out.columns:
+                # post-aggregate rows are still the rule's matched set for
+                # any operations that follow in the same rule
+                regrouped = regrouped.withColumn("__mt_match", F.lit(True))
             out = regrouped.unionByName(rest, allowMissingColumns=True)
         elif a == "aggregate_label_values":
             # collapse listed values of one label into new_value, combine
@@ -445,6 +455,10 @@ def _mt_apply_operations(
                 .withColumn(labels_col, F.map_from_entries(F.col("__e")))
                 .drop("__e")
             )
+            if "__mt_match" in out.columns:
+                # post-aggregate rows are still the rule's matched set for
+                # any operations that follow in the same rule
+                regrouped = regrouped.withColumn("__mt_match", F.lit(True))
             out = regrouped.unionByName(rest, allowMissingColumns=True)
         else:
             raise ValueError(f"unknown metricstransform operation {a!r}")
@@ -685,7 +699,9 @@ def span_processor(
                 # rewrite the name in one regexp_replace: the full match is
                 # replaced by a template keeping the non-group text and
                 # swapping each named group for its ^{name} placeholder
-                jvm_rule = _re.sub(r"\(\?P<", "(?<", rule)
+                # strip group names for the JVM pattern (Java rejects '_'
+                # and '.' in group names; the template uses no backrefs)
+                jvm_rule = _re.sub(r"\(\?P?<(?![=!])[^>]+>", "(", rule)
                 template = _span_name_template(rule)
                 replaced = F.regexp_replace(F.col(name_col), jvm_rule, template)
                 out = out.withColumn(
@@ -708,8 +724,14 @@ def _span_name_template(rule: str) -> str:
     i = 0
     while i < len(rule):
         ch = rule[i]
-        if rule.startswith("(?P<", i) or rule.startswith("(?<", i):
-            m = _re.match(r"\(\?P?<([A-Za-z][A-Za-z0-9]*)>", rule[i:])
+        if rule.startswith("(?P<", i) or (
+            rule.startswith("(?<", i)
+            and not rule.startswith("(?<=", i)
+            and not rule.startswith("(?<!", i)
+        ):
+            m = _re.match(r"\(\?P?<([A-Za-z_][A-Za-z0-9_.]*)>", rule[i:])
+            if m is None:
+                raise ValueError(f"unsupported group name syntax at {rule[i:i+20]!r}")
             name = m.group(1)
             out.append("{" + name + "}")
             depth_local = 1

@@ -553,3 +553,114 @@ def test_extract_patterns_paren_in_char_class(spark):
         ).alias("m")
     ).first()["m"]
     assert got == {"inner": "a", "code": "42"}
+
+
+# ---------------------------------------------------------------------------
+# round-2 code-review fixes
+# ---------------------------------------------------------------------------
+
+
+def test_mt_delete_label_value_keeps_unlabeled_rows(spark):
+    df = spark.createDataFrame(
+        [("m", {"core": "1"}, 1.0), ("m", {}, 2.0), ("m", {"core": "0"}, 3.0)],
+        "metric string, labels map<string,string>, value double",
+    )
+    out = processors.metricstransform_processor(
+        df,
+        [{"include": "m",
+          "operations": [{"action": "delete_label_value", "label": "core", "label_value": "1"}]}],
+    )
+    assert sorted(r["value"] for r in out.collect()) == [2.0, 3.0]
+
+
+def test_mt_rename_does_not_rematch_preexisting_name(spark):
+    df = spark.createDataFrame(
+        [("sys.mem", {}, 1.0), ("system.memory", {}, 2.0)],
+        "metric string, labels map<string,string>, value double",
+    )
+    out = processors.metricstransform_processor(
+        df,
+        [{"include": "sys.mem", "action": "update", "new_name": "system.memory",
+          "operations": [{"action": "add_label", "new_label": "renamed", "new_value": "y"}]}],
+    )
+    got = {r["value"]: dict(r["labels"]) for r in out.collect()}
+    assert got[1.0] == {"renamed": "y"}  # the renamed row got the op
+    assert got[2.0] == {}  # the pre-existing same-name row did NOT
+
+
+def test_mt_insert_expands_regexp_submatch_in_new_name(spark):
+    df = spark.createDataFrame(
+        [("sys.mem", {}, 1.0)], "metric string, labels map<string,string>, value double"
+    )
+    out = processors.metricstransform_processor(
+        df,
+        [{"include": r"sys\.(.*)", "match_type": "regexp", "action": "insert",
+          "new_name": "system.$1"}],
+    )
+    assert {r["metric"] for r in out.collect()} == {"sys.mem", "system.mem"}
+
+
+def test_span_to_attributes_underscore_group_names(spark):
+    df = spark.createDataFrame(
+        [("/api/v1/doc/77/update", {})],
+        "span_name string, attributes map<string,string>",
+    )
+    out = processors.span_processor(
+        df, to_attributes_rules=[r"^/api/v1/doc/(?P<doc_id>\d+)/update$"]
+    )
+    r = out.first()
+    assert r["attributes"]["doc_id"] == "77"
+    assert r["span_name"] == "/api/v1/doc/{doc_id}/update"
+
+
+def test_pii_phone_plain_formats(spark):
+    from opentelemetry_collector_contrib_spark.dataprep import decontaminate
+
+    df = spark.createDataFrame(
+        [(1, "call 555-123-4567 or (555) 123-4567 or +1 555 123 4567")],
+        "doc_id long, text string",
+    )
+    out = decontaminate.pii_scrub(df, kinds=["phone"]).first()
+    assert out["pii_phone_count"] == 3
+    assert "555-123-4567" not in out["text_scrubbed"]
+
+
+def test_pack_sequences_empty_docs_emit_nothing(spark):
+    from opentelemetry_collector_contrib_spark.dataprep import packing
+
+    docs = spark.createDataFrame(
+        [(0, []), (3, []), (1, [1, 2, 3])], "doc_id long, tokens array<int>"
+    )
+    out = packing.pack_sequences(docs, max_len=2, num_shards=3).collect()
+    # shard 0 (docs 0,3) is all-empty -> zero rows, not [0,-1] phantom rows
+    assert all(r["shard"] == 1 for r in out)
+    assert sum(r["n_tok"] for r in out) == 3
+
+
+def test_grok_inline_named_groups_mixed_with_refs(spark):
+    from opentelemetry_collector_contrib_spark.functions import grok as G
+
+    df = spark.createDataFrame([("level=warn 42",), ("nope",)], "body string")
+    for impl in ("pandas", "jvm"):
+        rows = df.select(
+            G.grok_extract(
+                F.col("body"), r"level=(?P<level>\w+) %{INT:code}", impl=impl
+            ).alias("m")
+        ).collect()
+        assert rows[0]["m"] == {"level": "warn", "code": "42"}, impl
+        assert rows[1]["m"] is None, impl  # both impls NULL on no-match
+
+
+def test_salted_repartition_nested_map_types(spark):
+    from opentelemetry_collector_contrib_spark.operators.enrich import salted_repartition
+
+    df = spark.createDataFrame(
+        [(i, "hot") for i in range(50)], "id long, source string"
+    ).withColumn(
+        "scopes",
+        F.array(F.create_map(F.lit("k"), F.col("id").cast("string"))),
+    ).withColumn(
+        "res", F.struct(F.create_map(F.lit("a"), F.lit("b")).alias("attrs"))
+    )
+    out = salted_repartition(df, "source", salt_buckets=4, num_partitions=4)
+    assert out.count() == 50
