@@ -65,10 +65,20 @@ def q_parsers_structured(spark, sf_dir):
         "body_arr",
         F.format_string("[%d, %d, %d]", F.col("event_id"), F.col("user_id"), F.col("event_id") % 7),
     )
+    from ..operators import transformers
+
     out = parsers.json_parser(ev, parse_from="props", parse_to="a_json")
     out = parsers.csv_parser(out, header=["id", "etype", "val"], parse_from="body_csv", parse_to="a_csv")
     out = parsers.keyvalue_parser(out, parse_from="body_kv", parse_to="a_kv")
     out = parsers.jsonarray_parser(out, parse_from="body_arr", element_type="bigint")
+    # stanza assign_keys: zip the split csv body with key names
+    out = out.withColumn("__parts", F.split(F.col("body_csv"), ","))
+    out = transformers.assign_keys(out, "__parts", ["ak_id", "ak_etype", "ak_val"], out_col="a_ak")
+    # stanza flatten: promote a nested map one level up (prefixed)
+    out = out.withColumn("attributes", F.col("a_kv")).withColumn(
+        "nested", F.create_map(F.lit("inner"), F.col("event_type"))
+    )
+    out = transformers.flatten(out, "nested")
     return out.select(
         "event_id",
         F.element_at("a_json", "k").cast("long").alias("k"),
@@ -79,6 +89,8 @@ def q_parsers_structured(spark, sf_dir):
         F.element_at("a_kv", "etype").alias("kv_etype"),
         F.element_at("parsed_array", 2).alias("arr_second"),
         F.size("parsed_array").alias("arr_n"),
+        F.element_at("a_ak", "ak_etype").alias("ak_etype"),
+        F.element_at("attributes", "nested.inner").alias("flat_inner"),
     )
 
 
@@ -87,7 +99,8 @@ SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
        event_id AS csv_id, event_type AS csv_etype, printf('%.2f', value) AS csv_val,
        user_id AS kv_uid, event_type AS kv_etype,
-       user_id AS arr_second, 3 AS arr_n
+       user_id AS arr_second, 3 AS arr_n,
+       event_type AS ak_etype, event_type AS flat_inner
 FROM events
 """
 
@@ -192,8 +205,10 @@ def q_parsers_syslog_time(spark, sf_dir):
     out = parsers.time_parser(out, "ts_ms", "ms", "epoch", out_col="t2")
     out = parsers.trace_parser(out, trace_id_from="tid", span_id_from="sid", flags_from="fl")
     out = parsers.severity_parser(out, "lvl")
+    out = parsers.scope_name_parser(out, "a5[appname]")
     return out.select(
         "event_id",
+        "scope_name",
         F.element_at("a3", "hostname").alias("hostname3164"),
         F.element_at("a3", "appname").alias("appname3164"),
         F.element_at("a3", "proc_id").cast("long").alias("proc3164"),
@@ -214,6 +229,7 @@ def q_parsers_syslog_time(spark, sf_dir):
 
 SQL_PARSERS_SYSLOG_TIME = """
 SELECT event_id,
+       'app' AS scope_name,
        'host-' || (user_id % 10)::VARCHAR AS hostname3164,
        'app' || (user_id % 3)::VARCHAR AS appname3164,
        event_id % 9999 AS proc3164,
@@ -262,17 +278,27 @@ def _geo_blocks(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, "ip_start long, ip_end long, country string")
 
 
+def _dns_table(spark: SparkSession) -> DataFrame:
+    rows = [(f"host-{i}", f"192.168.0.{i}") for i in range(10)]
+    return spark.createDataFrame(rows, "hostname string, resolved_ip string")
+
+
 def q_enrichment_suite(spark, sf_dir):
+    from ..operators.enrich import dns_enrich
+
     ev = _events(spark, sf_dir).withColumn(
         "pod_ip", F.format_string("10.0.0.%d", F.col("user_id") % 32)
     ).withColumn(
         "ip", F.format_string("10.0.%d.%d", F.col("user_id") % 256, F.col("event_id") % 256)
+    ).withColumn(
+        "hostname", F.format_string("host-%d", F.col("user_id") % 10)
     ).withColumn(
         "resource_attributes",
         F.create_map(F.lit("host.name"), F.format_string("h-%d", F.col("user_id") % 3)),
     )
     out = k8sattributes_enrich(ev, _pod_meta(spark))
     out = geoip_enrich(out, _geo_blocks(spark))
+    out = dns_enrich(out, _dns_table(spark))
     out = processors.resourcedetection_processor(
         out, {"cloud.provider": "aws", "host.name": "detected-host"}
     )
@@ -280,6 +306,7 @@ def q_enrichment_suite(spark, sf_dir):
         F.element_at("resource_attributes", "k8s.pod.name").alias("pod"),
         F.element_at("resource_attributes", "k8s.namespace.name").alias("ns"),
         F.col("country"),
+        F.col("resolved_ip"),
         F.element_at("resource_attributes", "host.name").alias("host"),
         F.element_at("resource_attributes", "cloud.provider").alias("provider"),
     ).agg(F.count(F.lit(1)).alias("n"))
@@ -290,10 +317,11 @@ SELECT CASE WHEN user_id % 32 < 16 THEN 'pod-' || (user_id % 32)::VARCHAR END AS
        CASE WHEN user_id % 32 < 16 THEN 'ns-' || ((user_id % 32) % 4)::VARCHAR END AS ns,
        CASE ((user_id % 256) // 64)::INT
          WHEN 0 THEN 'US' WHEN 1 THEN 'DE' WHEN 2 THEN 'JP' ELSE 'BR' END AS country,
+       '192.168.0.' || (user_id % 10)::VARCHAR AS resolved_ip,
        'h-' || (user_id % 3)::VARCHAR AS host,
        'aws' AS provider,
        COUNT(*) AS n
-FROM events GROUP BY 1, 2, 3, 4, 5
+FROM events GROUP BY 1, 2, 3, 4, 5, 6
 """
 
 
