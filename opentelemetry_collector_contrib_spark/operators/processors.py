@@ -489,6 +489,74 @@ def metricsgeneration_processor(
     )
 
 
+def exponential_to_explicit_histogram(
+    df: DataFrame,
+    explicit_bounds: list[float],
+    dims: list[str],
+    scale: int,
+    index_col: str = "bucket_index",
+    count_col: str = "bucket_count",
+    zero_count_col: str | None = "zero_count",
+    distribution: str = "upper",
+) -> DataFrame:
+    """transformprocessor convert_exponential_hist_to_explicit_hist
+    (/root/reference/processor/transformprocessor/internal/metrics/
+    func_convert_exponential_hist_to_explicit_hist.go:109-205): each
+    exponential bucket [e^(i*f), e^((i+1)*f)] with f = ln2 * 2^-scale
+    lands in
+      1. the overflow bucket when lower > bounds[-1],
+      2. bIndex-1 when it fits exactly inside (bounds[bIndex-1], bounds[bIndex]],
+      3. else per `distribution`: 'upper' -> first j with upper <= bounds[j];
+         'midpoint' -> j-1 (j>0) for the first j with (upper+lower)/2 <=
+         bounds[j]; overflow fallback for both;
+    the zero bucket joins bucket 0 only when bounds[0] == 0.
+
+    Input rows: one per (dims, bucket_index) with counts (the
+    spanmetrics_exponential output shape). Output: one row per dims with
+    the explicit `bucket_counts` array — a single keyed aggregation."""
+    import math
+
+    f = math.log(2.0) * (2.0 ** -scale)
+    idx = F.col(index_col).cast("double")
+    upper = F.exp((idx + 1) * f)
+    lower = F.exp(idx * f)
+    last = len(explicit_bounds) - 1
+    expr = F.when(lower > explicit_bounds[-1], last)
+    for b in range(1, len(explicit_bounds)):
+        expr = expr.when(
+            (lower > explicit_bounds[b - 1]) & (upper <= explicit_bounds[b]), b - 1
+        )
+    if distribution == "upper":
+        for j, bound in enumerate(explicit_bounds):
+            expr = expr.when(upper <= bound, j)
+    elif distribution == "midpoint":
+        midpoint = (upper + lower) / 2
+        for j, bound in enumerate(explicit_bounds):
+            expr = expr.when(midpoint <= bound, max(j - 1, 0))
+    else:
+        raise ValueError(f"unsupported distribution {distribution!r} (upper|midpoint)")
+    expr = expr.otherwise(last)
+    tagged = df.withColumn(
+        "__target", F.when(F.col(index_col).isNotNull(), expr)
+    )
+    aggs = [
+        F.sum(
+            F.when(F.col("__target") == j, F.col(count_col)).otherwise(0)
+        ).alias(f"__b{j}")
+        for j in range(len(explicit_bounds))
+    ]
+    if zero_count_col:
+        aggs.append(F.first(zero_count_col).alias("__zero"))
+    per = tagged.groupBy(*dims).agg(*aggs)
+    counts = [F.col(f"__b{j}") for j in range(len(explicit_bounds))]
+    if zero_count_col and explicit_bounds[0] == 0:
+        counts[0] = counts[0] + F.coalesce(F.col("__zero"), F.lit(0))
+    out = per.withColumn("bucket_counts", F.array(*counts)).withColumn(
+        "explicit_bounds", F.array(*[F.lit(float(b)) for b in explicit_bounds])
+    )
+    return out.drop(*[f"__b{j}" for j in range(len(explicit_bounds))], "__zero")
+
+
 # ---------------------------------------------------------------------------
 # sampling
 # ---------------------------------------------------------------------------

@@ -147,3 +147,40 @@ def stateful_delta_to_cumulative(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def session_recombine(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    gap: str = "30 seconds",
+    watermark: str = "60 seconds",
+    body_col: str = "body",
+    streaming: bool = True,
+) -> DataFrame:
+    """Streaming recombine with session semantics: entries of the same
+    source separated by less than `gap` merge into one record — the
+    recombine operator's force_flush_period behavior
+    (/root/reference/pkg/stanza/operator/transformer/recombine/
+    transformer.go:60-84 flush loop) expressed as a session_window
+    aggregation. Bodies join in timestamp order (sort_array over
+    (ts, body) structs — collect_list alone is arrival-ordered and
+    nondeterministic). Works identically on static frames
+    (streaming=False skips the watermark)."""
+    src = df.withWatermark(ts_col, watermark) if streaming else df
+    merged_body = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col(ts_col).alias("t"), F.col(body_col).alias("b")))),
+            lambda e: e["b"],
+        ),
+        "\n",
+    )
+    return (
+        src.groupBy(F.session_window(F.col(ts_col), gap).alias("session"), *key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_entries"),
+            merged_body.alias(body_col),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+    )

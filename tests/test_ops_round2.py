@@ -664,3 +664,39 @@ def test_salted_repartition_nested_map_types(spark):
     )
     out = salted_repartition(df, "source", salt_buckets=4, num_partitions=4)
     assert out.count() == 50
+
+
+def test_exponential_to_explicit_reference_vectors(spark):
+    """Vectors from the reference's own
+    func_convert_exponential_hist_to_explicit_hist_test.go (upper
+    distribution): scale 7, offset 944, counts at positions 0 and 14."""
+    rows = [("m", 944, 1), ("m", 958, 1)]
+    df = spark.createDataFrame(rows, "dim string, bucket_index int, bucket_count long")
+
+    def run(bounds):
+        out = processors.exponential_to_explicit_histogram(
+            df, bounds, dims=["dim"], scale=7, zero_count_col=None
+        )
+        return out.first()["bucket_counts"]
+
+    # smaller bounds -> everything overflows into the last bucket
+    assert run([1.0, 2.0, 3.0, 4.0, 5.0]) == [0, 0, 0, 0, 2]
+    # large bounds -> everything in the first bucket
+    assert run([1000.0, 2000.0, 3000.0, 4000.0, 5000.0]) == [2, 0, 0, 0, 0]
+    # the mixed case: exact-fit puts idx944 (166.06, 166.96] into bucket 0,
+    # idx958 (179.07, 180.04] straddles 180 -> upper rule -> bucket 3
+    assert run([160.0, 170.0, 180.0, 190.0, 200.0]) == [1, 0, 0, 1, 0]
+
+
+def test_exponential_to_explicit_zero_bucket(spark):
+    df = spark.createDataFrame(
+        [("m", 5, 10, 5), ("m", 6, 22, 5), ("m", 7, 12, 5), ("m", None, 5, 5)],
+        "dim string, bucket_index int, bucket_count long, zero_count long",
+    )
+    # scale 0: buckets (32,64] (64,128] (128,256]; zero bucket joins b0
+    # because bounds[0]==0 — MIDPOINT vector (reference test line 377-404)
+    out = processors.exponential_to_explicit_histogram(
+        df, [0.0, 10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0, 90.0, 100.0],
+        dims=["dim"], scale=0, distribution="midpoint",
+    )
+    assert out.first()["bucket_counts"] == [5, 0, 0, 0, 10, 0, 0, 0, 0, 22, 12]

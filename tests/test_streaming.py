@@ -144,3 +144,22 @@ def test_stateful_delta_to_cumulative(spark, tmp_path):
     }
     assert ("s1", 7.0) in got2  # 3.0 (from state) + 4.0
     assert got <= got2
+
+
+def test_session_recombine_batch_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.streaming.stream import session_recombine
+
+    rows = [
+        ("s1", 0.0, "a"), ("s1", 10.0, "b"), ("s1", 100.0, "c"),  # gap>30 splits
+        ("s2", 5.0, "x"),
+    ]
+    df = spark.createDataFrame(rows, "source string, t double, body string").withColumn(
+        "ts", F.timestamp_seconds("t")
+    )
+    out = session_recombine(df, "ts", ["source"], gap="30 seconds", streaming=False)
+    got = {(r["source"], r["n_entries"]): r["body"] for r in out.collect()}
+    assert got[("s1", 2)] == "a\nb"
+    assert got[("s1", 1)] == "c"
+    assert got[("s2", 1)] == "x"
