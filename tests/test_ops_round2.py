@@ -700,3 +700,35 @@ def test_exponential_to_explicit_zero_bucket(spark):
         dims=["dim"], scale=0, distribution="midpoint",
     )
     assert out.first()["bucket_counts"] == [5, 0, 0, 0, 10, 0, 0, 0, 0, 22, 12]
+
+
+def test_transformprocessor_metric_funcs(spark):
+    from opentelemetry_collector_contrib_spark.operators import metric_funcs as MF
+
+    df = spark.createDataFrame(
+        [
+            ("latency", "histogram", {"svc": "a"}, None, 10, 123.5),
+            ("requests", "sum", {"svc": "a"}, 7.0, None, None),
+            ("temp", "gauge", {"svc": "a"}, 21.0, None, None),
+        ],
+        "metric string, metric_type string, labels map<string,string>, "
+        "value double, count long, sum double",
+    )
+    g = MF.convert_sum_to_gauge(df)
+    assert {r["metric"]: r["metric_type"] for r in g.collect()}["requests"] == "gauge"
+    s = MF.convert_gauge_to_sum(df, "delta", True)
+    row = {r["metric"]: r for r in s.collect()}["temp"]
+    assert row["metric_type"] == "sum" and row["is_monotonic"] is True
+    assert row["aggregation_temporality"] == "delta"
+    c = MF.copy_metric(df, "requests", "requests.copy")
+    assert c.count() == 4
+    cnt = MF.extract_count_metric(df).first()
+    assert cnt["metric"] == "latency_count" and cnt["value"] == 10.0
+    sm = MF.extract_sum_metric(df).first()
+    assert sm["metric"] == "latency_sum" and sm["value"] == 123.5
+    agg_in = spark.createDataFrame(
+        [("m", {"svc": "a", "core": "0"}, 1.0), ("m", {"svc": "a", "core": "1"}, 2.0)],
+        "metric string, labels map<string,string>, value double",
+    )
+    agg = MF.aggregate_on_attributes(agg_in, ["svc"]).first()
+    assert agg["labels"] == {"svc": "a"} and agg["value"] == 3.0
