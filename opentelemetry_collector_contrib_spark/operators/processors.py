@@ -489,6 +489,43 @@ def metricsgeneration_processor(
     )
 
 
+def metricstarttime_processor(
+    df: DataFrame,
+    stream_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    strategy: str = "true_reset_point",
+) -> DataFrame:
+    """metricstarttimeprocessor (/root/reference/processor/
+    metricstarttimeprocessor/, strategies truereset / subtractinitial):
+    assign start_time_unix to cumulative streams.
+
+    - true_reset_point: start_time = the stream's first observed point,
+      re-anchored after each reset (value < previous value);
+    - subtract_initial_point: additionally subtract the first value after
+      the anchor so each segment restarts from 0 (initial point dropped
+      semantics collapsed to value-offsetting, one window pass).
+
+    Per-stream window functions only — one shuffle on the stream key."""
+    w = Window.partitionBy(*stream_cols).orderBy(ts_col)
+    prev = F.lag(value_col).over(w)
+    is_reset = prev.isNull() | (F.col(value_col) < prev)
+    tagged = df.withColumn("__seg", F.sum(F.when(is_reset, 1).otherwise(0)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    ))
+    ws = Window.partitionBy(*stream_cols, "__seg").orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = tagged.withColumn("start_time", F.first(ts_col).over(ws))
+    if strategy == "subtract_initial_point":
+        out = out.withColumn(
+            value_col, F.col(value_col) - F.first(value_col).over(ws)
+        )
+    elif strategy != "true_reset_point":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    return out.drop("__seg")
+
+
 def exponential_to_explicit_histogram(
     df: DataFrame,
     explicit_bounds: list[float],

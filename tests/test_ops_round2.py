@@ -732,3 +732,15 @@ def test_transformprocessor_metric_funcs(spark):
     )
     agg = MF.aggregate_on_attributes(agg_in, ["svc"]).first()
     assert agg["labels"] == {"svc": "a"} and agg["value"] == 3.0
+
+
+def test_metricstarttime_reset_anchoring(spark):
+    # stream with a counter reset at t=3 (value drops 30 -> 5)
+    rows = [("s", 1, 10.0), ("s", 2, 30.0), ("s", 3, 5.0), ("s", 4, 8.0)]
+    df = spark.createDataFrame(rows, "stream string, ts long, value double")
+    out = processors.metricstarttime_processor(df, ["stream"]).orderBy("ts").collect()
+    assert [r["start_time"] for r in out] == [1, 1, 3, 3]
+    sub = processors.metricstarttime_processor(
+        df, ["stream"], strategy="subtract_initial_point"
+    ).orderBy("ts").collect()
+    assert [r["value"] for r in sub] == [0.0, 20.0, 0.0, 3.0]
