@@ -43,6 +43,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_stats_suite",
+    "sequence_packing",
+    "text_decontamination",
 ]
 
 
