@@ -55,7 +55,9 @@ def ngram_contamination(
 PII_PATTERNS: dict[str, str] = {
     # order matters: scrub emails before bare domains, phones before ints
     "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
-    "phone": r"\b(?:\+?\d{1,2}[ .\-]?)?\(?\d{3}\)?[ .\-]?\d{3}[ .\-]?\d{4}\b",
+    # (?<!\d) instead of a leading \b: \b can't match before '(' or '+',
+    # which left those prefix characters unredacted in the scrubbed text
+    "phone": r"(?<!\d)(?:\+?\d{1,2}[ .\-]?)?\(?\d{3}\)?[ .\-]?\d{3}[ .\-]?\d{4}\b",
     "ipv4": r"\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b",
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
 }

@@ -36,8 +36,11 @@ def pack_sequences(
     a document may span two adjacent output rows (concat-and-chunk, no
     padding inserted)."""
     shard = (F.col(id_col) % num_shards).alias("shard")
+    # one NULL tokens array would NULL the whole shard's flatten() and
+    # silently drop every other document in it — normalize to empty
+    safe_tokens = F.coalesce(F.col(tokens_col), F.array().cast(df.schema[tokens_col].dataType))
     per_shard = (
-        df.select(shard, F.struct(F.col(id_col).alias("id"), F.col(tokens_col).alias("t")).alias("e"))
+        df.select(shard, F.struct(F.col(id_col).alias("id"), safe_tokens.alias("t")).alias("e"))
         .groupBy("shard")
         .agg(F.array_sort(F.collect_list("e")).alias("docs"))
         .withColumn("stream", F.flatten(F.transform(F.col("docs"), lambda d: d["t"])))

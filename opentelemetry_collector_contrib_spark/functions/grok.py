@@ -106,11 +106,14 @@ class _Expander:
     def _group(self, key: str, inner: str) -> str:
         gi = len(self.names)
         self.names.append(key)
-        return f"(?P<g{gi}>{inner})"
+        return f"(?P<grok{gi}>{inner})"
 
     def expand(self, pattern: str, depth: int = 0) -> str:
         if depth > 20:
             raise ValueError("grok pattern recursion too deep")
+        if depth == 0 and re.search(r"\(\?P?<grok\d+>", pattern):
+            # sentinel collision would silently re-key the user's capture
+            raise ValueError("inline group names matching 'grok<N>' are reserved")
 
         def sub(m: re.Match) -> str:
             name, capture, _typ = m.group(1), m.group(2), m.group(3)
@@ -133,7 +136,7 @@ def expand(pattern: str, custom: dict[str, str] | None = None, depth: int = 0) -
     ex = _Expander(custom, named_captures_only=True)
     rx = ex.expand(pattern)
     for i, orig in enumerate(ex.names):
-        rx = rx.replace(f"(?P<g{i}>", f"(?P<{re.sub(r'[^A-Za-z0-9]', '_', orig)}>", 1)
+        rx = rx.replace(f"(?P<grok{i}>", f"(?P<{re.sub(r'[^A-Za-z0-9]', '_', orig)}>", 1)
     return rx
 
 
@@ -161,8 +164,8 @@ def grok_extract(
     def orig_of(gname: str) -> str:
         # expander groups are g<N>; user-written inline (?P<name>...) keep
         # their own name
-        if re.fullmatch(r"g\d+", gname) and int(gname[1:]) < len(names):
-            return names[int(gname[1:])]
+        if re.fullmatch(r"grok\d+", gname) and int(gname[4:]) < len(names):
+            return names[int(gname[4:])]
         return gname
 
     if impl == "jvm":
@@ -204,8 +207,8 @@ def grok_extract(
             for gname, val in m.groupdict().items():
                 if not val:  # drop None AND '' (jvm can't distinguish)
                     continue
-                if re.fullmatch(r"g\d+", gname) and int(gname[1:]) < len(names_src):
-                    orig = names_src[int(gname[1:])]
+                if re.fullmatch(r"grok\d+", gname) and int(gname[4:]) < len(names_src):
+                    orig = names_src[int(gname[4:])]
                 else:
                     orig = gname
                 if orig not in out:

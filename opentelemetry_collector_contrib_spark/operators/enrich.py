@@ -127,9 +127,14 @@ def salted_repartition(
     def hashable(f):
         from pyspark.sql import types as T
 
-        if isinstance(f.dataType, T.MapType):
+        if isinstance(f.dataType, T.MapType) and not (
+            _contains_map(f.dataType.keyType) or _contains_map(f.dataType.valueType)
+        ):
             return F.array_sort(F.map_entries(F.col(f.name)))
         if _contains_map(f.dataType):
+            # map-of-maps / array<map> / struct-with-map: entries of a
+            # nested map can't be sorted either — canonical JSON text is
+            # the hashable form
             return F.to_json(F.col(f.name))
         return F.col(f.name)
 

@@ -69,15 +69,18 @@ def extract_count_metric(
     count_col: str = "count",
     suffix: str = "_count",
 ) -> DataFrame:
-    """func_extract_count_metric.go: histogram/summary rows -> a new sum
-    metric '<name>_count' carrying the datapoint count."""
-    return (
+    """func_extract_count_metric.go: APPEND a new sum metric
+    '<name>_count' carrying the datapoint count — the source metric and
+    every other metric stay in the stream (the Go function appends via
+    GetMetrics().AppendEmpty() and keeps the input intact)."""
+    extracted = (
         df.filter(F.col(count_col).isNotNull())
         .withColumn(metric_col, F.concat(F.col(metric_col), F.lit(suffix)))
         .withColumn("value", F.col(count_col).cast("double"))
         .withColumn("metric_type", F.lit("sum"))
         .withColumn("is_monotonic", F.lit(is_monotonic))
     )
+    return df.unionByName(extracted, allowMissingColumns=True)
 
 
 def extract_sum_metric(
@@ -87,14 +90,16 @@ def extract_sum_metric(
     sum_col: str = "sum",
     suffix: str = "_sum",
 ) -> DataFrame:
-    """func_extract_sum_metric.go: histogram/summary rows -> '<name>_sum'."""
-    return (
+    """func_extract_sum_metric.go: APPEND '<name>_sum', keeping the input
+    stream intact like the reference."""
+    extracted = (
         df.filter(F.col(sum_col).isNotNull())
         .withColumn(metric_col, F.concat(F.col(metric_col), F.lit(suffix)))
         .withColumn("value", F.col(sum_col).cast("double"))
         .withColumn("metric_type", F.lit("sum"))
         .withColumn("is_monotonic", F.lit(is_monotonic))
     )
+    return df.unionByName(extracted, allowMissingColumns=True)
 
 
 def convert_summary_count_val_to_sum(df: DataFrame, **kw) -> DataFrame:

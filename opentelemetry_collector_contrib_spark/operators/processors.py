@@ -357,6 +357,23 @@ def metricstransform_processor(
     return out
 
 
+def _mt_regroup(frame, match, agg, metric_col, labels_col, value_col):
+    """Shared regroup for aggregate_labels / aggregate_label_values: the
+    matched rows re-aggregate on (metric, sorted label entries); rows that
+    were regrouped stay the rule's matched set for later operations."""
+    matched = frame.filter(match)
+    rest = frame.filter(~F.coalesce(match, F.lit(False)))
+    regrouped = (
+        matched.groupBy(metric_col, F.array_sort(F.map_entries(labels_col)).alias("__e"))
+        .agg(agg(value_col).alias(value_col))
+        .withColumn(labels_col, F.map_from_entries(F.col("__e")))
+        .drop("__e")
+    )
+    if "__mt_match" in frame.columns:
+        regrouped = regrouped.withColumn("__mt_match", F.lit(True))
+    return regrouped.unionByName(rest, allowMissingColumns=True)
+
+
 def _mt_apply_operations(
     df: DataFrame, operations: list[dict], match: F.Column,
     metric_col: str, labels_col: str, value_col: str,
@@ -423,19 +440,7 @@ def _mt_apply_operations(
                     F.map_filter(m(), lambda k, _: F.array_contains(F.array(*[F.lit(x) for x in keep]), k)),
                 ).otherwise(m()),
             )
-            matched = shrunk.filter(match)
-            rest = shrunk.filter(~F.coalesce(match, F.lit(False)))
-            regrouped = (
-                matched.groupBy(metric_col, F.array_sort(F.map_entries(labels_col)).alias("__e"))
-                .agg(agg(value_col).alias(value_col))
-                .withColumn(labels_col, F.map_from_entries(F.col("__e")))
-                .drop("__e")
-            )
-            if "__mt_match" in out.columns:
-                # post-aggregate rows are still the rule's matched set for
-                # any operations that follow in the same rule
-                regrouped = regrouped.withColumn("__mt_match", F.lit(True))
-            out = regrouped.unionByName(rest, allowMissingColumns=True)
+            out = _mt_regroup(shrunk, match, agg, metric_col, labels_col, value_col)
         elif a == "aggregate_label_values":
             # collapse listed values of one label into new_value, combine
             v = F.element_at(m(), op["label"])
@@ -447,19 +452,7 @@ def _mt_apply_operations(
                 labels_col, F.when(match, _sk(m(), op["label"], newv)).otherwise(m())
             )
             agg = _MT_AGGS[op.get("aggregation_type", "sum")]
-            matched = remapped.filter(match)
-            rest = remapped.filter(~F.coalesce(match, F.lit(False)))
-            regrouped = (
-                matched.groupBy(metric_col, F.array_sort(F.map_entries(labels_col)).alias("__e"))
-                .agg(agg(value_col).alias(value_col))
-                .withColumn(labels_col, F.map_from_entries(F.col("__e")))
-                .drop("__e")
-            )
-            if "__mt_match" in out.columns:
-                # post-aggregate rows are still the rule's matched set for
-                # any operations that follow in the same rule
-                regrouped = regrouped.withColumn("__mt_match", F.lit(True))
-            out = regrouped.unionByName(rest, allowMissingColumns=True)
+            out = _mt_regroup(remapped, match, agg, metric_col, labels_col, value_col)
         else:
             raise ValueError(f"unknown metricstransform operation {a!r}")
     return out
@@ -583,7 +576,10 @@ def exponential_to_explicit_histogram(
         for j in range(len(explicit_bounds))
     ]
     if zero_count_col:
-        aggs.append(F.first(zero_count_col).alias("__zero"))
+        # max, not first(): first() over an unordered group is
+        # nondeterministic and may pick a NULL from a row that doesn't
+        # carry the (per-dim-constant) zero count
+        aggs.append(F.max(zero_count_col).alias("__zero"))
     per = tagged.groupBy(*dims).agg(*aggs)
     counts = [F.col(f"__b{j}") for j in range(len(explicit_bounds))]
     if zero_count_col and explicit_bounds[0] == 0:

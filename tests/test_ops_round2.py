@@ -722,10 +722,12 @@ def test_transformprocessor_metric_funcs(spark):
     assert row["aggregation_temporality"] == "delta"
     c = MF.copy_metric(df, "requests", "requests.copy")
     assert c.count() == 4
-    cnt = MF.extract_count_metric(df).first()
-    assert cnt["metric"] == "latency_count" and cnt["value"] == 10.0
-    sm = MF.extract_sum_metric(df).first()
-    assert sm["metric"] == "latency_sum" and sm["value"] == 123.5
+    cdf = MF.extract_count_metric(df)
+    assert cdf.count() == 4  # appended, input intact (func_extract_count_metric.go)
+    cnt = cdf.filter(F.col("metric") == "latency_count").first()
+    assert cnt["value"] == 10.0 and cnt["metric_type"] == "sum"
+    sm = MF.extract_sum_metric(df).filter(F.col("metric") == "latency_sum").first()
+    assert sm["value"] == 123.5
     agg_in = spark.createDataFrame(
         [("m", {"svc": "a", "core": "0"}, 1.0), ("m", {"svc": "a", "core": "1"}, 2.0)],
         "metric string, labels map<string,string>, value double",

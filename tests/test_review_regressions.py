@@ -169,3 +169,45 @@ def test_duplicate_clusters_raises_on_non_convergence(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup.duplicate_clusters(pairs, max_iter=1)
+
+
+# round-2 second review pass
+
+
+def test_salted_repartition_map_of_maps(spark):
+    df = spark.createDataFrame(
+        [(i, "hot") for i in range(20)], "id long, source string"
+    ).withColumn(
+        "nested",
+        F.create_map(
+            F.lit("outer"), F.create_map(F.lit("k"), F.col("id").cast("string"))
+        ),
+    )
+    from opentelemetry_collector_contrib_spark.operators.enrich import salted_repartition
+
+    assert salted_repartition(df, "source", salt_buckets=4, num_partitions=4).count() == 20
+
+
+def test_pack_sequences_null_tokens_do_not_drop_shard(spark):
+    from opentelemetry_collector_contrib_spark.dataprep import packing
+
+    docs = spark.createDataFrame(
+        [(0, [1, 2, 3]), (3, None), (6, [4, 5]), (1, [7, 8])],
+        "doc_id long, tokens array<int>",
+    )
+    out = packing.pack_sequences(docs, max_len=4, num_shards=3).collect()
+    # shard 0 holds docs 0,3,6: the NULL doc must not erase tokens 1..5
+    assert sum(r["n_tok"] for r in out) == 7
+
+
+def test_exponential_zero_count_only_on_null_index_row(spark):
+    from opentelemetry_collector_contrib_spark.operators import processors as P
+
+    df = spark.createDataFrame(
+        [("m", 5, 10, None), ("m", None, 0, 7)],
+        "dim string, bucket_index int, bucket_count long, zero_count long",
+    )
+    out = P.exponential_to_explicit_histogram(
+        df, [0.0, 100.0], dims=["dim"], scale=0
+    ).first()
+    assert out["bucket_counts"][0] == 17  # 10 (bucket) + 7 (zero), never lost
