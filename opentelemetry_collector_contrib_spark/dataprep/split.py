@@ -41,3 +41,33 @@ def hash_split(
     """Add a deterministic split column. Narrow (no shuffle); to write
     per-split tables use sinks.fanout.write_fanout(routed, route_col=out_col)."""
     return df.withColumn(out_col, split_column(F.col(key_col), weights, seed))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "strata",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (training-mix shaping: e.g.
+    keep 100% of high-quality docs, 10% of low): keep a row iff
+    hash(seed:id) < fraction * 2^32 for its stratum.
+
+    Unlike DataFrame.sampleBy (seeded rand(), partition-order dependent),
+    the hash predicate is a pure function of the row id — resampling after
+    a repartition, filter, or resume keeps the SAME rows, which is what a
+    resumable corpus pipeline needs. Pure column expression, no shuffle."""
+    from ..dataprep.dedup import hash32
+
+    h = hash32(F.col(id_col).cast("string"), f"{seed}:")
+    pred = None
+    for stratum, frac in fractions.items():
+        cond = (F.col(strata_col) == stratum) & (h < int(frac * (1 << 32)))
+        pred = cond if pred is None else (pred | cond)
+    other = ~F.col(strata_col).isin(list(fractions)) & (
+        h < int(default_fraction * (1 << 32))
+    )
+    pred = other if pred is None else (pred | other)
+    return df.filter(pred)

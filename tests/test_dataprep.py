@@ -213,3 +213,19 @@ def test_pack_sequences_properties(spark):
         assert stream == expect  # doc order + token order preserved
     dropped = packing.pack_sequences(docs, max_len=16, num_shards=3, drop_tail=True)
     assert all(r["n_tok"] == 16 for r in dropped.collect())
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    from opentelemetry_collector_contrib_spark.dataprep.split import stratified_sample
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "high").otherwise("low").alias("tier"),
+    )
+    out = stratified_sample(df, "tier", {"high": 1.0, "low": 0.1})
+    counts = {r["tier"]: r["n"] for r in out.groupBy("tier").agg(F.count("*").alias("n")).collect()}
+    assert counts["high"] == 2000
+    assert 120 <= counts["low"] <= 280  # ~10% of 2000
+    # identical rows after a repartition (order-independence)
+    again = stratified_sample(df.repartition(13), "tier", {"high": 1.0, "low": 0.1})
+    assert {r["doc_id"] for r in out.collect()} == {r["doc_id"] for r in again.collect()}
