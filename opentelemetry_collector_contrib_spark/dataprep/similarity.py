@@ -120,6 +120,87 @@ def sign_lsh_topk(
     )
 
 
+def ivf_fit_centroids(
+    corpus: DataFrame, vec_col: str = "embedding", k: int = 16, seed: int = 7
+) -> list[list[float]]:
+    """IVF coarse quantizer: k-means centroids fit with MLlib (distributed,
+    deterministic for a fixed seed). Driver holds k small centroid vectors
+    — the 'index' that ships to executors as literals."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("__v"))
+    model = KMeans(k=k, seed=seed, featuresCol="__v").fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def _centroid_dists(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<struct<d: double, i: int>> of squared distances to each
+    centroid — pure column expressions over literal centroid arrays."""
+    entries = []
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        diff = F.zip_with(vec, carr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b))
+        d = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+        entries.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
+    return F.array_sort(F.array(*entries))
+
+
+def ivf_assign(vec: Column, centroids: list[list[float]], nprobe: int = 1) -> Column:
+    """array<int> of the nprobe nearest centroid ids for a vector."""
+    return F.transform(
+        F.slice(_centroid_dists(vec, centroids), 1, nprobe), lambda e: e["i"]
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    k: int = 1,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF approximate nearest neighbors (the index-based scale path the
+    survey calls for next to sign-LSH): corpus vectors live in their
+    single nearest-centroid cell; each query probes its `nprobe` nearest
+    cells and re-ranks exact cosine within them.
+
+    The only shuffle is the equality join on the centroid id — candidate
+    count ~ corpus/k * nprobe per query instead of the full corpus. The
+    centroid fit is one MLlib pass; at 10^12 vectors fit on a sample
+    (centroids don't need every point)."""
+    if centroids is None:
+        centroids = ivf_fit_centroids(corpus, vec_col, n_centroids, seed)
+    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cells = base.withColumn(
+        "cell", ivf_assign(F.col("v"), centroids, 1)[0]
+    )
+    probes = base.select(
+        F.col("id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.explode(ivf_assign(F.col("v"), centroids, nprobe)).alias("cell"),
+    )
+    scored = (
+        probes.join(cells, "cell")
+        .filter(F.col("qid") != F.col("id"))
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos"))
+    )
+
+
 def embedding_cosine_pairs(
     vectors: DataFrame,
     *,

@@ -229,3 +229,26 @@ def test_stratified_sample_deterministic_and_proportional(spark):
     # identical rows after a repartition (order-independence)
     again = stratified_sample(df.repartition(13), "tier", {"high": 1.0, "low": 0.1})
     assert {r["doc_id"] for r in out.collect()} == {r["doc_id"] for r in again.collect()}
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    from opentelemetry_collector_contrib_spark.dataprep import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.brute_force_topk(emb, emb, k=1).collect()
+    }
+    approx = {
+        r["vec_id"]: r["neighbor_id"]
+        for r in similarity.ivf_topk(emb, n_centroids=8, nprobe=2, k=1).collect()
+    }
+    hits = sum(1 for q, n in exact.items() if approx.get(q) == n)
+    recall = hits / len(exact)
+    assert recall >= 0.5, f"IVF top-1 recall too low: {recall:.2f}"
+    # determinism: same seed -> identical result set
+    again = {
+        r["vec_id"]: r["neighbor_id"]
+        for r in similarity.ivf_topk(emb, n_centroids=8, nprobe=2, k=1).collect()
+    }
+    assert approx == again
