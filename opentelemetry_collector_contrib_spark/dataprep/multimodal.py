@@ -108,3 +108,101 @@ def decode_image(media: DataFrame, *, fake: bool = True) -> DataFrame:
             yield _fake_decode_batch(pdf)
 
     return media.mapInPandas(_gen, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("pts_ms", T.LongType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_image(
+    media: DataFrame, width: int, height: int, *, fake: bool = True
+) -> DataFrame:
+    """Resize plumbing via mapInPandas: same batch shape a PIL
+    `Image.resize` pipeline would use. fake=True produces a deterministic
+    stand-in (payload truncated/cycled to width*height bytes) so schema,
+    batching and downstream joins are real; fake=False raises where the
+    codec plugs in."""
+    if not fake:
+        def _real(_: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            raise NotImplementedError("real resize requires an image codec (PIL)")
+
+        return media.mapInPandas(_real, RESIZED_SCHEMA)
+
+    target = width * height
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payloads = []
+            for b in pdf["payload"]:
+                b = bytes(b) if b is not None else b""
+                if not b:
+                    b = b"\x00"
+                reps = (target // len(b)) + 1
+                out_payloads.append((b * reps)[:target])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out_payloads,
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(_gen, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame,
+    *,
+    frame_bytes: int = 16,
+    every_n: int = 2,
+    fps_ms: int = 40,
+    fake: bool = True,
+) -> DataFrame:
+    """Frame sampling plumbing: one video payload row -> N frame rows
+    (doc_id, frame_index, pts_ms, frame_payload), keeping every
+    `every_n`-th frame — the mapInPandas row-expansion shape an ffmpeg
+    frame extractor would use. fake=True chunks the payload bytes into
+    deterministic pseudo-frames; fake=False raises where ffmpeg plugs in."""
+    if not fake:
+        def _real(_: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            raise NotImplementedError("real frame sampling requires ffmpeg")
+
+        return media.mapInPandas(_real, FRAME_SCHEMA)
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, pts, frames = [], [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(b) if b is not None else b""
+                n_frames = max(len(b) // frame_bytes, 1)
+                for i in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    pts.append(i * fps_ms)
+                    frames.append(b[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_index": pd.Series(idxs, dtype="int32"),
+                    "pts_ms": pd.Series(pts, dtype="int64"),
+                    "frame_payload": frames,
+                }
+            )
+
+    return media.mapInPandas(_gen, FRAME_SCHEMA)

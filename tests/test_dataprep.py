@@ -252,3 +252,26 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
         for r in similarity.ivf_topk(emb, n_centroids=8, nprobe=2, k=1).collect()
     }
     assert approx == again
+
+
+def test_multimodal_resize_and_frame_sampling(spark):
+    import pytest as _pytest
+
+    from opentelemetry_collector_contrib_spark.dataprep import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "hello world this is a fairly long document body"), (2, "tiny")],
+        "doc_id long, text string",
+    )
+    media = multimodal.attach_payload(docs)
+    resized = multimodal.resize_image(media, 8, 4).collect()
+    assert all(len(r["payload"]) == 32 and r["width"] == 8 for r in resized)
+    frames = multimodal.sample_frames(media, frame_bytes=8, every_n=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) >= 2  # long doc -> several sampled frames
+    assert [r["frame_index"] for r in sorted(by_doc[1], key=lambda x: x["frame_index"])][:2] == [0, 2]
+    assert all(r["pts_ms"] == r["frame_index"] * 40 for r in frames)
+    with _pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        multimodal.sample_frames(media, fake=False).collect()
