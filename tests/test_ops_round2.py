@@ -746,3 +746,89 @@ def test_metricstarttime_reset_anchoring(spark):
         df, ["stream"], strategy="subtract_initial_point"
     ).orderBy("ts").collect()
     assert [r["value"] for r in sub] == [0.0, 20.0, 0.0, 3.0]
+
+
+# ---------------------------------------------------------------------------
+# deterministic fuzz (seeded corpus, one Spark job per property)
+# ---------------------------------------------------------------------------
+
+
+def test_fuzz_luhn_against_python_reference(spark):
+    import random
+
+    def luhn_py(s: str) -> bool:
+        digits = s.replace(" ", "")
+        if not digits:
+            return False
+        total, alt = 0, True
+        for ch in digits[-2::-1]:
+            d = int(ch)
+            if alt:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+            alt = not alt
+        return (10 - total % 10) % 10 == int(digits[-1])
+
+    rng = random.Random(42)
+    cases = ["".join(rng.choice("0123456789") for _ in range(rng.randint(1, 19)))
+             for _ in range(200)]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = [r["v"] for r in df.select(ottl.is_valid_luhn(F.col("s")).alias("v")).collect()]
+    want = [luhn_py(c) for c in cases]
+    assert got == want
+
+
+def test_fuzz_kv_parser_roundtrip(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(100):
+        pairs = {
+            "k%d" % i: "".join(rng.choice("abcXYZ0189_.") for _ in range(rng.randint(1, 8)))
+            for i in range(rng.randint(1, 6))
+        }
+        rows.append((" ".join(f"{k}={v}" for k, v in pairs.items()), pairs))
+    df = spark.createDataFrame([(b,) for b, _ in rows], "body string")
+    got = [r["attributes"] for r in parsers.keyvalue_parser(df).collect()]
+    assert got == [p for _, p in rows]
+
+
+def test_fuzz_vectorized_parse_parity(spark):
+    import json
+    import random
+
+    import pandas as pd
+
+    from opentelemetry_collector_contrib_spark.functions import vparse
+
+    rng = random.Random(3)
+    bodies, fmts = [], []
+    for _ in range(300):
+        fmt = rng.choice([0, 1, 2, 3, None])
+        if fmt == 1:
+            bodies.append(json.dumps({"k": rng.randint(0, 9), "s": "x" * rng.randint(0, 4),
+                                      "b": rng.random() < 0.5}))
+        elif fmt == 2:
+            bodies.append(" ".join(f"k{i}=v{rng.randint(0,99)}" for i in range(rng.randint(1, 4))))
+        elif fmt == 0:
+            bodies.append(
+                f'10.0.{rng.randint(0,255)}.{rng.randint(0,255)} - u{rng.randint(0,9)} '
+                f'[10/Oct/2025:13:55:36 +0000] "GET /p{rng.randint(0,99)} HTTP/1.1" '
+                f'{rng.choice([200,404,500])} {rng.randint(0,9999)}'
+            )
+        elif fmt == 3:
+            bodies.append(f"2025-10-10T13:55:36Z stdout F line {rng.randint(0,999)}")
+        else:
+            bodies.append(rng.choice([
+                '{"a": 1}', "x=1 y=2", "random text body", "",
+                "2025-10-10T13:55:36Z stderr P partial",
+            ]))
+        fmts.append(fmt)
+    expected = [vparse._parse_one(b, f) for b, f in zip(bodies, fmts)]
+    got = list(vparse.parse_multiformat.func(
+        pd.Series(bodies, dtype=object), pd.to_numeric(pd.Series(fmts), errors="coerce")
+    ))
+    assert got == expected
