@@ -179,6 +179,10 @@ def sample_frames(
     `every_n`-th frame — the mapInPandas row-expansion shape an ffmpeg
     frame extractor would use. fake=True chunks the payload bytes into
     deterministic pseudo-frames; fake=False raises where ffmpeg plugs in."""
+    if frame_bytes <= 0 or every_n <= 0:
+        # fail fast on the driver, not as an opaque ZeroDivisionError
+        # inside a Python worker mid-job
+        raise ValueError("frame_bytes and every_n must be positive")
     if not fake:
         def _real(_: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             raise NotImplementedError("real frame sampling requires ffmpeg")

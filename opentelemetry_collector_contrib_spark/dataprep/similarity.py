@@ -36,6 +36,19 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _rank_topk(scored: DataFrame, query_col: str, k: int) -> DataFrame:
+    """Shared top-k tail for every ANN variant: rank by cosine desc with
+    neighbor-id tie-break (stable across engines), keep k, round."""
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_col, "rank", "neighbor_id", F.round("cos", 4).alias("cos"))
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -61,14 +74,7 @@ def brute_force_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos"))
-    )
+    return _rank_topk(scored, "query_id", k)
 
 
 def sign_bucket(vec: Column, bits: int = 8) -> Column:
@@ -110,22 +116,22 @@ def sign_lsh_topk(
             F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cos"),
         )
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos"))
-    )
+    return _rank_topk(scored, "vec_id", k)
 
 
 def ivf_fit_centroids(
     corpus: DataFrame, vec_col: str = "embedding", k: int = 16, seed: int = 7
 ) -> list[list[float]]:
-    """IVF coarse quantizer: k-means centroids fit with MLlib (distributed,
-    deterministic for a fixed seed). Driver holds k small centroid vectors
-    — the 'index' that ships to executors as literals."""
+    """IVF coarse quantizer: k-means centroids fit with MLlib. Driver
+    holds k small centroid vectors — the 'index' that ships to executors
+    as literals.
+
+    Reproducibility caveat: a fixed seed pins the k-means|| init draw but
+    float aggregation order still depends on the input PARTITIONING, so a
+    repartitioned corpus can fit (slightly) different centroids. For a
+    resumable pipeline, fit ONCE, persist the centroid list, and pass it
+    to ivf_topk(..., centroids=...) — queries against stored centroids
+    are fully deterministic."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -175,14 +181,21 @@ def ivf_topk(
     (centroids don't need every point)."""
     if centroids is None:
         centroids = ivf_fit_centroids(corpus, vec_col, n_centroids, seed)
-    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    cells = base.withColumn(
-        "cell", ivf_assign(F.col("v"), centroids, 1)[0]
+    # one centroid-distance pass per row: cell = nearest (element 1),
+    # probes = the nprobe nearest (slice) — computing the k-distance set
+    # twice would double the dominant per-row cost of the scan
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _centroid_dists(F.col(vec_col), centroids).alias("__cd"),
     )
+    cells = base.select("id", "v", F.col("__cd")[0]["i"].alias("cell"))
     probes = base.select(
         F.col("id").alias("qid"),
         F.col("v").alias("qv"),
-        F.explode(ivf_assign(F.col("v"), centroids, nprobe)).alias("cell"),
+        F.explode(
+            F.transform(F.slice(F.col("__cd"), 1, nprobe), lambda e: e["i"])
+        ).alias("cell"),
     )
     scored = (
         probes.join(cells, "cell")
@@ -193,12 +206,7 @@ def ivf_topk(
             F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
         )
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos"))
-    )
+    return _rank_topk(scored, "vec_id", k)
 
 
 def embedding_cosine_pairs(

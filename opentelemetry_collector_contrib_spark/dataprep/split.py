@@ -59,15 +59,15 @@ def stratified_sample(
     the hash predicate is a pure function of the row id — resampling after
     a repartition, filter, or resume keeps the SAME rows, which is what a
     resumable corpus pipeline needs. Pure column expression, no shuffle."""
-    from ..dataprep.dedup import hash32
-
     h = hash32(F.col(id_col).cast("string"), f"{seed}:")
     pred = None
     for stratum, frac in fractions.items():
         cond = (F.col(strata_col) == stratum) & (h < int(frac * (1 << 32)))
         pred = cond if pred is None else (pred | cond)
-    other = ~F.col(strata_col).isin(list(fractions)) & (
-        h < int(default_fraction * (1 << 32))
-    )
+    # NULL-safe "not a listed stratum": (NULL == x) and NULL.isin(...) are
+    # both NULL under three-valued logic, which would silently drop
+    # NULL-strata rows regardless of default_fraction
+    in_listed = F.coalesce(F.col(strata_col).isin(list(fractions)), F.lit(False))
+    other = ~in_listed & (h < int(default_fraction * (1 << 32)))
     pred = other if pred is None else (pred | other)
-    return df.filter(pred)
+    return df.filter(F.coalesce(pred, F.lit(False)))

@@ -275,3 +275,16 @@ def test_multimodal_resize_and_frame_sampling(spark):
     assert all(r["pts_ms"] == r["frame_index"] * 40 for r in frames)
     with _pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
         multimodal.sample_frames(media, fake=False).collect()
+
+
+def test_stratified_sample_null_strata_use_default_fraction(spark):
+    from opentelemetry_collector_contrib_spark.dataprep.split import stratified_sample
+
+    df = spark.createDataFrame(
+        [(1, "high"), (2, None), (3, "other"), (4, None)],
+        "doc_id long, tier string",
+    )
+    kept = stratified_sample(df, "tier", {"high": 1.0}, default_fraction=1.0)
+    assert kept.count() == 4  # NULL / unlisted strata follow default_fraction
+    none_kept = stratified_sample(df, "tier", {"high": 1.0}, default_fraction=0.0)
+    assert {r["doc_id"] for r in none_kept.collect()} == {1}
