@@ -195,7 +195,10 @@ def minhash_lsh_pairs(
 def simhash(text: Column, bits: int = 16) -> Column:
     """SimHash fingerprint over the distinct words of a text column:
     bit i is the sign of sum(+1/-1 per word depending on word-hash bit i).
-    Narrow (no shuffle): one aggregate over the word array per bit."""
+    Narrow (no shuffle): one aggregate over the word array per bit.
+    bits <= 63 (the fingerprint lives in a signed LongType)."""
+    if bits > 63:
+        raise ValueError("simhash supports at most 63 bits (signed long fingerprint)")
     ws = F.array_distinct(words(text))
     hs = F.transform(ws, lambda w: hash32(w))
     def bit_folder(i: int):
@@ -208,6 +211,58 @@ def simhash(text: Column, bits: int = 16) -> Column:
         bit_sum = F.aggregate(hs, F.lit(0), bit_folder(i))
         out = out + F.when(bit_sum > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
     return out
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    bits: int = 60,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate PAIRS via banded hamming-LSH (the step after
+    the fingerprint): split the b-bit fingerprint into max_hamming+1
+    bands — two fingerprints within hamming distance d <= max_hamming must
+    agree EXACTLY on at least one band (pigeonhole), so candidates reduce
+    to an equality self-join on (band_index, band_bits); verification is
+    one JVM bit_count(xor) per candidate. Returns (id_a, id_b, hamming).
+    Trailing bits not covered by an even band split only make collisions
+    MORE likely, so the pigeonhole no-false-negative guarantee holds.
+
+    At corpus scale this is the same shape as MinHash-LSH: a narrow
+    fingerprint pass, a slim (id, band, bits) shuffle, and a candidate
+    set ~ true-duplicate pairs."""
+    bands = max_hamming + 1
+    width = bits // bands
+    fp = simhash(F.col(text_col), bits)
+    base = docs.select(F.col(id_col).alias("id"), fp.alias("fp"))
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftrightunsigned(F.col("fp"), j * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bb"),
+            )
+            for j in range(bands)
+        ]
+    )
+    banded = base.select("id", "fp", F.explode(band_cols).alias("b")).select(
+        "id", "fp", F.col("b.band").alias("band"), F.col("b.bb").alias("bb")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band", "bb"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
 
 
 def ngram_jaccard_pairs(

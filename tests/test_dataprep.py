@@ -288,3 +288,27 @@ def test_stratified_sample_null_strata_use_default_fraction(spark):
     assert kept.count() == 4  # NULL / unlisted strata follow default_fraction
     none_kept = stratified_sample(df, "tier", {"high": 1.0}, default_fraction=0.0)
     assert {r["doc_id"] for r in none_kept.collect()} == {1}
+
+
+def test_simhash_pairs_banded_lsh(spark):
+    from opentelemetry_collector_contrib_spark.dataprep import dedup
+
+    near_a = "the quick brown fox jumps over the lazy dog again and again today"
+    near_b = "the quick brown fox jumps over the lazy dog again and again tonight"
+    far = "completely different content about weather patterns in tropical regions"
+    docs = spark.createDataFrame(
+        [(1, near_a), (2, near_b), (3, far)], "doc_id long, text string"
+    )
+    pairs = dedup.simhash_pairs(docs, bits=60, max_hamming=8).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+    # hamming values verified against python popcount on the fingerprints
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select(
+            "doc_id", dedup.simhash(F.col("text"), 60).alias("fp")
+        ).collect()
+    }
+    for r in pairs:
+        assert r["hamming"] == bin(fps[r["id_a"]] ^ fps[r["id_b"]]).count("1")
