@@ -58,3 +58,30 @@ def kafka_source(spark: SparkSession, bootstrap: str, topic: str, streaming: boo
         .option("subscribe", topic)
         .load()
     )
+
+
+def syslog_socket_source(
+    spark: SparkSession,
+    host: str,
+    port: int,
+    protocol: str = "rfc5424",
+) -> DataFrame:
+    """Streaming syslog-over-TCP receiver
+    (/root/reference/receiver/syslogreceiver/ tcp mode with
+    non-transparent framing): Spark's socket source delivers
+    newline-framed lines (RFC6587 §3.4.2); each line parses through the
+    shared syslog_parser chain, so severity/facility/structured-data
+    semantics are identical to the batch path. Octet-counted streams need
+    a byte-level receiver (out of scope: the socket source is
+    line-oriented); use parsers.deframe_octet_counting on chunked batch
+    input instead."""
+    from ..operators.parsers import syslog_parser
+
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+        .withColumnRenamed("value", "body")
+    )
+    return syslog_parser(raw, protocol=protocol)

@@ -163,3 +163,56 @@ def test_session_recombine_batch_semantics(spark):
     assert got[("s1", 2)] == "a\nb"
     assert got[("s1", 1)] == "c"
     assert got[("s2", 1)] == "x"
+
+
+def test_syslog_socket_source_end_to_end(spark, tmp_path):
+    """Real TCP: a background server emits RFC5424 lines, the socket
+    source streams them through the syslog parser chain into a memory
+    sink."""
+    import socket
+    import socketserver
+    import threading
+    import time
+
+    lines = [
+        '<165>1 2025-10-10T13:55:36Z h1 app - ID1 [m s="1"] hello one',
+        '<34>1 2025-10-10T13:55:37Z h2 app - ID2 - hello two',
+    ]
+
+    class Handler(socketserver.BaseRequestHandler):
+        def handle(self):
+            payload = ("\n".join(lines) + "\n").encode()
+            self.request.sendall(payload)
+            time.sleep(8)  # keep the connection open while the stream polls
+
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+    srv.daemon_threads = True
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        from opentelemetry_collector_contrib_spark.sources.readers import (
+            syslog_socket_source,
+        )
+
+        parsed = syslog_socket_source(spark, "127.0.0.1", port)
+        q = (
+            parsed.writeStream.format("memory")
+            .queryName("syslog_tcp")
+            .outputMode("append")
+            .start()
+        )
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.table("syslog_tcp").count() >= 2:
+                break
+            time.sleep(0.5)
+        rows = {r["attributes"]["msg_id"]: r for r in spark.table("syslog_tcp").collect()}
+        q.stop()
+        assert rows["ID1"]["attributes"]["message"] == "hello one"
+        assert rows["ID1"]["attributes"]["structured_data.m.s"] == "1"
+        assert rows["ID1"]["severity_number"] == 10  # pri 165 -> notice
+        assert rows["ID2"]["attributes"]["hostname"] == "h2"
+        assert rows["ID2"]["facility"] == 4  # pri 34 -> auth
+    finally:
+        srv.shutdown()
