@@ -63,3 +63,49 @@ def pack_sequences(
     if drop_tail:
         chunks = chunks.filter(F.col("n_tok") == max_len)
     return chunks
+
+
+def token_span_duplication(
+    df: DataFrame,
+    span_len: int = 16,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication signal over TOKEN sequences (the
+    dedup-training-data measure of Lee et al. 2022: spans of >= span_len
+    tokens repeated across the corpus): every length-span_len token
+    window is hashed (one xxhash64 per window, JVM-side), window hashes
+    are counted corpus-wide, and each document gets the fraction of its
+    token positions covered by a window that appears >= min_count times.
+
+    Returns (doc_id, n_tok, dup_spans, span_fraction). Shape at scale:
+    explode to (hash) -> count (one map-side-combined shuffle) ->
+    broadcast-ish join back on the hash; skew on ultra-common spans is
+    AQE-split like every other hot-key join here."""
+    w = F.col(tokens_col)
+    n = F.size(w)
+    idxs = F.sequence(F.lit(1), F.greatest(n - span_len + 1, F.lit(0)))
+    span_hash = lambda i: F.xxhash64(  # noqa: E731
+        F.concat_ws(",", F.transform(F.slice(w, i, span_len), lambda t: t.cast("string")))
+    )
+    spans = df.select(
+        F.col(id_col),
+        n.alias("n_tok"),
+        F.explode(F.transform(idxs, span_hash)).alias("h"),
+    )
+    counts = spans.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    dup = (
+        spans.join(counts.filter(F.col("c") >= min_count), "h")
+        .groupBy(id_col, "n_tok")
+        .agg(F.count(F.lit(1)).alias("dup_spans"))
+    )
+    all_docs = df.select(F.col(id_col), F.size(w).alias("n_tok"))
+    out = all_docs.join(dup, [id_col, "n_tok"], "left").withColumn(
+        "dup_spans", F.coalesce("dup_spans", F.lit(0))
+    )
+    denom = F.greatest(F.col("n_tok") - span_len + 1, F.lit(1))
+    return out.withColumn(
+        "span_fraction", F.round(F.col("dup_spans") / denom, 4)
+    )

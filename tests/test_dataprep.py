@@ -312,3 +312,22 @@ def test_simhash_pairs_banded_lsh(spark):
     }
     for r in pairs:
         assert r["hamming"] == bin(fps[r["id_a"]] ^ fps[r["id_b"]]).count("1")
+
+
+def test_token_span_duplication(spark):
+    from opentelemetry_collector_contrib_spark.dataprep.packing import token_span_duplication
+
+    shared = list(range(100, 120))  # a 20-token span repeated in docs 1 and 2
+    docs = spark.createDataFrame(
+        [
+            (1, list(range(0, 10)) + shared),
+            (2, shared + list(range(200, 210))),
+            (3, list(range(300, 330))),
+        ],
+        "doc_id long, tokens array<int>",
+    )
+    out = {r["doc_id"]: r for r in token_span_duplication(docs, span_len=16).collect()}
+    # 20-token shared span -> 5 shared 16-windows per doc
+    assert out[1]["dup_spans"] == 5 and out[2]["dup_spans"] == 5
+    assert out[3]["dup_spans"] == 0 and out[3]["span_fraction"] == 0.0
+    assert out[1]["span_fraction"] == round(5 / 15, 4)
