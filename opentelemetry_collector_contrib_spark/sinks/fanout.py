@@ -105,3 +105,23 @@ def failover_write(
         except Exception as e:  # noqa: BLE001 — any write failure falls over
             last_err = e
     raise RuntimeError(f"all failover targets failed: {last_err}")
+
+
+def clickhouse_export(
+    formatted: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """clickhouseexporter batch-insert analog without a live server
+    (/root/reference/exporter/clickhouseexporter/exporter_logs.go batches
+    rows into INSERTs): CH-shaped rows (sinks/formatter.py output) land
+    as JSONEachRow files — the exact format `clickhouse-client
+    --query='INSERT INTO t FORMAT JSONEachRow' < part.json` (or an
+    s3/file table function) ingests directly, so the hand-off to a real
+    CH cluster is a copy, not a transform. Dynamic partition overwrite
+    keeps re-runs idempotent (persistent-queue exactly-once analog)."""
+    writer = formatted.write.mode(mode).option("partitionOverwriteMode", "dynamic")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.json(path)

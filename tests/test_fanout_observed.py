@@ -23,3 +23,37 @@ def test_write_fanout_with_counts_single_pass(spark, tmp_path):
     back = spark.read.parquet(str(tmp_path / "sinks"))
     disk = {r["route"]: r["n"] for r in back.groupBy("route").agg(F.count("*").alias("n")).collect()}
     assert disk == counts
+
+
+def test_clickhouse_export_jsoneachrow(spark, tmp_path):
+    import json
+
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.sinks.fanout import clickhouse_export
+    from opentelemetry_collector_contrib_spark.sinks.formatter import format_log_rows
+
+    df = spark.createDataFrame(
+        [("b1", 9, "INFO", 1700000000000000, {"k": "v"}, {"r": "x"}, "t" * 32, "s" * 16, "src")],
+        "body string, severity_number int, severity_text string, ingest_ts long, "
+        "attributes map<string,string>, resource_attributes map<string,string>, "
+        "trace_id string, span_id string, source string",
+    ).withColumn("time_unix_nano", F.col("ingest_ts") * 1000)
+    rows = format_log_rows(df)
+    out = str(tmp_path / "ch")
+    clickhouse_export(rows, out)
+    import glob as _glob
+
+    lines = []
+    for f in _glob.glob(f"{out}/*.json"):
+        with open(f) as fh:
+            lines += [json.loads(ln) for ln in fh if ln.strip()]
+    assert len(lines) == 1
+    rec = lines[0]
+    # JSONEachRow object with the CH log-table column names
+    assert rec["Body"] == "b1" and rec["SeverityNumber"] == 9
+    assert "TimestampTime" in rec or "Timestamp" in rec
+    # idempotent re-run: same row count
+    clickhouse_export(rows, out)
+    lines2 = sum(1 for f in _glob.glob(f"{out}/*.json") for _ in open(f))
+    assert lines2 == 1
