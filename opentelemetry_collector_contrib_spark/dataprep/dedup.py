@@ -37,6 +37,17 @@ def hash32(col: Column, seed: str = "") -> Column:
     return F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("long")
 
 
+def hash60(col: Column, seed: str = "") -> Column:
+    """Deterministic 60-bit hash of a string column: first 15 hex chars of
+    md5 as a bigint in [0, 2^60). Same DuckDB-mirrorable construction as
+    hash32 but with all 60 bits varying — required by simhash, whose
+    fingerprint bits each sample one bit of the per-word hash (a 32-bit
+    hash would leave bits >= 32 constant and silently degenerate the
+    banded hamming-LSH join to a cross product)."""
+    keyed = F.concat(F.lit(seed), col) if seed else col
+    return F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("long")
+
+
 def words(text: Column) -> Column:
     return F.split(text, " ")
 
@@ -196,11 +207,12 @@ def simhash(text: Column, bits: int = 16) -> Column:
     """SimHash fingerprint over the distinct words of a text column:
     bit i is the sign of sum(+1/-1 per word depending on word-hash bit i).
     Narrow (no shuffle): one aggregate over the word array per bit.
-    bits <= 63 (the fingerprint lives in a signed LongType)."""
-    if bits > 63:
-        raise ValueError("simhash supports at most 63 bits (signed long fingerprint)")
+    bits <= 60 (every fingerprint bit must sample a VARYING bit of the
+    60-bit per-word hash; the fingerprint lives in a signed LongType)."""
+    if bits > 60:
+        raise ValueError("simhash supports at most 60 bits (60-bit per-word hash)")
     ws = F.array_distinct(words(text))
-    hs = F.transform(ws, lambda w: hash32(w))
+    hs = F.transform(ws, lambda w: hash60(w))
     def bit_folder(i: int):
         return lambda acc, h: acc + F.when(
             F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
@@ -285,7 +297,12 @@ def ngram_jaccard_pairs(
     inv = base.select("id", "n", F.explode("grams").alias("g"))
     if max_df is not None:
         df_counts = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-        inv = inv.join(F.broadcast(df_counts.filter(F.col("df") <= max_df)), "g")
+        # no broadcast hint: the distinct-gram dictionary scales with the
+        # corpus (billions of rows at 100 TB even after the max_df filter),
+        # so a forced broadcast is a driver OOM — the join key is already
+        # the gram, so the shuffled path is correct; AQE still turns this
+        # into a broadcast join when the filtered side happens to be small
+        inv = inv.join(df_counts.filter(F.col("df") <= max_df), "g")
     a = inv.alias("a")
     b = inv.alias("b")
     inter = (

@@ -86,7 +86,12 @@ def token_span_duplication(
     AQE-split like every other hot-key join here."""
     w = F.col(tokens_col)
     n = F.size(w)
-    idxs = F.sequence(F.lit(1), F.greatest(n - span_len + 1, F.lit(0)))
+    # docs shorter than span_len have zero windows; sequence(1, 0) would
+    # emit the DESCENDING [1, 0] and slice(..., 0, _) then raises
+    # INVALID_PARAMETER_VALUE.START — mask them to an empty index array
+    idxs = F.when(
+        n >= span_len, F.sequence(F.lit(1), n - span_len + 1)
+    ).otherwise(F.array().cast("array<int>"))
     span_hash = lambda i: F.xxhash64(  # noqa: E731
         F.concat_ws(",", F.transform(F.slice(w, i, span_len), lambda t: t.cast("string")))
     )

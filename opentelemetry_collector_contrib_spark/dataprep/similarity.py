@@ -77,15 +77,47 @@ def brute_force_topk(
     return _rank_topk(scored, "query_id", k)
 
 
-def sign_bucket(vec: Column, bits: int = 8) -> Column:
-    """LSH bucket id from the sign bits of the first `bits` dimensions.
-    Deterministic and SQL-expressible; for isotropic embeddings the first
-    dimensions act as fixed random hyperplanes."""
+def random_hyperplanes(dim: int, bits: int = 8, seed: int = 7) -> list[list[float]]:
+    """`bits` seeded pseudo-random ±1 hyperplanes (Rademacher entries —
+    as effective as Gaussian for sign-LSH and exactly representable, so
+    the projection is a sum of signed vector elements both engines
+    evaluate identically)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
+        for _ in range(bits)
+    ]
+
+
+def sign_bucket(
+    vec: Column,
+    bits: int = 8,
+    *,
+    dim: int | None = None,
+    seed: int = 7,
+    hyperplanes: list[list[float]] | None = None,
+) -> Column:
+    """LSH bucket id: bit j is the sign of the projection onto a seeded
+    random ±1 hyperplane. Deterministic and SQL-expressible (the literal
+    matrix is embedded in the plan). Random projections — NOT the first
+    `bits` dimensions — because real embedding spaces are anisotropic:
+    dominant principal components would funnel the corpus into a few hot
+    buckets and degenerate the equality join toward all-pairs."""
+    if hyperplanes is None:
+        if dim is None:
+            raise ValueError("sign_bucket needs dim (or explicit hyperplanes)")
+        hyperplanes = random_hyperplanes(dim, bits, seed)
     out = F.lit(0).cast("long")
-    for i in range(bits):
-        out = out + F.when(
-            F.element_at(vec, i + 1) >= 0, F.lit(1 << i).cast("long")
-        ).otherwise(F.lit(0))
+    for j, h in enumerate(hyperplanes):
+        harr = F.array(*[F.lit(x) for x in h])
+        proj = F.aggregate(
+            F.zip_with(vec, harr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        out = out + F.when(proj >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
     return out
 
 
@@ -96,6 +128,8 @@ def sign_lsh_topk(
     vec_col: str = "embedding",
     bits: int = 8,
     k: int = 1,
+    dim: int = 64,
+    seed: int = 7,
 ) -> DataFrame:
     """Approximate per-vector top-k within the vector's sign bucket.
     The self-join is an equality join on the bucket id (2^bits buckets),
@@ -104,7 +138,7 @@ def sign_lsh_topk(
     b = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+        sign_bucket(F.col(vec_col), bits, dim=dim, seed=seed).alias("bucket"),
     )
     l, r = b.alias("l"), b.alias("r")
     scored = (
@@ -162,6 +196,7 @@ def ivf_assign(vec: Column, centroids: list[list[float]], nprobe: int = 1) -> Co
 def ivf_topk(
     corpus: DataFrame,
     *,
+    queries: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
@@ -190,7 +225,12 @@ def ivf_topk(
         _centroid_dists(F.col(vec_col), centroids).alias("__cd"),
     )
     cells = base.select("id", "v", F.col("__cd")[0]["i"].alias("cell"))
-    probes = base.select(
+    qbase = base if queries is None else queries.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _centroid_dists(F.col(vec_col), centroids).alias("__cd"),
+    )
+    probes = qbase.select(
         F.col("id").alias("qid"),
         F.col("v").alias("qv"),
         F.explode(
@@ -216,6 +256,8 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.35,
     bucket_bits: int | None = None,
+    dim: int = 64,
+    seed: int = 7,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold (rounded to 4).
     With bucket_bits set, candidates are restricted to same-sign-bucket
@@ -223,7 +265,9 @@ def embedding_cosine_pairs(
     (correctness oracle shape, small inputs only)."""
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if bucket_bits is not None:
-        v = v.withColumn("bucket", sign_bucket(F.col("v"), bucket_bits))
+        v = v.withColumn(
+            "bucket", sign_bucket(F.col("v"), bucket_bits, dim=dim, seed=seed)
+        )
         join_on = [F.col("l.bucket") == F.col("r.bucket"), F.col("l.id") < F.col("r.id")]
     else:
         join_on = [F.col("l.id") < F.col("r.id")]

@@ -138,11 +138,26 @@ def syslog_parser(
     out = set_parsed(df, extract_patterns(src, pattern), parse_to, on_error)
     if protocol == "rfc5424" and parse_structured_data:
         sd = F.element_at(F.col(parse_to), "structured_data")
-        elems = F.regexp_extract_all(sd, F.lit(r"\[[^\]]*\]"), 0)
+        elems = F.regexp_extract_all(sd, F.lit(r"\[(?:[^\]\\]|\\.)*\]"), 0)
         def elem_map(e):
             sd_id = F.regexp_extract(e, r"^\[([^ \]]+)", 1)
-            keys = F.regexp_extract_all(e, F.lit(r'([\w.@-]+)="'), 1)
-            vals = F.regexp_extract_all(e, F.lit(r'[\w.@-]+="([^"]*)"'), 1)
+            # single-pass pair extraction: key and value come from the SAME
+            # 'k="v"' match, so escaped quotes (\" is legal PARAM-VALUE per
+            # RFC5424 6.3.3) cannot desynchronize the key/value arrays
+            pairs = F.regexp_extract_all(
+                e, F.lit(r'[\w.@-]+="(?:[^"\\]|\\.)*"'), 0
+            )
+            keys = F.transform(
+                pairs, lambda p: F.regexp_extract(p, r'^([\w.@-]+)=', 1)
+            )
+            vals = F.transform(
+                pairs,
+                lambda p: F.regexp_replace(  # unescape \" \] \\ (RFC 6.3.3)
+                    F.regexp_extract(p, r'^[\w.@-]+="((?:[^"\\]|\\.)*)"$', 1),
+                    r'\\([\]"\\])',
+                    r"$1",
+                ),
+            )
             return F.map_from_arrays(
                 F.transform(
                     keys,

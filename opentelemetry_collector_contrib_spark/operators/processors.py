@@ -733,6 +733,13 @@ def tail_sampling_policies(
             f"__pol_{p.name}", cum < F.lit(p.spans_per_second)
         )
         names.append(p.name)
+    if not names:
+        # only drop policies configured: None & ~drop would coerce to a
+        # NULL predicate and silently discard every trace — fail loudly,
+        # mirroring the collector's config validation
+        raise ValueError(
+            "tail_sampling needs at least one sampling (non-drop) policy"
+        )
     sampled = None
     for n in names:
         c = F.col(f"__pol_{n}")

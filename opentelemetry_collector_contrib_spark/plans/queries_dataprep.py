@@ -82,11 +82,26 @@ SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
 
 
 def q_dedup_simhash(spark, sf_dir):
+    """SimHash fingerprint AND banded hamming-LSH near-dup pairs in one
+    oracle row: per-doc 16-bit fingerprint + the per-doc count of
+    partners within hamming<=3 of its 48-bit fingerprint, produced by
+    simhash_pairs' pigeonhole band join (the oracle computes the same
+    set brute-force — the LSH is exact, so the counts must agree)."""
     docs = _documents(spark, sf_dir)
-    return docs.select("doc_id", dedup.simhash(F.col("text"), 16).alias("simhash"))
+    fp = docs.select("doc_id", dedup.simhash(F.col("text"), 16).alias("simhash"))
+    pairs = dedup.simhash_pairs(docs, bits=48, max_hamming=3)
+    part = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_near"))
+    )
+    return fp.join(part, "doc_id", "left").withColumn(
+        "n_near", F.coalesce("n_near", F.lit(0).cast("long"))
+    )
 
 
-def _simhash_sql(bits: int = 16) -> str:
+def _simhash_expr(bits: int) -> str:
     bit_terms = []
     for i in range(bits):
         bit_terms.append(
@@ -94,19 +109,31 @@ def _simhash_sql(bits: int = 16) -> str:
             f"CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
             f"THEN {1 << i} ELSE 0 END)"
         )
-    expr = " + ".join(bit_terms)
-    return f"""
+    return " + ".join(bit_terms)
+
+
+SQL_DEDUP_SIMHASH = f"""
 WITH h AS (
   SELECT doc_id,
          list_transform(list_distinct(string_split(text,' ')),
-                        w -> ('0x'||substr(md5(w),1,8))::BIGINT) AS hs
+                        w -> ('0x'||substr(md5(w),1,15))::BIGINT) AS hs
   FROM documents
+),
+fp16 AS (SELECT doc_id, {_simhash_expr(16)} AS simhash FROM h),
+fp48 AS (SELECT doc_id, {_simhash_expr(48)} AS fp FROM h),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fp48 a JOIN fp48 b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.fp, b.fp)) <= 3
+),
+part AS (
+  SELECT doc_id, COUNT(*) AS n_near FROM (
+    SELECT id_a AS doc_id FROM pairs UNION ALL SELECT id_b AS doc_id FROM pairs
+  ) GROUP BY 1
 )
-SELECT doc_id, {expr} AS simhash FROM h
+SELECT f.doc_id, f.simhash, CAST(COALESCE(p.n_near, 0) AS BIGINT) AS n_near
+FROM fp16 f LEFT JOIN part p USING (doc_id)
 """
-
-
-SQL_DEDUP_SIMHASH = _simhash_sql(16)
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -144,14 +171,29 @@ def q_dedup_embedding_cosine(spark, sf_dir):
         "path", F.lit("exact")
     )
     bucketed = similarity.embedding_cosine_pairs(
-        emb, threshold=0.35, bucket_bits=8
+        emb, threshold=0.35, bucket_bits=8, dim=64
     ).withColumn("path", F.lit("bucketed"))
     return exact.unionByName(bucketed)
 
 
-_BUCKET8_SQL = " + ".join(
-    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
-)
+def _hp_bucket_sql(bits: int = 8, dim: int = 64, seed: int = 7, vec: str = "embedding") -> str:
+    """DuckDB mirror of similarity.sign_bucket: bit j = sign of the
+    projection onto the SAME seeded ±1 hyperplane (literal list embedded
+    in the SQL; ±1 entries make each product an exact sign flip, so both
+    engines sum identical doubles in identical order)."""
+    hps = similarity.random_hyperplanes(dim, bits, seed)
+    terms = []
+    for j, h in enumerate(hps):
+        lit = "[" + ",".join("1.0" if x > 0 else "-1.0" for x in h) + "]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(range(1,{dim + 1}), "
+            f"i -> {vec}[i]::DOUBLE * ({lit})[i])) >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_BUCKET8_SQL = _hp_bucket_sql(8, 64, 7)
 
 SQL_DEDUP_EMBEDDING_COSINE = f"""
 WITH n AS (
@@ -180,8 +222,31 @@ SELECT id_a, id_b, cos, 'bucketed' AS path FROM scored WHERE cos >= 0.35 AND sam
 
 
 def q_ann_cosine_topk(spark, sf_dir):
+    """Both ANN paths in one oracle row: exact brute-force top-k
+    ('brute') AND IVF with a deterministic coarse quantizer ('ivf') —
+    centroids are the first 8 corpus vectors, persisted-index style
+    (ivf_fit_centroids documents why a production index is fit once and
+    stored; a FIXED centroid set is what makes the query oracle-able)."""
     emb = _embeddings(spark, sf_dir)
-    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+    bf = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=3
+    ).withColumn("path", F.lit("brute"))
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    ivf = (
+        similarity.ivf_topk(
+            emb,
+            queries=emb.filter(F.col("vec_id") < 10),
+            centroids=cents,
+            nprobe=2,
+            k=3,
+        )
+        .withColumnRenamed("vec_id", "query_id")
+        .withColumn("path", F.lit("ivf"))
+    )
+    return bf.unionByName(ivf)
 
 
 SQL_ANN_COSINE_TOPK = """
@@ -203,19 +268,53 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cos DESC, neighbor_id ASC) AS rank
   FROM scored
+),
+cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+cdist AS (
+  SELECT n.vec_id, cent.cid,
+         list_sum(list_transform(range(1, len(n.embedding)+1),
+           i -> (n.embedding[i]::DOUBLE - cent.cv[i]::DOUBLE)
+              * (n.embedding[i]::DOUBLE - cent.cv[i]::DOUBLE))) AS dist
+  FROM n, cent
+),
+crank AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rnk
+  FROM cdist
+),
+cells AS (SELECT vec_id, cid AS cell FROM crank WHERE rnk = 1),
+probes AS (SELECT vec_id AS qid, cid AS cell FROM crank
+           WHERE rnk <= 2 AND vec_id < 10),
+ivf_scored AS (
+  SELECT p.qid AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_sum(list_transform(range(1, len(q.embedding)+1),
+                 i -> q.embedding[i]::DOUBLE * nb.embedding[i]::DOUBLE))
+               / (q.nrm * nb.nrm), 6) AS cos
+  FROM probes p
+  JOIN cells c USING (cell)
+  JOIN n q ON q.vec_id = p.qid
+  JOIN n nb ON nb.vec_id = c.vec_id
+  WHERE c.vec_id <> p.qid
+),
+ivf_ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM ivf_scored
 )
-SELECT query_id, rank, neighbor_id, ROUND(cos, 4) AS cos
+SELECT query_id, rank, neighbor_id, ROUND(cos, 4) AS cos, 'brute' AS path
 FROM ranked WHERE rank <= 3
+UNION ALL
+SELECT query_id, rank, neighbor_id, ROUND(cos, 4) AS cos, 'ivf' AS path
+FROM ivf_ranked WHERE rank <= 3
 """
 
 
 def q_ann_sign_lsh(spark, sf_dir):
-    return similarity.sign_lsh_topk(_embeddings(spark, sf_dir), bits=8, k=1)
+    return similarity.sign_lsh_topk(_embeddings(spark, sf_dir), bits=8, k=1, dim=64)
 
 
-_BUCKET_SQL = " + ".join(
-    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
-)
+_BUCKET_SQL = _hp_bucket_sql(8, 64, 7)
 
 SQL_ANN_SIGN_LSH = f"""
 WITH n AS (
@@ -396,26 +495,60 @@ SELECT id, LEAST(id, MIN(peer)) AS cluster FROM reach GROUP BY id""",
 
 
 def q_dataset_split(spark, sf_dir):
-    from ..dataprep.split import hash_split
+    """hash_split AND stratified_sample under one oracle row: the
+    deterministic train/val/test assignment, then per-(split, source)
+    row counts before and after a per-stratum downsample (keep 100% of
+    src0, 25% of src1, 50% of everything else — the training-mix shaping
+    a corpus pipeline runs after splitting)."""
+    from ..dataprep.split import hash_split, stratified_sample
 
     docs = _documents(spark, sf_dir)
     out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
-    return out.groupBy("split").agg(
+    kept = stratified_sample(
+        out, "source", {"src0": 1.0, "src1": 0.25}, default_fraction=0.5
+    )
+    full = out.groupBy("split", "source").agg(
         F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("first_doc")
+    )
+    samp = kept.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )
+    return full.join(samp, ["split", "source"], "left").withColumn(
+        "n_sampled", F.coalesce("n_sampled", F.lit(0).cast("long"))
     )
 
 
 SQL_DATASET_SPLIT = f"""
 WITH h AS (
-  SELECT doc_id,
-         ('0x'||substr(md5('split:' || doc_id::VARCHAR),1,8))::BIGINT AS hv
+  SELECT doc_id, source,
+         ('0x'||substr(md5('split:' || doc_id::VARCHAR),1,8))::BIGINT AS hv,
+         ('0x'||substr(md5('strata:' || doc_id::VARCHAR),1,8))::BIGINT AS sv
   FROM documents
+),
+assigned AS (
+  SELECT doc_id, source, sv,
+         CASE WHEN hv < {int((1 << 32) * 0.8)} THEN 'train'
+              WHEN hv < {int((1 << 32) * 0.9)} THEN 'val'
+              ELSE 'test' END AS split
+  FROM h
+),
+kept AS (
+  SELECT * FROM assigned
+  WHERE (source = 'src0' AND sv < {int(1.0 * (1 << 32))})
+     OR (source = 'src1' AND sv < {int(0.25 * (1 << 32))})
+     OR (COALESCE(source IN ('src0', 'src1'), FALSE) = FALSE
+         AND sv < {int(0.5 * (1 << 32))})
+),
+full_counts AS (
+  SELECT split, source, COUNT(*) AS n, MIN(doc_id) AS first_doc
+  FROM assigned GROUP BY 1, 2
+),
+samp_counts AS (
+  SELECT split, source, COUNT(*) AS n_sampled FROM kept GROUP BY 1, 2
 )
-SELECT CASE WHEN hv < {int((1 << 32) * 0.8)} THEN 'train'
-            WHEN hv < {int((1 << 32) * 0.9)} THEN 'val'
-            ELSE 'test' END AS split,
-       COUNT(*) AS n, MIN(doc_id) AS first_doc
-FROM h GROUP BY 1
+SELECT f.split, f.source, f.n, f.first_doc,
+       CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled
+FROM full_counts f LEFT JOIN samp_counts s USING (split, source)
 """
 
 

@@ -935,7 +935,12 @@ FROM corpus c LEFT JOIN hits h USING (doc_id)
 def q_sequence_packing(spark, sf_dir):
     """Concat-and-chunk sequence packing over a deterministically
     tokenized document corpus (the training-batch assembly step for the
-    north rule's pre-tokenized sequence table)."""
+    north rule's pre-tokenized sequence table), then the Lee-et-al.
+    token-span duplication measure computed OVER the packed sequences
+    (corpus-wide 16-token window counts -> per-sequence duplicated
+    fraction). The token array is projected as md5(concat_ws(',', .)) —
+    the driver canonicalizer cannot sort list cells — and the raw-array
+    conservation/order invariants stay in tests/test_dataprep.py."""
     from ..dataprep import packing
     from ..dataprep.dedup import hash32
 
@@ -945,7 +950,18 @@ def q_sequence_packing(spark, sf_dir):
             F.split(F.col("text"), " "), lambda w: hash32(w) % 50257
         ).alias("tokens"),
     )
-    return packing.pack_sequences(docs, max_len=64, num_shards=4)
+    packed = packing.pack_sequences(docs, max_len=64, num_shards=4).withColumn(
+        "pid", F.col("shard") * F.lit(1_000_000) + F.col("seq_index")
+    )
+    dup = packing.token_span_duplication(packed, span_len=16, id_col="pid")
+    return packed.join(dup.select("pid", "dup_spans", "span_fraction"), "pid").select(
+        "shard",
+        "seq_index",
+        F.md5(F.concat_ws(",", F.col("tokens"))).alias("tokens_md5"),
+        "n_tok",
+        "dup_spans",
+        "span_fraction",
+    )
 
 
 SQL_SEQUENCE_PACKING = """
@@ -962,10 +978,30 @@ chunks AS (
   SELECT shard, i AS seq_index,
          stream[(i*64+1)::BIGINT : (i*64+64)::BIGINT] AS tokens
   FROM streams, UNNEST(range(0, ceil(len(stream)/64.0)::BIGINT)) AS u(i)
+),
+c2 AS (
+  SELECT shard, CAST(seq_index AS INT) AS seq_index, tokens,
+         len(tokens) AS n_tok
+  FROM chunks
+),
+wins AS (
+  SELECT shard, seq_index,
+         unnest(list_transform(range(1, len(tokens)-16+2),
+                i -> array_to_string(tokens[i:i+15], ','))) AS w
+  FROM c2 WHERE len(tokens) >= 16
+),
+wc AS (SELECT w, COUNT(*) AS c FROM wins GROUP BY 1),
+dup AS (
+  SELECT shard, seq_index, COUNT(*) AS dup_spans
+  FROM wins JOIN wc USING (w) WHERE c >= 2 GROUP BY 1, 2
 )
-SELECT shard, CAST(seq_index AS INT) AS seq_index, tokens,
-       len(tokens) AS n_tok
-FROM chunks
+SELECT c2.shard, c2.seq_index,
+       md5(array_to_string(c2.tokens, ',')) AS tokens_md5,
+       c2.n_tok,
+       CAST(COALESCE(d.dup_spans, 0) AS BIGINT) AS dup_spans,
+       ROUND(COALESCE(d.dup_spans, 0) / greatest(c2.n_tok - 15, 1), 4)
+         AS span_fraction
+FROM c2 LEFT JOIN dup d USING (shard, seq_index)
 """
 
 
@@ -1005,6 +1041,16 @@ def q_streaming_windowed_counts(spark, sf_dir):
     )
 
 
+# the trigger/commit cycle is not SQL-expressible, but the FINAL state of a
+# complete-mode windowed count over a bounded stream is: a tumbling 3600s
+# window aligned to the epoch is date_trunc('hour', ts)
+SQL_STREAMING_WINDOWED_COUNTS = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
+       event_type, COUNT(*) AS value
+FROM events GROUP BY 1, 2
+"""
+
+
 REGISTRY_SUITES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # round-2 additions first (never yet seen by the driver)
     "tailsampling_policies": (q_tailsampling_policies, SQL_TAILSAMPLING_POLICIES),
@@ -1014,7 +1060,10 @@ REGISTRY_SUITES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str |
     "ottl_converters_misc": (q_ottl_converters_misc, SQL_OTTL_CONVERTERS_MISC),
     "text_decontamination": (q_text_decontamination, SQL_TEXT_DECONTAMINATION),
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
-    "streaming_windowed_counts": (q_streaming_windowed_counts, None),
+    "streaming_windowed_counts": (
+        q_streaming_windowed_counts,
+        SQL_STREAMING_WINDOWED_COUNTS,
+    ),
     # consolidated suites (operators unchecked in r01 come first)
     "parsers_syslog_time": (q_parsers_syslog_time, SQL_PARSERS_SYSLOG_TIME),
     "parsers_web": (q_parsers_web, SQL_PARSERS_WEB),
