@@ -98,23 +98,38 @@ def sign_bucket(
     dim: int | None = None,
     seed: int = 7,
     hyperplanes: list[list[float]] | None = None,
+    center: list[float] | None = None,
 ) -> Column:
     """LSH bucket id: bit j is the sign of the projection onto a seeded
     random ±1 hyperplane. Deterministic and SQL-expressible (the literal
     matrix is embedded in the plan). Random projections — NOT the first
     `bits` dimensions — because real embedding spaces are anisotropic:
     dominant principal components would funnel the corpus into a few hot
-    buckets and degenerate the equality join toward all-pairs."""
+    buckets and degenerate the equality join toward all-pairs.
+
+    `center`: optional per-dimension mean to subtract before projecting.
+    A large common offset (un-normalized embedding spaces) shifts EVERY
+    projection by mu·h and freezes the sign bits regardless of how the
+    hyperplanes are drawn — compute the corpus mean once, persist it with
+    the index (same fit-once discipline as ivf_fit_centroids), and pass
+    it here."""
     if hyperplanes is None:
         if dim is None:
             raise ValueError("sign_bucket needs dim (or explicit hyperplanes)")
         hyperplanes = random_hyperplanes(dim, bits, seed)
     out = F.lit(0).cast("long")
     for j, h in enumerate(hyperplanes):
+        if center is not None:
+            h_shift = -sum(c * x for c, x in zip(center, h))
+            init = F.lit(float(h_shift))
+        else:
+            init = F.lit(0.0)
         harr = F.array(*[F.lit(x) for x in h])
+        # (v - mu)·h == v·h - mu·h: fold the centering into the fold's
+        # init value so the per-row work stays one multiply-add per dim
         proj = F.aggregate(
             F.zip_with(vec, harr, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
+            init,
             lambda acc, v: acc + v,
         )
         out = out + F.when(proj >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))

@@ -595,14 +595,91 @@ def exponential_to_explicit_histogram(
 # ---------------------------------------------------------------------------
 
 
+_MAX_ADJ = 1 << 56  # OTEP 235 MaxAdjustedCount (pkg/sampling/threshold.go)
+
+
+def probability_to_threshold(p: float, precision: int = 14) -> int:
+    """OTEP 235 rejection threshold for probability p, rounded to
+    `precision` hex digits past any leading-'f' run — mirrors
+    pkg/sampling ProbabilityToThresholdWithPrecision (config-time
+    scalar; the full 14-digit value is used when precision >= 14)."""
+    scaled = round(p * _MAX_ADJ)
+    reject = _MAX_ADJ - scaled
+    if reject == 0 or precision >= 14:
+        return reject
+    hexstr = f"{reject:014x}"
+    lead_f = len(hexstr) - len(hexstr.lstrip("f"))
+    keep = min(14, precision + lead_f)
+    drop_bits = 4 * (14 - keep)
+    return ((reject + (1 << drop_bits >> 1)) >> drop_bits) << drop_bits
+
+
+def _th_hex(t: Column) -> Column:
+    """Encode a 56-bit rejection threshold as a tracestate 'th' value:
+    14-digit left-aligned lowercase hex, trailing zeros trimmed
+    (pkg/sampling/threshold.go TValue())."""
+    padded = F.lower(F.lpad(F.hex(t.cast("long")), 14, "0"))
+    trimmed = F.regexp_replace(padded, "0+$", "")
+    return F.when(trimmed == "", "0").otherwise(trimmed)
+
+
 def probabilistic_sampler(
-    df: DataFrame, percent: float, key_col: str = "trace_id", seed: str = ""
+    df: DataFrame,
+    percent: float,
+    key_col: str = "trace_id",
+    seed: str = "",
+    mode: str = "hash_seed",
+    th_col: str | None = None,
+    precision: int = 14,
 ) -> DataFrame:
-    """probabilisticsamplerprocessor hash_seed mode
+    """probabilisticsamplerprocessor, all three sampler modes
     (/root/reference/processor/probabilisticsamplerprocessor/
-    logsprocessor.go:115-130): deterministic hash(key) < 2^32*pct/100 —
-    never rand(), so resampling the same data keeps the same rows."""
-    return df.filter(sample_predicate(F.col(key_col), percent, seed))
+    sampler_mode.go:55-75, logsprocessor.go:115-130):
+
+    - hash_seed: deterministic hash(key) < 2^32*pct/100 (the original
+      FNV-shaped acceptance compare) — never rand(), so resampling the
+      same data keeps the same rows.
+    - equalizing (OTEP 235): effective threshold = max(configured,
+      incoming `th`) — equalizes heterogeneous incoming probabilities
+      down to the configured rate; keep iff T <= R.
+    - proportional (OTEP 235): outgoing probability = incoming
+      probability * pct/100 (sampler_mode.go:285-302); keep iff
+      T(p_out) <= R; probabilities below 2^-56 become never-sample.
+
+    R is the low 56 bits of the hex trace id (W3C randomness), T_in is
+    parsed from `th_col` (tracestate 'th', left-aligned hex, NULL = th
+    absent = probability 1). Consistent-mode outputs carry the outgoing
+    'sampling_threshold' th encoding so downstream samplers and
+    adjusted-count accounting (1/p = 2^56/(2^56-T)) compose. All pure
+    column math — one filter, no shuffle."""
+    if mode == "hash_seed":
+        return df.filter(sample_predicate(F.col(key_col), percent, seed))
+    r = F.conv(F.substring(F.col(key_col), -14, 14), 16, 10).cast("long")
+    t_in = (
+        F.coalesce(
+            F.conv(F.rpad(F.col(th_col), 14, "0"), 16, 10).cast("long"),
+            F.lit(0).cast("long"),
+        )
+        if th_col
+        else F.lit(0).cast("long")
+    )
+    if mode == "equalizing":
+        t_cfg = probability_to_threshold(percent / 100.0, precision)
+        t_eff = F.greatest(t_in, F.lit(t_cfg).cast("long"))
+        out = df.withColumn("sampling_threshold", _th_hex(t_eff))
+        return out.filter(t_eff <= r)
+    if mode == "proportional":
+        ratio = percent / 100.0
+        p_in = (F.lit(float(_MAX_ADJ)) - t_in.cast("double")) / F.lit(float(_MAX_ADJ))
+        p_out = p_in * F.lit(ratio)
+        scaled = F.round(p_out * F.lit(float(_MAX_ADJ)), 0)
+        t_out = (F.lit(float(_MAX_ADJ)) - scaled).cast("long")
+        never = scaled < 1  # probability underflow -> NeverSampleThreshold
+        out = df.withColumn(
+            "sampling_threshold", F.when(~never, _th_hex(t_out))
+        )
+        return out.filter((~never) & (t_out.cast("double") <= r.cast("double")))
+    raise ValueError(f"unknown sampler mode {mode!r} (hash_seed|equalizing|proportional)")
 
 
 def tail_sampling(

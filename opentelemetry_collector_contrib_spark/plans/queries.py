@@ -425,18 +425,95 @@ GROUP BY event_type
 
 
 def q_probabilistic_sampler(spark, sf_dir):
-    ev = _events(spark, sf_dir)
-    threshold = int((1 << 32) * 0.25)
-    kept = ev.filter(sampling_hash(F.col("event_id").cast("string")) < threshold)
-    return kept.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("kept"), F.round(F.sum("value"), 4).alias("v")
+    """All three sampler modes in one oracle row: hash_seed acceptance
+    hashing, OTEP 235 equalizing (max of incoming/configured threshold),
+    and OTEP 235 proportional (probability product), including the
+    outgoing tracestate 'th' encodings. Incoming state: a synthetic
+    32-hex trace id (md5) and a th column cycling p=0.5 / p=0.25 /
+    absent."""
+    ev = (
+        _events(spark, sf_dir)
+        .withColumn("tid", F.md5(F.col("event_id").cast("string")))
+        .withColumn(
+            "th_in",
+            F.when(F.col("event_id") % 3 == 0, "8")  # incoming p = 0.5
+            .when(F.col("event_id") % 3 == 1, "c"),  # incoming p = 0.25
+        )
+        .withColumn("eid_s", F.col("event_id").cast("string"))
+    )
+    hs = processors.probabilistic_sampler(ev, 25.0, key_col="eid_s").select(
+        F.lit("hash_seed").alias("mode"),
+        "event_type",
+        F.lit(None).cast("string").alias("th_out"),
+        "value",
+    )
+    eq = processors.probabilistic_sampler(
+        ev, 50.0, key_col="tid", mode="equalizing", th_col="th_in"
+    ).select(
+        F.lit("equalizing").alias("mode"),
+        "event_type",
+        F.col("sampling_threshold").alias("th_out"),
+        "value",
+    )
+    pr = processors.probabilistic_sampler(
+        ev, 30.0, key_col="tid", mode="proportional", th_col="th_in"
+    ).select(
+        F.lit("proportional").alias("mode"),
+        "event_type",
+        F.col("sampling_threshold").alias("th_out"),
+        "value",
+    )
+    return (
+        hs.unionByName(eq)
+        .unionByName(pr)
+        .groupBy("mode", "event_type", "th_out")
+        .agg(F.count(F.lit(1)).alias("kept"), F.round(F.sum("value"), 4).alias("v"))
     )
 
 
+_M56 = "72057594037927936.0"  # 2^56 as a double literal
+
 SQL_PROBABILISTIC_SAMPLER = f"""
-SELECT event_type, COUNT(*) AS kept, ROUND(SUM(value), 4) AS v FROM events
-WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT < {int((1 << 32) * 0.25)}
-GROUP BY event_type
+WITH base AS (
+  SELECT event_id, event_type, value,
+         ('0x' || right(md5(event_id::VARCHAR), 14))::BIGINT AS r,
+         CASE WHEN event_id % 3 = 0 THEN 36028797018963968
+              WHEN event_id % 3 = 1 THEN 54043195528445952
+              ELSE 0 END AS t_in
+  FROM events
+),
+hs AS (
+  SELECT 'hash_seed' AS mode, event_type, CAST(NULL AS VARCHAR) AS th_out, value
+  FROM events
+  WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT
+        < {int((1 << 32) * 0.25)}
+),
+eq AS (
+  SELECT 'equalizing' AS mode, event_type,
+         CASE WHEN rtrim(printf('%014x', greatest(t_in, 36028797018963968)), '0') = ''
+              THEN '0'
+              ELSE rtrim(printf('%014x', greatest(t_in, 36028797018963968)), '0')
+         END AS th_out,
+         value
+  FROM base WHERE greatest(t_in, 36028797018963968) <= r
+),
+pr0 AS (
+  SELECT event_type, value, r,
+         round((({_M56} - t_in) / {_M56}) * 0.3 * {_M56}) AS scaled
+  FROM base
+),
+pr AS (
+  SELECT 'proportional' AS mode, event_type,
+         CASE WHEN rtrim(printf('%014x', ({_M56} - scaled)::BIGINT), '0') = ''
+              THEN '0'
+              ELSE rtrim(printf('%014x', ({_M56} - scaled)::BIGINT), '0')
+         END AS th_out,
+         value
+  FROM pr0 WHERE scaled >= 1 AND ({_M56} - scaled) <= r
+)
+SELECT mode, event_type, th_out, COUNT(*) AS kept, ROUND(SUM(value), 4) AS v
+FROM (SELECT * FROM hs UNION ALL SELECT * FROM eq UNION ALL SELECT * FROM pr)
+GROUP BY 1, 2, 3
 """
 
 

@@ -331,6 +331,9 @@ FROM events GROUP BY 1, 2, 3, 4, 5, 6
 
 
 def q_metrics_temporal(spark, sf_dir):
+    """deltatocumulative + cumulativetodelta + deltatorate PLUS
+    metricstarttime (both strategies: true_reset_point anchor and
+    subtract_initial_point rebasing) over one events scan."""
     ev = _events(spark, sf_dir)
     cum = processors.deltatocumulative_processor(
         ev, stream_cols=["user_id"], ts_col="event_id", value_col="value"
@@ -342,7 +345,20 @@ def q_metrics_temporal(spark, sf_dir):
         ev.withColumn("ts_s", _us("ts") / F.lit(1e6)),
         stream_cols=["user_id"], ts_col="ts_s", value_col="value",
     ).select("event_id", F.round("value", 4).alias("rate"))
-    return cum.join(dlt, "event_id", "left").join(rate, "event_id", "left")
+    anchor = processors.metricstarttime_processor(
+        ev, ["user_id"], ts_col="event_id", value_col="value",
+        strategy="true_reset_point",
+    ).select("event_id", F.col("start_time").alias("start_anchor"))
+    rebased = processors.metricstarttime_processor(
+        ev, ["user_id"], ts_col="event_id", value_col="value",
+        strategy="subtract_initial_point",
+    ).select("event_id", F.round("value", 4).alias("value_rebased"))
+    return (
+        cum.join(dlt, "event_id", "left")
+        .join(rate, "event_id", "left")
+        .join(anchor, "event_id", "left")
+        .join(rebased, "event_id", "left")
+    )
 
 
 SQL_METRICS_TEMPORAL = """
@@ -354,10 +370,31 @@ WITH w AS (
          epoch_us(ts)/1e6 - LAG(epoch_us(ts)/1e6)
              OVER (PARTITION BY user_id ORDER BY epoch_us(ts)/1e6) AS dt
   FROM events
+),
+seg AS (
+  SELECT event_id, user_id, value,
+         SUM(CASE WHEN prev IS NULL OR value < prev THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sg
+  FROM (SELECT event_id, user_id, value,
+               LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+        FROM events)
+),
+mst AS (
+  SELECT event_id,
+         MIN(event_id) OVER (PARTITION BY user_id, sg) AS start_anchor,
+         ROUND(value - FIRST_VALUE(value)
+               OVER (PARTITION BY user_id, sg ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+           AS value_rebased
+  FROM seg
 )
-SELECT event_id, user_id, ROUND(cum, 4) AS cumulative, ROUND(d, 4) AS delta,
-       CASE WHEN dt IS NOT NULL AND dt > 0 THEN ROUND(value / dt, 4) END AS rate
-FROM w
+SELECT w.event_id, w.user_id, ROUND(w.cum, 4) AS cumulative,
+       ROUND(w.d, 4) AS delta,
+       CASE WHEN w.dt IS NOT NULL AND w.dt > 0
+            THEN ROUND(w.value / w.dt, 4) END AS rate,
+       mst.start_anchor, mst.value_rebased
+FROM w JOIN mst USING (event_id)
 """
 
 
@@ -714,11 +751,79 @@ def q_metricstransform_full(spark, sf_dir):
                              "aggregation_type": "sum"}]},
         ],
     )
-    return out.select(
+    mt = out.select(
         "metric",
         ottl.to_key_value_string(F.col("labels")).alias("labels_kv"),
         F.round("value", 4).alias("value"),
     )
+    # --- transformprocessor metric-context funcs (operators/metric_funcs.py)
+    # over the same scan: copy_metric -> extract_count_metric ->
+    # convert_gauge_to_sum, output tagged with the resulting type metadata
+    from ..operators import metric_funcs
+
+    mf = (
+        ev.groupBy(F.concat(F.lit("rt."), F.col("event_type")).alias("metric"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("count"),
+            F.sum("value").alias("sum"),
+        )
+        .withColumn("metric_type", F.lit("gauge"))
+        .withColumn("value", F.col("sum") / F.col("count"))
+    )
+    mf = metric_funcs.copy_metric(mf, "rt.error", "rt.error.copy")
+    mf = metric_funcs.extract_count_metric(mf)
+    mf = metric_funcs.convert_gauge_to_sum(
+        mf, aggregation_temporality="cumulative", is_monotonic=False
+    )
+    mfo = mf.select(
+        "metric",
+        F.concat(
+            F.lit("type="), F.col("metric_type"),
+            F.lit(" mono="), F.coalesce(F.col("is_monotonic").cast("string"), F.lit("-")),
+            F.lit(" temp="), F.coalesce(F.col("aggregation_temporality"), F.lit("-")),
+        ).alias("labels_kv"),
+        F.round("value", 4).alias("value"),
+    )
+    # --- convert_exponential_hist_to_explicit_hist over synthetic
+    # exponential buckets (deterministic arithmetic index, scale=2)
+    eh = ev.groupBy(
+        "event_type",
+        ((F.col("event_id") % 41) - 5).cast("int").alias("bucket_index"),
+    ).agg(F.count(F.lit(1)).alias("bucket_count"))
+    hist = processors.exponential_to_explicit_histogram(
+        eh, [1.0, 10.0, 100.0, 1000.0], dims=["event_type"], scale=2,
+        zero_count_col=None,
+    )
+    histo = hist.select(
+        F.concat(F.lit("hist."), F.col("event_type")).alias("metric"),
+        F.concat(F.lit("counts="), F.concat_ws(",", "bucket_counts")).alias("labels_kv"),
+        F.expr(
+            "CAST(aggregate(bucket_counts, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            " AS DOUBLE)"
+        ).alias("value"),
+    )
+    return mt.unionByName(mfo).unionByName(histo)
+
+
+def _exp_hist_case_sql(bounds: list[float], scale: int) -> str:
+    """DuckDB mirror of exponential_to_explicit_histogram's bucket-target
+    CASE ladder — the WHEN order replicates the Spark expression exactly
+    (overflow, exact-fit per bound, then the upper<=bound ladder)."""
+    import math
+
+    f = math.log(2.0) * (2.0 ** -scale)
+    lower = f"exp(bi * {f!r})"
+    upper = f"exp((bi + 1) * {f!r})"
+    last = len(bounds) - 1
+    whens = [f"WHEN {lower} > {bounds[-1]!r} THEN {last}"]
+    for b in range(1, len(bounds)):
+        whens.append(
+            f"WHEN {lower} > {bounds[b - 1]!r} AND {upper} <= {bounds[b]!r} "
+            f"THEN {b - 1}"
+        )
+    for j, bound in enumerate(bounds):
+        whens.append(f"WHEN {upper} <= {bound!r} THEN {j}")
+    return "CASE " + " ".join(whens) + f" ELSE {last} END"
 
 
 SQL_METRICSTRANSFORM_FULL = """
@@ -756,6 +861,53 @@ SELECT metric,
             ELSE 'bucket=' || bucket || ' host=' || host END AS labels_kv,
        ROUND(value, 4) AS value
 FROM unioned
+""" + f"""
+UNION ALL
+-- metric-context funcs: copy_metric -> extract_count_metric -> gauge_to_sum
+SELECT metric, labels_kv, value FROM (
+  WITH mfbase AS (
+    SELECT 'rt.' || event_type AS metric,
+           COUNT(*)::DOUBLE AS cnt, SUM(value) AS sm
+    FROM events GROUP BY 1
+  ),
+  mfall AS (
+    SELECT metric, cnt, sm FROM mfbase
+    UNION ALL
+    SELECT 'rt.error.copy', cnt, sm FROM mfbase WHERE metric = 'rt.error'
+  )
+  SELECT metric, 'type=sum mono=false temp=cumulative' AS labels_kv,
+         ROUND(sm / cnt, 4) AS value
+  FROM mfall
+  UNION ALL
+  SELECT metric || '_count', 'type=sum mono=true temp=-', ROUND(cnt, 4)
+  FROM mfall
+)
+UNION ALL
+-- convert_exponential_hist_to_explicit_hist (scale=2, bounds 1/10/100/1000)
+SELECT metric, labels_kv, value FROM (
+  WITH ehidx AS (
+    SELECT event_type, ((event_id % 41) - 5)::INT AS bi, COUNT(*) AS bc
+    FROM events GROUP BY 1, 2
+  ),
+  ehmap AS (
+    SELECT event_type, bc,
+           {_exp_hist_case_sql([1.0, 10.0, 100.0, 1000.0], 2)} AS tgt
+    FROM ehidx
+  ),
+  ehagg AS (
+    SELECT event_type,
+           SUM(CASE WHEN tgt = 0 THEN bc ELSE 0 END) AS b0,
+           SUM(CASE WHEN tgt = 1 THEN bc ELSE 0 END) AS b1,
+           SUM(CASE WHEN tgt = 2 THEN bc ELSE 0 END) AS b2,
+           SUM(CASE WHEN tgt = 3 THEN bc ELSE 0 END) AS b3,
+           SUM(bc) AS total
+    FROM ehmap GROUP BY 1
+  )
+  SELECT 'hist.' || event_type AS metric,
+         'counts=' || b0 || ',' || b1 || ',' || b2 || ',' || b3 AS labels_kv,
+         total::DOUBLE AS value
+  FROM ehagg
+)
 """
 
 

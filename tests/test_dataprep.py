@@ -95,19 +95,73 @@ def test_cosine_and_topk(spark):
     assert order == [1, 2, 3]
 
 
-def test_sign_bucket_groups_by_orthant(spark):
+def test_sign_bucket_random_hyperplanes(spark):
+    # identical + scaled vectors share a bucket (projection signs equal);
+    # determinism: same seed -> same bucket ids across plans
     rows = [
         (0, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
-        (1, [2.0, 1.0, 3.0, 1.0, 1.0, 1.0, 1.0, 1.0]),   # same orthant as 0
-        (2, [-1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),  # differs in dim 1
+        (1, [2.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0]),  # same direction as 0
+        (2, [-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0]),  # antipode
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     b = {r["vec_id"]: r["b"] for r in emb.select(
-        "vec_id", similarity.sign_bucket(F.col("embedding"), 8).alias("b")).collect()}
-    assert b[0] == b[1] == 255 and b[2] == 254
-    nn = similarity.sign_lsh_topk(emb, bits=8, k=1).collect()
+        "vec_id", similarity.sign_bucket(F.col("embedding"), 8, dim=8).alias("b")
+    ).collect()}
+    assert b[0] == b[1]
+    assert b[2] == 255 - b[0]  # every projection flips sign for the antipode
+    b2 = {r["vec_id"]: r["b"] for r in emb.select(
+        "vec_id", similarity.sign_bucket(F.col("embedding"), 8, dim=8).alias("b")
+    ).collect()}
+    assert b == b2
+    nn = similarity.sign_lsh_topk(emb, bits=8, k=1, dim=8).collect()
     got = {r["vec_id"]: r["neighbor_id"] for r in nn}
-    assert got == {0: 1, 1: 0}   # vec 2 alone in its bucket -> no neighbor
+    assert got == {0: 1, 1: 0}  # vec 2 alone in its bucket -> no neighbor
+
+
+def test_sign_bucket_balanced_on_anisotropic_fixture(spark):
+    # the round-2 failure mode: embeddings with a dominant first component
+    # (all positive in dim 0..7) collapse first-dims sign buckets into ONE
+    # hot bucket; random hyperplanes must keep the occupancy spread out
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (
+            i,
+            [5.0 + rng.random()] * 8  # dominant, always-positive block
+            + [rng.random() - 0.5 for _ in range(8)],  # informative tail
+        )
+        for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    first_dims_hot = emb.select(
+        sum(
+            F.when(F.element_at("embedding", i + 1) >= 0, 1 << i).otherwise(0)
+            for i in range(8)
+        ).alias("b")
+    ).groupBy("b").count().agg(F.max("count")).collect()[0][0]
+    assert first_dims_hot == 200  # the anisotropic collapse being guarded
+    # un-centered random projections also freeze: the common 5.0 offset
+    # shifts every projection by mu.h (this is the documented reason
+    # sign_bucket takes a persisted corpus mean)
+    uncentered = (
+        emb.select(similarity.sign_bucket(F.col("embedding"), 8, dim=16).alias("b"))
+        .groupBy("b").count().collect()
+    )
+    assert max(r["count"] for r in uncentered) == 200
+    mean = emb.agg(
+        *[F.avg(F.element_at("embedding", i + 1)).alias(f"m{i}") for i in range(16)]
+    ).collect()[0]
+    occ = (
+        emb.select(
+            similarity.sign_bucket(
+                F.col("embedding"), 8, dim=16, center=[mean[f"m{i}"] for i in range(16)]
+            ).alias("b")
+        )
+        .groupBy("b").count().collect()
+    )
+    hot = max(r["count"] for r in occ)
+    assert len(occ) >= 20 and hot <= 60  # spread across many buckets
 
 
 def test_textstats(spark):

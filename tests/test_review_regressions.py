@@ -211,3 +211,71 @@ def test_exponential_zero_count_only_on_null_index_row(spark):
         df, [0.0, 100.0], dims=["dim"], scale=0
     ).first()
     assert out["bucket_counts"][0] == 17  # 10 (bucket) + 7 (zero), never lost
+
+
+# round-3 advisor findings
+
+
+def test_token_span_duplication_short_docs_no_crash(spark):
+    from opentelemetry_collector_contrib_spark.dataprep.packing import (
+        token_span_duplication,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, [1, 2, 3, 4, 5]), (2, list(range(100, 120))), (3, list(range(100, 120)))],
+        "doc_id long, tokens array<int>",
+    )
+    out = {r["doc_id"]: r for r in token_span_duplication(docs, span_len=16).collect()}
+    assert out[1]["dup_spans"] == 0 and out[1]["span_fraction"] == 0.0
+    assert out[2]["dup_spans"] == 5 and out[3]["dup_spans"] == 5
+
+
+def test_simhash_high_bits_vary(spark):
+    from opentelemetry_collector_contrib_spark.dataprep import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} alpha{i} beta{i} gamma{i} delta{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    fps = [r["fp"] for r in docs.select(
+        dedup.simhash(F.col("text"), 60).alias("fp")).collect()]
+    # the round-2 bug: a 32-bit word hash froze every fingerprint bit >= 32
+    high_or = 0
+    for fp in fps:
+        high_or |= fp >> 32
+    assert high_or != 0, "fingerprint bits >= 32 never vary"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        docs.select(dedup.simhash(F.col("text"), 61))
+
+
+def test_tail_sampling_drop_only_policies_raise(spark):
+    import pytest as _pytest
+
+    from opentelemetry_collector_contrib_spark.operators import processors as P
+
+    df = spark.createDataFrame(
+        [("t1", "error"), ("t2", "ok")], "trace_id string, status string"
+    )
+    with _pytest.raises(ValueError, match="non-drop"):
+        P.tail_sampling_policies(
+            df,
+            [P.TailPolicy(name="noise", kind="drop", subpolicies=[
+                P.TailPolicy(name="s", kind="agg",
+                             cond=F.max(F.col("status") == "ok"))])],
+        )
+
+
+def test_rfc5424_structured_data_escaped_quotes(spark):
+    from opentelemetry_collector_contrib_spark.operators import parsers
+
+    line = (
+        '<165>1 2024-01-02T03:04:05Z host app 123 ID47 '
+        '[ex@32473 msg="say \\"hi\\" now" x="1"] body text'
+    )
+    df = spark.createDataFrame([(line,)], "body string")
+    out = parsers.syslog_parser(df).first()
+    attrs = out["attributes"]
+    assert attrs["structured_data.ex@32473.msg"] == 'say "hi" now'
+    assert attrs["structured_data.ex@32473.x"] == "1"
