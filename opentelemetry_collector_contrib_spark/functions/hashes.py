@@ -112,3 +112,134 @@ def sample_predicate(col: Column, percent: float, seed: str = "") -> Column:
     threshold = int((1 << 32) * percent / 100.0)
     key = F.concat(F.lit(seed), col.cast("string")) if seed else col.cast("string")
     return sampling_hash(key) < F.lit(threshold)
+
+
+# ---------------------------------------------------------------------------
+# Murmur3 (exact, seed 0) — OTTL Murmur3Hash / Murmur3Hash128 emit the
+# LITTLE-ENDIAN hex of the sum (func_murmur3_hash.go:35-48,
+# func_murmur3_hash128.go:35-48; vectors in the *_test.go files)
+# ---------------------------------------------------------------------------
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86 32-bit (public domain algorithm, Appleby)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & _M32
+    n = len(data)
+    full = n - (n % 4)
+    for i in range(0, full, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & _M32
+        k = ((k << 15) | (k >> 17)) & _M32
+        k = (k * c2) & _M32
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & _M32
+        h = (h * 5 + 0xE6546B64) & _M32
+    k = 0
+    tail = data[full:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & _M32
+        k = ((k << 15) | (k >> 17)) & _M32
+        k = (k * c2) & _M32
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _M32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _M32
+    h ^= h >> 16
+    return h
+
+
+def _fmix64(k: int) -> int:
+    k ^= k >> 33
+    k = (k * 0xFF51AFD7ED558CCD) & _M64
+    k ^= k >> 33
+    k = (k * 0xC4CEB9FE1A85EC53) & _M64
+    k ^= k >> 33
+    return k
+
+
+def murmur3_x64_128(data: bytes, seed: int = 0) -> tuple[int, int]:
+    """MurmurHash3 x64 128-bit -> (h1, h2)."""
+    c1, c2 = 0x87C37B91114253D5, 0x4CF5AD432745937F
+    h1 = h2 = seed & _M64
+    n = len(data)
+    full = n - (n % 16)
+    for i in range(0, full, 16):
+        k1 = int.from_bytes(data[i : i + 8], "little")
+        k2 = int.from_bytes(data[i + 8 : i + 16], "little")
+        k1 = (k1 * c1) & _M64
+        k1 = ((k1 << 31) | (k1 >> 33)) & _M64
+        k1 = (k1 * c2) & _M64
+        h1 ^= k1
+        h1 = ((h1 << 27) | (h1 >> 37)) & _M64
+        h1 = (h1 + h2) & _M64
+        h1 = (h1 * 5 + 0x52DCE729) & _M64
+        k2 = (k2 * c2) & _M64
+        k2 = ((k2 << 33) | (k2 >> 31)) & _M64
+        k2 = (k2 * c1) & _M64
+        h2 ^= k2
+        h2 = ((h2 << 31) | (h2 >> 33)) & _M64
+        h2 = (h2 + h1) & _M64
+        h2 = (h2 * 5 + 0x38495AB5) & _M64
+    tail = data[full:]
+    k1 = k2 = 0
+    for j in range(min(len(tail), 16) - 1, 7, -1):
+        k2 |= tail[j] << (8 * (j - 8))
+    for j in range(min(len(tail), 8) - 1, -1, -1):
+        k1 |= tail[j] << (8 * j)
+    if len(tail) > 8:
+        k2 = (k2 * c2) & _M64
+        k2 = ((k2 << 33) | (k2 >> 31)) & _M64
+        k2 = (k2 * c1) & _M64
+        h2 ^= k2
+    if len(tail) > 0:
+        k1 = (k1 * c1) & _M64
+        k1 = ((k1 << 31) | (k1 >> 33)) & _M64
+        k1 = (k1 * c2) & _M64
+        h1 ^= k1
+    h1 ^= n
+    h2 ^= n
+    h1 = (h1 + h2) & _M64
+    h2 = (h2 + h1) & _M64
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 = (h1 + h2) & _M64
+    h2 = (h2 + h1) & _M64
+    return h1, h2
+
+
+def murmur3_hash_hex(col: Column) -> Column:
+    """Murmur3Hash: little-endian hex of Sum32, seed 0 (8 hex chars)."""
+
+    @pandas_udf(T.StringType())
+    def _m3(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: None
+            if v is None
+            else murmur3_32(v.encode("utf-8")).to_bytes(4, "little").hex()
+        )
+
+    return _m3(col)
+
+
+def murmur3_hash128_hex(col: Column) -> Column:
+    """Murmur3Hash128: little-endian hex of Sum128 (h1 then h2, 32 hex)."""
+
+    @pandas_udf(T.StringType())
+    def _m3128(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            h1, h2 = murmur3_x64_128(v.encode("utf-8"))
+            return h1.to_bytes(8, "little").hex() + h2.to_bytes(8, "little").hex()
+
+        return s.map(one)
+
+    return _m3128(col)

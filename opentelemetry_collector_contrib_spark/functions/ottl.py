@@ -442,45 +442,67 @@ def decode_(col: Column, encoding: str) -> Column:
 
 
 # UserAgent converter (func_useragent.go): the reference runs the full
-# uap-go regex database; this is a JVM-side regexp chain covering the
-# dominant browser/bot/tool families plus OS name/version — the common
-# web-log shapes — with semconv keys (user_agent.name/version/original,
-# os.name/os.version). Unknown agents -> family 'Other' like uap-core.
-_UA_FAMILIES: list[tuple[str, str]] = [
-    # (family, version-capture regex) — order matters (Edge/OPR before
-    # Chrome, Chrome before Safari), mirroring uap-core precedence
-    ("Edge", r"Edg(?:e|A|iOS)?/(\d+(?:\.\d+)*)"),
-    ("Opera", r"OPR/(\d+(?:\.\d+)*)"),
-    ("Chrome Mobile", r"(?=.*Mobile)(?=.*Android).*Chrome/(\d+(?:\.\d+)*)"),
-    ("Chrome", r"Chrome/(\d+(?:\.\d+)*)"),
-    ("Firefox", r"Firefox/(\d+(?:\.\d+)*)"),
-    ("Mobile Safari", r"(?=.*iPhone|.*iPad).*Version/(\d+(?:\.\d+)*).*Safari"),
-    ("Safari", r"Version/(\d+(?:\.\d+)*).*Safari"),
-    ("IE", r"MSIE (\d+(?:\.\d+)*)"),
-    ("Googlebot", r"Googlebot/(\d+(?:\.\d+)*)"),
-    ("bingbot", r"bingbot/(\d+(?:\.\d+)*)"),
-    ("curl", r"curl/(\d+(?:\.\d+)*)"),
-    ("Wget", r"Wget/(\d+(?:\.\d+)*)"),
-    ("Python Requests", r"python-requests/(\d+(?:\.\d+)*)"),
+# uap-go regex database (vendoring uap-core's regexes.yaml is impossible
+# in this sandbox — no network); this is a JVM-side regexp chain with
+# uap-go SEMANTICS — ToVersionString truncation to Major.Minor.Patch,
+# 'Other' family/os fallbacks, os.version omitted when empty — verified
+# against every vector in func_useragent_test.go
+# (tests/test_ops_round2.py::test_user_agent_reference_vectors).
+# Entry shape: (family | None, regex). A None family takes the agent name
+# from capture group 1 and the version from group 2 (uap-core's
+# dynamic-family patterns, e.g. the cloud-SDK block); otherwise the
+# version is group 1.
+_UA_FAMILIES: list[tuple[str | None, str]] = [
+    # order matters (Edge/OPR before Chrome, Chrome before Safari),
+    # mirroring uap-core precedence
+    ("Edge", r"Edg(?:e|A|iOS)?/(\d+(?:\.\d+){0,2})"),
+    ("Opera", r"OPR/(\d+(?:\.\d+){0,2})"),
+    ("Chrome Mobile", r"(?=.*Mobile)(?=.*Android).*Chrome/(\d+(?:\.\d+){0,2})"),
+    ("Chrome", r"Chrome/(\d+(?:\.\d+){0,2})"),
+    ("Firefox", r"Firefox/(\d+(?:\.\d+){0,2})"),
+    ("Mobile Safari", r"(?=.*iPhone|.*iPad).*Version/(\d+(?:\.\d+){0,2}).*Safari"),
+    ("Safari", r"Version/(\d+(?:\.\d+){0,2}).*Safari"),
+    ("IE", r"MSIE (\d+(?:\.\d+){0,2})"),
+    ("Googlebot", r"Googlebot/(\d+(?:\.\d+){0,2})"),
+    ("bingbot", r"bingbot/(\d+(?:\.\d+){0,2})"),
+    ("curl", r"curl/(\d+(?:\.\d+){0,2})"),
+    ("Wget", r"Wget/(\d+(?:\.\d+){0,2})"),
+    ("Python Requests", r"python-requests/(\d+(?:\.\d+){0,2})"),
+    (None, r"(ibm-cos-sdk-(?:core|java|js|python))/(\d+(?:\.\d+){0,2})"),
+    (None, r"(aws-sdk-\w+)/(\d+(?:\.\d+){0,2})"),
+    (None, r"^(ViaFree|Viafree|viafree)-\w+/(\d+(?:\.\d+){0,2})"),
 ]
+# uap-core maps Windows NT tokens to marketing versions
+_WINDOWS_NT_VERSIONS = {
+    "10.0": "10", "6.3": "8.1", "6.2": "8", "6.1": "7",
+    "6.0": "Vista", "5.2": "XP", "5.1": "XP", "5.0": "2000",
+}
 _UA_OS: list[tuple[str, str]] = [
     ("Windows", r"Windows NT (\d+(?:\.\d+)*)"),
-    ("iOS", r"(?:iPhone|iPad).*OS (\d+(?:[_.]\d+)*)"),
-    ("Mac OS X", r"Mac OS X (\d+(?:[_.]\d+)*)"),
-    ("Android", r"Android (\d+(?:\.\d+)*)"),
-    ("Linux", r"(Linux)"),
+    ("iOS", r"(?:iPhone|iPad).*OS (\d+(?:[_.]\d+){0,2})"),
+    ("iOS", r"\biOS (\d+(?:\.\d+){0,2})"),
+    ("Mac OS X", r"Mac OS X (\d+(?:[_.]\d+){0,2})"),
+    ("Android", r"Android (\d+(?:\.\d+){0,2})"),
+    ("Linux", r"Linux/(\d+(?:\.\d+){0,2})"),
+    ("Linux", r"(?i)\blinux\b()"),
 ]
 
 
 def user_agent(col: Column) -> Column:
     """UserAgent -> map with user_agent.name / user_agent.version /
-    user_agent.original / os.name / os.version keys."""
+    user_agent.original / os.name / os.version semconv keys. Like uap-go:
+    family and os.name fall back to 'Other' (always present), the version
+    keys are Major.Minor.Patch, user_agent.version is always present
+    (empty when unknown) and os.version is omitted when empty."""
     name = None
     version = None
     for fam, rx in _UA_FAMILIES:
         hit = col.rlike(rx)
-        v = F.regexp_extract(col, rx, 1)
-        name = F.when(hit, fam) if name is None else name.when(hit, fam)
+        if fam is None:
+            f, v = F.regexp_extract(col, rx, 1), F.regexp_extract(col, rx, 2)
+        else:
+            f, v = F.lit(fam), F.regexp_extract(col, rx, 1)
+        name = F.when(hit, f) if name is None else name.when(hit, f)
         version = F.when(hit, v) if version is None else version.when(hit, v)
     name = name.otherwise("Other")
     version = version.otherwise("")
@@ -489,12 +511,18 @@ def user_agent(col: Column) -> Column:
     for osf, rx in _UA_OS:
         hit = col.rlike(rx)
         ov = F.regexp_replace(F.regexp_extract(col, rx, 1), "_", ".")
-        if osf == "Linux":
-            ov = F.lit("")
+        if osf == "Windows":
+            mapped = None
+            for nt, mk in _WINDOWS_NT_VERSIONS.items():
+                c = ov == nt
+                mapped = F.when(c, mk) if mapped is None else mapped.when(c, mk)
+            ov = mapped.otherwise(ov)
         os_name = F.when(hit, osf) if os_name is None else os_name.when(hit, osf)
         os_version = F.when(hit, ov) if os_version is None else os_version.when(hit, ov)
-    os_name = os_name.otherwise(F.lit(None).cast("string"))
-    os_version = os_version.otherwise(F.lit(None).cast("string"))
+    os_name = os_name.otherwise("Other")
+    os_version = F.when(os_version == "", F.lit(None).cast("string")).otherwise(
+        os_version
+    )
     full = F.map_from_arrays(
         F.array(
             F.lit("user_agent.name"), F.lit("user_agent.original"),
@@ -502,8 +530,183 @@ def user_agent(col: Column) -> Column:
         ),
         F.array(name, col, version, os_name, os_version),
     )
-    # reference omits os.* keys when undetected (func_useragent.go:48-57)
+    # os.version is the only omittable key (func_useragent.go:48-57)
     return F.map_filter(full, lambda _, v: v.isNotNull())
 
 
 log_ = F.log
+
+
+# ---------------------------------------------------------------------------
+# Duration family (func_duration.go + func_hours/minutes/seconds/
+# milliseconds/microseconds/nanoseconds.go): Duration parses a Go
+# time.ParseDuration string into int64 nanoseconds (the flat-model stand-in
+# for time.Duration); the unit converters read that ns column.
+# ---------------------------------------------------------------------------
+
+_DUR_SEG_RX = r"(\d+(?:\.\d*)?|\.\d+)(ns|us|µs|μs|ms|s|m|h)"
+_DUR_VALID_RX = r"^[+-]?(?:(?:\d+(?:\.\d*)?|\.\d+)(?:ns|us|µs|μs|ms|s|m|h))+$"
+_DUR_UNIT_NS = {
+    "ns": 1.0, "us": 1e3, "µs": 1e3, "μs": 1e3,
+    "ms": 1e6, "s": 1e9, "m": 6e10, "h": 3.6e12,
+}
+
+
+def duration_(col: Column) -> Column:
+    """Duration("1h30m") -> int64 nanoseconds. Go ParseDuration grammar:
+    optional sign, one or more <decimal><unit> segments, plus the special
+    case "0"; malformed input -> NULL (flat-model on_error). Pure column
+    expressions — segments are regexp-extracted and folded JVM-side."""
+    vals = F.regexp_extract_all(col, F.lit(_DUR_SEG_RX), 1)
+    units = F.regexp_extract_all(col, F.lit(_DUR_SEG_RX), 2)
+
+    def seg_ns(v: Column, u: Column) -> Column:
+        expr = None
+        for unit, ns in _DUR_UNIT_NS.items():
+            c = v.cast("double") * F.lit(ns)
+            expr = F.when(u == unit, c) if expr is None else expr.when(u == unit, c)
+        return expr
+    total = F.aggregate(
+        F.zip_with(vals, units, seg_ns),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    signed = F.when(col.startswith("-"), -total).otherwise(total).cast("long")
+    return (
+        F.when(col == "0", F.lit(0).cast("long"))
+        .when(col.rlike(_DUR_VALID_RX), signed)
+        .otherwise(F.lit(None).cast("long"))
+    )
+
+
+def nanoseconds_(d: Column) -> Column:
+    return d.cast("long")
+
+
+def microseconds_(d: Column) -> Column:
+    return ((d - d % F.lit(1000)) / F.lit(1000)).cast("long")
+
+
+def milliseconds_(d: Column) -> Column:
+    return ((d - d % F.lit(1000000)) / F.lit(1000000)).cast("long")
+
+
+def seconds_(d: Column) -> Column:
+    return d.cast("double") / F.lit(1e9)
+
+
+def minutes_(d: Column) -> Column:
+    return d.cast("double") / F.lit(6e10)
+
+
+def hours_(d: Column) -> Column:
+    return d.cast("double") / F.lit(3.6e12)
+
+
+# ---------------------------------------------------------------------------
+# Type predicates (func_is_bool/is_int/is_double/is_list/is_map.go) — the
+# flat model types columns statically, so typeof() folds to a constant and
+# the predicate costs nothing at runtime.
+# ---------------------------------------------------------------------------
+
+
+def is_bool(col: Column) -> Column:
+    return F.typeof(col) == F.lit("boolean")
+
+
+def is_int(col: Column) -> Column:
+    return F.typeof(col).isin("tinyint", "smallint", "int", "bigint")
+
+
+def is_double(col: Column) -> Column:
+    return F.typeof(col).isin("float", "double")
+
+
+def is_list(col: Column) -> Column:
+    return F.typeof(col).startswith("array<")
+
+
+def is_map(col: Column) -> Column:
+    return F.typeof(col).startswith("map<")
+
+
+def parse_int(col: Column, base: int = 10) -> Column:
+    """ParseInt(target, base) — strconv.ParseInt subset: bases 2/8/10/16
+    and base 0 (auto-detect 0x/0o/0b prefixes, bare = decimal). Malformed
+    input -> NULL."""
+    s = F.trim(col)
+    sign = F.when(s.startswith("-"), F.lit(-1).cast("long")).otherwise(F.lit(1).cast("long"))
+    mag = F.regexp_replace(s, r"^[+-]", "")
+
+    def conv_base(m: Column, b: int, rx: str) -> Column:
+        return F.when(m.rlike(rx), F.conv(m, b, 10).cast("long"))
+
+    if base == 10:
+        out = F.when(mag.rlike("^[0-9]+$"), mag.cast("long"))
+    elif base == 16:
+        out = conv_base(F.regexp_replace(mag, "^0[xX]", ""), 16, "^[0-9a-fA-F]+$")
+    elif base == 8:
+        out = conv_base(F.regexp_replace(mag, "^0[oO]", ""), 8, "^[0-7]+$")
+    elif base == 2:
+        out = conv_base(F.regexp_replace(mag, "^0[bB]", ""), 2, "^[01]+$")
+    elif base == 0:
+        hexm = F.regexp_replace(mag, "^0[xX]", "")
+        octm = F.regexp_replace(mag, "^0[oO]?", "")
+        binm = F.regexp_replace(mag, "^0[bB]", "")
+        out = (
+            F.when(mag.rlike("^0[xX][0-9a-fA-F]+$"), F.conv(hexm, 16, 10).cast("long"))
+            .when(mag.rlike("^0[bB][01]+$"), F.conv(binm, 2, 10).cast("long"))
+            .when(mag.rlike("^0[oO]?[0-7]+$") & (mag != "0") & mag.startswith("0"),
+                  F.conv(octm, 8, 10).cast("long"))
+            .when(mag.rlike("^[0-9]+$"), mag.cast("long"))
+        )
+    else:
+        raise ValueError(f"unsupported ParseInt base {base}")
+    return sign * out
+
+
+def convert_case(col: Column, case: str) -> Column:
+    """ConvertCase(target, "lower"|"upper"|"snake"|"camel")
+    (func_convert_case.go)."""
+    if case == "lower":
+        return F.lower(col)
+    if case == "upper":
+        return F.upper(col)
+    if case == "snake":
+        return to_snake_case(col)
+    if case == "camel":
+        return to_camel_case(col)
+    raise ValueError(f"unsupported ConvertCase case {case!r}")
+
+
+# ID constructors (func_span_id.go / func_trace_id.go / func_profile_id.go):
+# the flat model carries ids as lowercase hex strings, so the constructors
+# validate + normalize.
+
+
+def _hex_id(col: Column, n: int) -> Column:
+    return F.when(col.rlike(f"^[0-9a-fA-F]{{{n}}}$"), F.lower(col))
+
+
+def span_id_(col: Column) -> Column:
+    return _hex_id(col, 16)
+
+
+def trace_id_(col: Column) -> Column:
+    return _hex_id(col, 32)
+
+
+def profile_id_(col: Column) -> Column:
+    return _hex_id(col, 32)
+
+
+def murmur3_hash_exact(col: Column) -> Column:
+    from .hashes import murmur3_hash_hex
+
+    return murmur3_hash_hex(col)
+
+
+def murmur3_hash128_exact(col: Column) -> Column:
+    from .hashes import murmur3_hash128_hex
+
+    return murmur3_hash128_hex(col)

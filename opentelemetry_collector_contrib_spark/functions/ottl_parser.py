@@ -180,7 +180,55 @@ def _converters():
         "Sort": lambda a: ottl.sort_(a[0]),
         "SliceToMap": lambda a: ottl.slice_to_map(a[0]),
         "Log": lambda a: F.log(_to_col(a[0])),
+        # round-3 additions (remaining functions.go registry gaps)
+        "Duration": lambda a: ottl.duration_(
+            F.lit(a[0]) if isinstance(a[0], str) else a[0]
+        ),
+        "Hours": lambda a: ottl.hours_(a[0]),
+        "Minutes": lambda a: ottl.minutes_(a[0]),
+        "Seconds": lambda a: ottl.seconds_(a[0]),
+        "Milliseconds": lambda a: ottl.milliseconds_(a[0]),
+        "Microseconds": lambda a: ottl.microseconds_(a[0]),
+        "Nanoseconds": lambda a: ottl.nanoseconds_(a[0]),
+        "IsBool": lambda a: ottl.is_bool(_to_col(a[0])),
+        "IsInt": lambda a: ottl.is_int(_to_col(a[0])),
+        "IsDouble": lambda a: ottl.is_double(_to_col(a[0])),
+        "IsList": lambda a: ottl.is_list(_to_col(a[0])),
+        "IsMap": lambda a: ottl.is_map(_to_col(a[0])),
+        "ParseInt": lambda a: ottl.parse_int(
+            F.lit(a[0]) if isinstance(a[0], str) else a[0],
+            _lit_int(a[1]) if len(a) > 1 else 10,
+        ),
+        "ConvertCase": lambda a: ottl.convert_case(a[0], _lit_str(a[1])),
+        "SpanID": lambda a: ottl.span_id_(
+            F.lit(a[0]) if isinstance(a[0], str) else a[0]
+        ),
+        "TraceID": lambda a: ottl.trace_id_(
+            F.lit(a[0]) if isinstance(a[0], str) else a[0]
+        ),
+        "ProfileID": lambda a: ottl.profile_id_(
+            F.lit(a[0]) if isinstance(a[0], str) else a[0]
+        ),
+        "ExtractGrokPatterns": _extract_grok,
+        "Murmur3Hash": lambda a: ottl.murmur3_hash_exact(a[0]),
+        "Murmur3Hash128": lambda a: ottl.murmur3_hash128_exact(a[0]),
     }
+
+
+def _extract_grok(args):
+    """ExtractGrokPatterns(target, pattern[, namedCapturesOnly[,
+    pattern_definitions]]) — func_extract_grok_patterns.go."""
+    from .grok import grok_extract, parse_definitions
+
+    target = args[0]
+    pattern = _lit_str(args[1])
+    named_only = args[2] if len(args) > 2 else True
+    if not isinstance(named_only, bool):
+        raise ValueError("ExtractGrokPatterns namedCapturesOnly must be a bool")
+    defs = None
+    if len(args) > 3:
+        defs = parse_definitions([_lit_str(d) for d in args[3]])
+    return grok_extract(target, pattern, custom=defs, named_captures_only=named_only)
 
 
 def _xml():

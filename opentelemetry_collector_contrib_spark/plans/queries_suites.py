@@ -1016,8 +1016,8 @@ def q_ottl_converters_misc(spark, sf_dir):
 SQL_OTTL_CONVERTERS_MISC = """
 SELECT event_id,
        CASE user_id % 3 WHEN 0 THEN 'Chrome' WHEN 1 THEN 'curl' ELSE 'Other' END AS ua_name,
-       CASE user_id % 3 WHEN 0 THEN '120.0.0.0' WHEN 1 THEN '8.4.0' ELSE '' END AS ua_version,
-       CASE user_id % 3 WHEN 0 THEN 'Windows' END AS os_name,
+       CASE user_id % 3 WHEN 0 THEN '120.0.0' WHEN 1 THEN '8.4.0' ELSE '' END AS ua_version,
+       CASE user_id % 3 WHEN 0 THEN 'Windows' ELSE 'Other' END AS os_name,
        event_id % 2 = 0 AS luhn_ok,
        '7' AS uuid_ver, TRUE AS uuid_variant_ok, 36 AS uuid_len,
        event_type AS decoded

@@ -148,3 +148,114 @@ def test_minhash_band_divisibility(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="divisible"):
         D.minhash_lsh_pairs(df, num_hashes=16, bands=3)
+
+
+# round-3 converter additions
+
+
+def test_duration_family(spark):
+    from opentelemetry_collector_contrib_spark.functions import ottl
+
+    df = spark.createDataFrame(
+        [("1h30m",), ("300ms",), ("-1.5h",), ("2h45m30s",), ("1.5s",),
+         ("0",), ("10",), ("garbage",), ("1h2xm",)],
+        "d string",
+    )
+    out = {r["d"]: r for r in df.select(
+        "d",
+        ottl.duration_(F.col("d")).alias("ns"),
+        ottl.hours_(ottl.duration_(F.col("d"))).alias("h"),
+        ottl.milliseconds_(ottl.duration_(F.col("d"))).alias("ms"),
+        ottl.seconds_(ottl.duration_(F.col("d"))).alias("s"),
+    ).collect()}
+    assert out["1h30m"]["ns"] == 5_400_000_000_000
+    assert out["1h30m"]["h"] == 1.5
+    assert out["300ms"]["ns"] == 300_000_000 and out["300ms"]["ms"] == 300
+    assert out["-1.5h"]["ns"] == -5_400_000_000_000
+    assert out["2h45m30s"]["ns"] == 9_930_000_000_000
+    assert out["1.5s"]["s"] == 1.5
+    assert out["0"]["ns"] == 0
+    # Go time.ParseDuration: missing unit / garbage are errors -> NULL
+    assert out["10"]["ns"] is None
+    assert out["garbage"]["ns"] is None
+    assert out["1h2xm"]["ns"] is None
+
+
+def test_parse_int_bases(spark):
+    from opentelemetry_collector_contrib_spark.functions import ottl
+
+    df = spark.createDataFrame(
+        [("ff",), ("-ff",), ("0x1A",), ("777",), ("101",), ("12",)], "s string"
+    )
+    got = df.select(
+        ottl.parse_int(F.col("s"), 16).alias("h"),
+        ottl.parse_int(F.col("s"), 10).alias("d"),
+        ottl.parse_int(F.col("s"), 0).alias("auto"),
+    ).collect()
+    by = {r["h"]: r for r in got}
+    vals16 = [r["h"] for r in got]
+    assert vals16[0] == 255 and vals16[1] == -255
+    assert got[3]["d"] == 777 and got[3]["auto"] == 777  # no leading 0 -> decimal
+    del by
+
+
+def test_parse_int_base0_prefixes(spark):
+    from opentelemetry_collector_contrib_spark.functions import ottl
+
+    df = spark.createDataFrame(
+        [("0x1A",), ("0b101",), ("0o17",), ("017",), ("42",), ("0",)], "s string"
+    )
+    got = [r["v"] for r in df.select(ottl.parse_int(F.col("s"), 0).alias("v")).collect()]
+    assert got == [26, 5, 15, 15, 42, 0]
+
+
+def test_grammar_new_converters_end_to_end(spark):
+    from opentelemetry_collector_contrib_spark.functions.ottl_parser import (
+        apply_statements,
+        parse_condition,
+    )
+
+    df = spark.createDataFrame(
+        [("sess", "1h30m", "HelloWorld", "Hello World",
+          {"k": "v"}, [1, 2])],
+        "body string, dur string, camel string, text string, "
+        "attributes map<string,string>, arr array<int>",
+    )
+    out = apply_statements(df, [
+        'set(attributes["h"], String(Hours(Duration(dur))))',
+        'set(attributes["snake"], ConvertCase(camel, "snake"))',
+        'set(attributes["pi"], String(ParseInt("0x1A", 0)))',
+        'set(attributes["m3"], Murmur3Hash(text))',
+        'set(attributes["m3128"], Murmur3Hash128(text))',
+        'set(attributes["sid"], SpanID("AABBCCDD11223344"))',
+    ]).first()
+    a = out["attributes"]
+    assert a["h"] == "1.5"
+    assert a["snake"] == "hello_world"
+    assert a["pi"] == "26"
+    # reference vectors: func_murmur3_hash_test.go / _hash128_test.go
+    assert a["m3"] == "ce837619"
+    assert a["m3128"] == "dbc2a0c1ab26631a27b4c09fcf1fe683"
+    assert a["sid"] == "aabbccdd11223344"
+    # boolean type predicates fold statically in the typed model
+    cond_rows = df.filter(parse_condition("IsMap(attributes) and IsList(arr)")).count()
+    assert cond_rows == 1
+    assert df.filter(parse_condition("IsInt(body)")).count() == 0
+
+
+def test_grammar_extract_grok_patterns(spark):
+    from opentelemetry_collector_contrib_spark.functions.ottl_parser import (
+        apply_statements,
+    )
+
+    df = spark.createDataFrame(
+        [("user=alice code=503",)], "body string"
+    ).withColumn("attributes", F.create_map().cast("map<string,string>"))
+    out = apply_statements(df, [
+        'set(attributes, ExtractGrokPatterns(body, '
+        '"user=%{USERNAME:user} code=%{NUMBER:code}"))',
+    ])
+    # set(map_col, map_value) replaces the whole map
+    row = out.first()
+    assert row["attributes"]["user"] == "alice"
+    assert row["attributes"]["code"] == "503"
