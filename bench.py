@@ -255,7 +255,7 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--seq-rows", type=int, default=0, help="pipeline input rows (0 = 10M*sf)")
     ap.add_argument("--skip-registry", action="store_true", help="only the tokens pipeline")
-    ap.add_argument("--repeats", type=int, default=2, help="timed pipeline runs (min reported)")
+    ap.add_argument("--repeats", type=int, default=3, help="timed pipeline runs (min reported)")
     ap.add_argument("--sink", default="parquet", choices=["parquet", "noop"])
     ap.add_argument("--files-slice", default="", help='"i:k": act as executor i of k')
     args = ap.parse_args()
@@ -286,10 +286,11 @@ def main() -> None:
                 if name not in REGISTRY:
                     continue
                 fn, _sql = REGISTRY[name]
-                t0 = time.perf_counter()
-                _force(fn(spark, args.sf_dir))
-                t = time.perf_counter() - t0
-                if t > 5.0:  # host-contention spike insurance: retry, keep min
+                # min of two timed runs: the first also warms JIT/codegen,
+                # and the min discards co-tenant contention spikes (this
+                # host is shared — see BASELINE.md "sandbox ceiling")
+                t = float("inf")
+                for _ in range(2):
                     t0 = time.perf_counter()
                     _force(fn(spark, args.sf_dir))
                     t = min(t, time.perf_counter() - t0)

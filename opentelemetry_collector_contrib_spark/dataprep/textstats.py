@@ -82,3 +82,83 @@ def fingerprint(text: Column) -> Column:
         F.element_at(hs, 1),
         lambda acc, h: (acc * 31 + h) % MOD31,
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition / shape signals (Rae et al. 2021, "Scaling
+# Language Models", Table A1 quality filters — the standard pretraining
+# corpus filters beside the composite quality score above). All pure
+# column expressions; the DuckDB oracle mirrors the arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def distinct_ngram_fraction(text: Column, n: int = 2) -> Column:
+    """distinct n-grams / total n-grams (low values = templated or
+    repeated boilerplate; Gopher drops docs below per-n thresholds)."""
+    from .dedup import word_shingles
+
+    w = words(text)
+    total = F.greatest(F.size(w) - F.lit(n - 1), F.lit(1)).cast("double")
+    return F.round(F.size(word_shingles(text, n)).cast("double") / total, 4)
+
+
+def max_word_run(text: Column) -> Column:
+    """Longest run of the SAME word repeated consecutively (catches
+    'buy buy buy buy ...' spam). One fold over the word array carrying
+    (previous word, current run, best run) in a struct accumulator."""
+    w = words(text)
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(w, init, step, lambda acc: acc["best"])
+
+
+def symbol_word_ratio(text: Column) -> Column:
+    """Non-alphanumeric, non-space characters per word (Gopher drops
+    symbol-heavy docs, e.g. > 0.1 #/... per word)."""
+    symbols = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    return F.round(
+        symbols.cast("double") / F.greatest(F.size(words(text)), F.lit(1)).cast("double"),
+        4,
+    )
+
+
+def mean_word_length(text: Column) -> Column:
+    """Mean characters per word (Gopher keeps 3..10)."""
+    w = words(text)
+    total_chars = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.round(
+        total_chars.cast("double") / F.greatest(F.size(w), F.lit(1)).cast("double"), 4
+    )
+
+
+def gopher_quality_filter(
+    text: Column,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_distinct_2gram_fraction: float = 0.2,
+    max_word_run_len: int = 6,
+) -> Column:
+    """Boolean keep/drop combining the individual signals with the
+    Gopher-paper default thresholds (tunable per corpus)."""
+    n = F.size(words(text))
+    return (
+        (n >= min_words)
+        & (n <= max_words)
+        & mean_word_length(text).between(min_mean_word_len, max_mean_word_len)
+        & (symbol_word_ratio(text) <= max_symbol_word_ratio)
+        & (distinct_ngram_fraction(text, 2) >= min_distinct_2gram_fraction)
+        & (max_word_run(text) <= max_word_run_len)
+    )

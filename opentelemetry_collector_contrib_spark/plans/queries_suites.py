@@ -404,11 +404,15 @@ FROM w JOIN mst USING (event_id)
 
 
 def q_text_stats_suite(spark, sf_dir):
+    """language_id + quality + token counts + fingerprint PLUS the
+    Gopher-style repetition/shape filters (Rae et al. 2021): distinct
+    2-gram fraction, longest same-word run, symbol/word ratio, mean word
+    length, and the combined keep/drop decision."""
     from ..dataprep import textstats
 
     docs = _documents(spark, sf_dir)
     ws_count, bpe_count = textstats.token_counts(F.col("text"))
-    return docs.select(
+    base = docs.select(
         "doc_id",
         textstats.language_id(F.col("text")).alias("lang_guess"),
         F.round(textstats.english_ratio(F.col("text")), 4).alias("en_ratio"),
@@ -416,6 +420,21 @@ def q_text_stats_suite(spark, sf_dir):
         ws_count.alias("ws_tokens"),
         bpe_count.cast("long").alias("bpe_tokens"),
         textstats.fingerprint(F.col("text")).alias("fp"),
+        textstats.distinct_ngram_fraction(F.col("text"), 2).alias("d2g_frac"),
+        textstats.max_word_run(F.col("text")).alias("max_run"),
+        textstats.symbol_word_ratio(F.col("text")).alias("sym_ratio"),
+        textstats.mean_word_length(F.col("text")).alias("mean_wlen"),
+    )
+    # the keep decision reuses the projected (rounded) signal columns —
+    # re-invoking gopher_quality_filter(text) would recompute every fold
+    return base.withColumn(
+        "gopher_keep",
+        (F.col("ws_tokens") >= 50)
+        & (F.col("ws_tokens") <= 100_000)
+        & F.col("mean_wlen").between(3.0, 10.0)
+        & (F.col("sym_ratio") <= 0.1)
+        & (F.col("d2g_frac") >= 0.2)
+        & (F.col("max_run") <= 6),
     )
 
 
@@ -430,10 +449,27 @@ WITH b AS (
   SELECT doc_id, text, w, len(w)::DOUBLE AS n,
          len(list_distinct(w))::DOUBLE AS nd,
          list_sum(list_transform(w,
-           x -> CASE WHEN list_contains({stoplist}, x) THEN 1 ELSE 0 END))::DOUBLE AS hits
+           x -> CASE WHEN list_contains({stoplist}, x) THEN 1 ELSE 0 END))::DOUBLE AS hits,
+         ROUND(len(list_distinct(list_transform(
+                 range(1, greatest(len(w)-1,1)+1),
+                 i -> array_to_string(w[i:i+1], ' '))))::DOUBLE
+               / greatest(len(w)-1, 1), 4) AS d2g_frac,
+         ROUND(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
+               / greatest(len(w), 1), 4) AS sym_ratio,
+         ROUND(list_sum(list_transform(w, x -> length(x)))::DOUBLE
+               / greatest(len(w), 1), 4) AS mean_wlen
   FROM b
+), runs AS (
+  SELECT doc_id, MAX(cnt) AS max_run FROM (
+    SELECT doc_id, word, grp, COUNT(*) AS cnt FROM (
+      SELECT doc_id, w[t.pos] AS word, t.pos,
+             t.pos - ROW_NUMBER() OVER (PARTITION BY doc_id, w[t.pos]
+                                        ORDER BY t.pos) AS grp
+      FROM b, UNNEST(range(1, len(w)+1)) AS t(pos)
+    ) GROUP BY 1, 2, 3
+  ) GROUP BY 1
 )
-SELECT doc_id,
+SELECT m.doc_id,
        CASE WHEN hits / n >= 0.02 THEN 'en' ELSE 'und' END AS lang_guess,
        ROUND(hits / n, 4) AS en_ratio,
        ROUND(0.4 * least(n / 100.0, 1.0) + 0.3 * (nd / n)
@@ -441,8 +477,14 @@ SELECT doc_id,
        len(w) AS ws_tokens,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens,
        list_reduce(list_transform(w, x -> ('0x'||substr(md5(x),1,8))::BIGINT),
-                   (a, b) -> (a * 31 + b) % 2147483647) AS fp
-FROM m
+                   (a, b) -> (a * 31 + b) % 2147483647) AS fp,
+       m.d2g_frac, CAST(r.max_run AS INT) AS max_run, m.sym_ratio, m.mean_wlen,
+       (len(w) >= 50 AND len(w) <= 100000
+        AND m.mean_wlen BETWEEN 3.0 AND 10.0
+        AND m.sym_ratio <= 0.1
+        AND m.d2g_frac >= 0.2
+        AND r.max_run <= 6) AS gopher_keep
+FROM m JOIN runs r USING (doc_id)
 """
 
 
@@ -1102,8 +1144,13 @@ def q_sequence_packing(spark, sf_dir):
             F.split(F.col("text"), " "), lambda w: hash32(w) % 50257
         ).alias("tokens"),
     )
-    packed = packing.pack_sequences(docs, max_len=64, num_shards=4).withColumn(
-        "pid", F.col("shard") * F.lit(1_000_000) + F.col("seq_index")
+    packed = (
+        packing.pack_sequences(docs, max_len=64, num_shards=4)
+        .withColumn("pid", F.col("shard") * F.lit(1_000_000) + F.col("seq_index"))
+        # the packed frame feeds three subtrees (span explode, the
+        # all-docs left side, and the output join); without a persist the
+        # tokenize+pack shuffle would run three times
+        .persist()
     )
     dup = packing.token_span_duplication(packed, span_len=16, id_col="pid")
     return packed.join(dup.select("pid", "dup_spans", "span_fraction"), "pid").select(

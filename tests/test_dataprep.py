@@ -385,3 +385,53 @@ def test_token_span_duplication(spark):
     assert out[1]["dup_spans"] == 5 and out[2]["dup_spans"] == 5
     assert out[3]["dup_spans"] == 0 and out[3]["span_fraction"] == 0.0
     assert out[1]["span_fraction"] == round(5 / 15, 4)
+
+
+def test_ivf_pandas_catalyst_impl_parity(spark):
+    """The vectorized (numpy) cell assignment must agree with the
+    Catalyst expression path — on the driver's own oracle data, so a
+    pandas-impl registry query cannot drift from its DuckDB oracle."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    kw = dict(queries=emb.filter(F.col("vec_id") < 25), centroids=cents,
+              nprobe=2, k=3)
+    a = similarity.ivf_topk(emb, impl="pandas", **kw).collect()
+    b = similarity.ivf_topk(emb, impl="catalyst", **kw).collect()
+    key = lambda r: (r["vec_id"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, a), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, b), key=lambda t: (t[0], t[1])
+    )
+    del key
+
+
+def test_gopher_repetition_signals(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "buy buy buy buy now please"),
+            (2, "the quick brown fox jumps over lazy dogs"),
+            (3, "a## b## c##"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        textstats.max_word_run(F.col("text")).alias("run"),
+        textstats.distinct_ngram_fraction(F.col("text"), 2).alias("d2g"),
+        textstats.symbol_word_ratio(F.col("text")).alias("sym"),
+        textstats.mean_word_length(F.col("text")).alias("mwl"),
+    ).collect()}
+    assert out[1]["run"] == 4 and out[2]["run"] == 1
+    # doc1 bigrams: buy buy (x3 -> 1 distinct), buy now, now please -> 3/5
+    assert out[1]["d2g"] == round(3 / 5, 4)
+    assert out[2]["d2g"] == 1.0
+    assert out[3]["sym"] == 2.0  # 6 symbols / 3 words
+    assert out[2]["mwl"] == round(sum(map(len, "the quick brown fox jumps over lazy dogs".split())) / 8, 4)
+    # filter with relaxed min_words: doc1 drops on the word-run bound,
+    # doc3 on symbols + mean word length, doc2 survives
+    kept = df.filter(
+        textstats.gopher_quality_filter(F.col("text"), min_words=5, max_word_run_len=3)
+    ).collect()
+    assert [r["doc_id"] for r in kept] == [2]
