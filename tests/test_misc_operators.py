@@ -91,3 +91,52 @@ def test_sample_predicate_deterministic_rate(spark):
     assert abs(kept / 20000 - 0.25) < 0.02
     kept2 = df.filter(sample_predicate(F.col("k"), 25.0)).count()
     assert kept == kept2
+
+
+def test_isolation_forest_flags_planted_outliers(spark):
+    import random
+
+    from opentelemetry_collector_contrib_spark.operators import anomaly
+
+    rng = random.Random(3)
+    rows = [(i, rng.gauss(10.0, 1.0), rng.gauss(5.0, 0.5)) for i in range(300)]
+    rows += [(1000, 50.0, -40.0), (1001, -30.0, 60.0)]  # far isolates
+    df = spark.createDataFrame(rows, "id long, lat double, dur double")
+    out = anomaly.isolation_forest_processor(
+        df, ["lat", "dur"], num_trees=32, sample_size=64,
+        threshold_quantile=0.99,
+    )
+    got = {r["id"]: r for r in out.collect()}
+    normal_scores = [r["anomaly_score"] for i, r in got.items() if i < 1000]
+    assert got[1000]["anomaly_score"] > max(normal_scores)
+    assert got[1001]["anomaly_score"] > max(normal_scores)
+    assert got[1000]["is_anomaly"] and got[1001]["is_anomaly"]
+    # determinism: refit on the same data -> identical scores
+    again = anomaly.isolation_forest_processor(
+        df, ["lat", "dur"], num_trees=32, sample_size=64,
+        threshold_quantile=0.99,
+    )
+    assert {r["id"]: r["anomaly_score"] for r in again.collect()} == {
+        i: r["anomaly_score"] for i, r in got.items()
+    }
+
+
+def test_isolation_forest_pinned_model_across_batches(spark):
+    from opentelemetry_collector_contrib_spark.operators import anomaly
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7), float(i % 11)) for i in range(200)],
+        "id long, a double, b double",
+    )
+    forest = anomaly.fit_isolation_forest(df, ["a", "b"], num_trees=16, sample_size=32)
+    s1 = anomaly.isolation_forest_processor(
+        df.filter("id < 100"), ["a", "b"], forest=forest
+    )
+    s2 = anomaly.isolation_forest_processor(
+        df.filter("id >= 100"), ["a", "b"], forest=forest
+    )
+    # same (a, b) features -> same score under the pinned model, batch-independent
+    m1 = {(r["a"], r["b"]): r["anomaly_score"] for r in s1.collect()}
+    m2 = {(r["a"], r["b"]): r["anomaly_score"] for r in s2.collect()}
+    shared = set(m1) & set(m2)
+    assert shared and all(m1[k] == m2[k] for k in shared)
