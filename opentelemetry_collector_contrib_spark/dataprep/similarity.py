@@ -242,7 +242,11 @@ def _assign_cells_pandas(vec: Column, centroids: list[list[float]], nprobe: int)
                 }
             )
 
-    return _assign(vec)
+    # the function IS deterministic, but telling Catalyst so lets it clone
+    # the ArrowEvalPython node into the explode's null-guard filter — every
+    # vector would cross the Arrow boundary twice. Nondeterministic marking
+    # pins a single evaluation per row.
+    return _assign.asNondeterministic()(vec)
 
 
 def ivf_topk(
