@@ -435,3 +435,39 @@ def test_gopher_repetition_signals(spark):
         textstats.gopher_quality_filter(F.col("text"), min_words=5, max_word_run_len=3)
     ).collect()
     assert [r["doc_id"] for r in kept] == [2]
+
+
+def test_bpe_train_encode_roundtrip(spark):
+    from opentelemetry_collector_contrib_spark.dataprep import tokenize
+
+    corpus = spark.createDataFrame(
+        [(1, "low lower lowest newest widest")], "doc_id long, text string"
+    )
+    merges = tokenize.train_bpe(corpus, num_merges=4, min_freq=2)
+    # hand-derived: ties broken lexicographically -> (e,s), (es,t), (l,o), (lo,w)
+    assert merges == [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+    out = corpus.select(tokenize.bpe_encode(F.col("text"), merges).alias("p")).first()["p"]
+    # pieces concatenate back to the original words (lossless)
+    assert "".join(out) == "lowlowerlowestnewestwidest"
+    assert out[:2] == ["low", "er"] or out[0] == "low"  # 'low' is one piece
+    enc = spark.createDataFrame([("lowest",), ("newest",)], "text string").select(
+        tokenize.bpe_encode(F.col("text"), merges).alias("p")
+    ).collect()
+    assert enc[0]["p"] == ["low", "est"]
+    assert enc[1]["p"] == ["n", "e", "w", "est"]
+    vocab = tokenize.build_vocab(corpus, "text", merges)
+    # sorted alphabet first, then merge products in merge order
+    assert vocab["d"] == 0 and vocab["es"] == 10 and vocab["low"] == 13
+    ids = spark.createDataFrame([("lowest",)], "text string").select(
+        tokenize.encode_ids(F.col("text"), merges, vocab).alias("ids")
+    ).first()["ids"]
+    assert ids == [13, 11]
+
+
+def test_bpe_training_partitioning_independent(spark):
+    from opentelemetry_collector_contrib_spark.dataprep import tokenize
+
+    rows = [(i, "aa ab aa ba aa ab") for i in range(20)]
+    c1 = spark.createDataFrame(rows, "doc_id long, text string").repartition(1)
+    c2 = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+    assert tokenize.train_bpe(c1, num_merges=2) == tokenize.train_bpe(c2, num_merges=2)

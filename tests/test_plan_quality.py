@@ -101,3 +101,33 @@ def test_enrichment_suite_broadcasts_all_lookups(spark):
         if "Exchange" in ln and "BroadcastExchange" not in ln and _re.search(r"\bExchange\b", ln)
     ]
     assert len(non_broadcast) <= 2, non_broadcast  # the final groupBy (+AQE read)
+
+
+def test_ngram_jaccard_gram_df_join_not_force_broadcast(spark):
+    """Round-3 scale fix: the distinct-gram document-frequency table must
+    NOT carry a broadcast hint (billions of rows at corpus scale -> driver
+    OOM). With auto-broadcast disabled the join must run shuffled and
+    still produce the same pairs."""
+    from opentelemetry_collector_contrib_spark.dataprep import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat"),
+            (3, "entirely different content here"),
+        ],
+        "doc_id long, text string",
+    )
+    df = dedup.ngram_jaccard_pairs(docs, ngram=2, threshold=0.5, max_df=10)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "hint" not in analyzed.lower(), "gram-DF join must not be hint-forced"
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        rebuilt = dedup.ngram_jaccard_pairs(docs, ngram=2, threshold=0.5, max_df=10)
+        phys = rebuilt._jdf.queryExecution().executedPlan().toString()
+        assert ("SortMergeJoin" in phys) or ("ShuffledHashJoin" in phys)
+        pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rebuilt.collect()}
+        assert pairs == {(1, 2): 1.0}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
