@@ -710,3 +710,72 @@ def murmur3_hash128_exact(col: Column) -> Column:
     from .hashes import murmur3_hash128_hex
 
     return murmur3_hash128_hex(col)
+
+
+# round-3 registry-diff closers (func_index.go / func_nanosecond.go /
+# func_unix.go; the remaining gap vs ottlfuncs/functions.go is XXH3/XXH128
+# only — see COVERAGE.md deliberate exclusions)
+
+
+def index_(target: Column, value: Column) -> Column:
+    """Index(target, value) for STRING targets: first occurrence, 0-based,
+    -1 when absent (strings.Index). For list targets use index_in_list —
+    the flat model types columns statically, so the Go runtime type
+    dispatch becomes a plan-time choice."""
+    return (F.instr(target, value) - 1).cast("long")
+
+
+def index_in_list(target: Column, value: Column) -> Column:
+    """Index over array targets: array_position is 1-based with 0-absent;
+    shift to the Go convention (0-based, -1 absent)."""
+    return (F.array_position(target, value) - 1).cast("long")
+
+
+def nanosecond_(ts: Column) -> Column:
+    """Nanosecond(time): nanoseconds within the second (microsecond floor —
+    Spark timestamps carry us precision)."""
+    us = F.unix_micros(ts.cast("timestamp"))
+    return (((us % 1_000_000) + 1_000_000) % 1_000_000) * 1000
+
+
+def unix_(seconds: Column, nanoseconds: Column | None = None) -> Column:
+    """Unix(seconds[, nanoseconds]) -> timestamp (time.Unix)."""
+    us = seconds.cast("long") * 1_000_000
+    if nanoseconds is not None:
+        us = us + (nanoseconds.cast("long") / F.lit(1000)).cast("long")
+    return F.timestamp_micros(us)
+
+
+# (replace_match / replace_all_matches already live in the editor section
+# above — func_replace_*.go glob semantics via _glob_to_regex)
+
+
+def flatten_attrs(m: Column, separator: str = ".") -> Column:
+    """flatten(target) (func_flatten.go) — the flat-model analog: map
+    values that are JSON objects are promoted into the map itself under
+    '<key><separator><subkey>' (one level per application; the reference
+    recurses — re-apply for deeper nests). Inverse of
+    operators/sumologic.nest_attributes."""
+    entries = F.map_entries(m)
+
+    def step(acc, e):
+        parsed = F.when(
+            e["value"].startswith("{"),
+            F.from_json(e["value"], "map<string,string>"),
+        )
+        promoted = F.transform(
+            F.map_entries(F.coalesce(parsed, F.create_map().cast("map<string,string>"))),
+            lambda s: F.struct(
+                F.concat(e["key"], F.lit(separator), s["key"]).alias("key"),
+                s["value"].alias("value"),
+            ),
+        )
+        return F.when(parsed.isNotNull(), F.concat(acc, promoted)).otherwise(
+            F.concat(acc, F.array(e))
+        )
+
+    return F.map_from_entries(
+        F.aggregate(
+            entries, F.array().cast("array<struct<key:string,value:string>>"), step
+        )
+    )

@@ -212,7 +212,23 @@ def _converters():
         "ExtractGrokPatterns": _extract_grok,
         "Murmur3Hash": lambda a: ottl.murmur3_hash_exact(a[0]),
         "Murmur3Hash128": lambda a: ottl.murmur3_hash128_exact(a[0]),
+        "Index": lambda a: ottl.index_(_to_col(a[0]), _to_col(a[1])),
+        "Nanosecond": lambda a: ottl.nanosecond_(a[0]),
+        "Unix": lambda a: ottl.unix_(
+            _to_col(a[0]), _to_col(a[1]) if len(a) > 1 else None
+        ),
+        "XXH3": _xxh_unavailable,
+        "XXH128": _xxh_unavailable,
     }
+
+
+def _xxh_unavailable(args):
+    raise NotImplementedError(
+        "XXH3/XXH128 need xxhash's 192-byte default-secret constant block; "
+        "no xxhash library exists in this environment and the constants "
+        "cannot be re-derived with confidence of bit-parity (COVERAGE.md "
+        "'deliberate exclusions'). Use XXH64 / Murmur3Hash128 instead."
+    )
 
 
 def _extract_grok(args):
@@ -492,6 +508,21 @@ class Statement:
                 return edit_map(t.col, ottl.set_key(F.col(t.col), t.key, new_val))
             final = new_val if cond is None else F.when(cond, new_val).otherwise(F.col(t.col))
             return df.withColumn(t.col, final)
+        if e == "replace_match":
+            t = a[0]
+            new_val = ottl.replace_match(t.get(), _lit_str(a[1]), _lit_str(a[2]))
+            if t.key is not None:
+                return edit_map(t.col, ottl.set_key(F.col(t.col), t.key, new_val))
+            final = new_val if cond is None else F.when(cond, new_val).otherwise(F.col(t.col))
+            return df.withColumn(t.col, final)
+        if e == "replace_all_matches":
+            t = a[0]
+            # reference signature: (target, mode, pattern, replacement)
+            glob, repl = (_lit_str(a[2]), _lit_str(a[3])) if len(a) == 4 else (_lit_str(a[1]), _lit_str(a[2]))
+            return edit_map(t.col, ottl.replace_all_matches(F.col(t.col), glob, repl))
+        if e == "flatten":
+            t = a[0]
+            return edit_map(t.col, ottl.flatten_attrs(F.col(t.col)))
         if e == "replace_all_patterns":
             t = a[0]
             # reference signature: (target, mode, pattern, replacement)

@@ -259,3 +259,38 @@ def test_grammar_extract_grok_patterns(spark):
     row = out.first()
     assert row["attributes"]["user"] == "alice"
     assert row["attributes"]["code"] == "503"
+
+
+def test_registry_diff_closers(spark):
+    """Index / Nanosecond / Unix converters + replace_match /
+    replace_all_matches / flatten editors; XXH3/XXH128 raise the
+    documented exclusion error."""
+    import pytest as _pytest
+
+    from opentelemetry_collector_contrib_spark.functions.ottl_parser import (
+        apply_statements,
+        parse_statement,
+    )
+
+    df = spark.createDataFrame(
+        [("hello world", {"u": "http://x/y", "j": '{"a":"1","b":"2"}', "p": "keep"})],
+        "body string, attributes map<string,string>",
+    )
+    out = apply_statements(df, [
+        'set(attributes["idx"], String(Index(body, "world")))',
+        'set(attributes["ts"], String(UnixSeconds(Unix(1700000000))))',
+        'set(attributes["nano"], String(Nanosecond(Unix(1700000000, 123456000))))',
+        'replace_match(attributes["u"], "http://*", "<url>")',
+        'replace_all_matches(attributes, "value", "<v>")',
+        'flatten(attributes)',
+    ]).first()
+    a = out["attributes"]
+    assert a["idx"] == "6"
+    assert a["ts"] == "1700000000"
+    assert a["nano"] == "123456000"
+    assert a["u"] == "<url>"
+    # flatten promoted the JSON-object value into dotted keys
+    assert a["j.a"] == "1" and a["j.b"] == "2" and "j" not in a
+    assert a["p"] == "keep"
+    with _pytest.raises(NotImplementedError, match="xxhash"):
+        parse_statement('set(attributes["x"], XXH3(body))')
