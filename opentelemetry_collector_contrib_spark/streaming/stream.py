@@ -87,6 +87,8 @@ def stateful_delta_to_cumulative(
     state_path: str = "/tmp/d2c_state",
     output_path: str = "/tmp/d2c_out",
     checkpoint: str = "/tmp/d2c_ckpt",
+    max_stale: float | None = None,
+    max_streams: int | None = None,
 ) -> DataStreamWriter:
     """deltatocumulativeprocessor as a stateful streaming job
     (/root/reference/processor/deltatocumulativeprocessor/processor.go:74-186):
@@ -100,6 +102,14 @@ def stateful_delta_to_cumulative(
     (each batch writes state under v=<batch_id> and reads the latest
     version strictly below its own id, so re-running a failed batch
     cannot double-count).
+
+    State growth is bounded like the reference (config.go:20-23):
+    `max_stale` (seconds) evicts streams not seen within that horizon of
+    the batch's max event time; `max_streams` caps the tracked-stream
+    count, keeping the most recently seen (deterministic tie-break on the
+    stream key; the Go processor instead rejects NEW streams at the limit
+    — eviction-of-stalest is the batch-idiomatic equivalent and strictly
+    kinder to fresh data).
 
     Output parquet rows: (stream_cols..., ts, value, cumulative) under
     output_path/batch=<id> (overwritten on replay)."""
@@ -121,26 +131,50 @@ def stateful_delta_to_cumulative(
         spark = batch_df.sparkSession
         state = _latest_state(spark, batch_id)
         if state is None:
-            schema = ", ".join(f"{c} string" for c in stream_cols) + ", running double"
+            schema = (
+                ", ".join(f"{c} string" for c in stream_cols)
+                + ", running double, last_seen double"
+            )
             state = spark.createDataFrame([], schema)
+        # staleness is judged against the incoming batch's clock: a stream
+        # silent past max_stale is dropped from tracking BEFORE the join,
+        # so a late datapoint restarts it from zero (the reference expires
+        # streams on its ticker; the batch clock is our ticker)
+        if max_stale is not None:
+            horizon = batch_df.agg(F.max(F.col(ts_col).cast("double"))).first()[0]
+            if horizon is not None:
+                state = state.filter(
+                    F.col("last_seen") >= F.lit(horizon - max_stale)
+                )
         w = Window.partitionBy(*stream_cols).orderBy(ts_col).rowsBetween(
             Window.unboundedPreceding, 0
         )
         scored = batch_df.withColumn("__csum", F.sum(value_col).over(w))
         joined = scored.join(
-            F.broadcast(state.withColumnRenamed("running", "__run")), stream_cols, "left"
+            F.broadcast(state.select(*stream_cols, F.col("running").alias("__run"))),
+            stream_cols,
+            "left",
         ).withColumn("cumulative", F.coalesce(F.col("__run"), F.lit(0.0)) + F.col("__csum"))
         out = joined.select(*stream_cols, ts_col, value_col, "cumulative")
         out.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
         # next state: streams seen this batch take their last cumulative;
         # unseen streams carry forward
         upd = joined.groupBy(*stream_cols).agg(
-            F.max_by("cumulative", F.col(ts_col)).alias("running")
+            F.max_by("cumulative", F.col(ts_col)).alias("running"),
+            F.max(F.col(ts_col).cast("double")).alias("last_seen"),
         )
         carried = state.join(upd.select(*stream_cols), stream_cols, "left_anti")
-        upd.unionByName(carried).write.mode("overwrite").parquet(
-            f"{state_path}/v={batch_id}"
-        )
+        nxt = upd.unionByName(carried)
+        if max_streams is not None:
+            rank_w = Window.orderBy(
+                F.col("last_seen").desc(), *[F.col(c).asc() for c in stream_cols]
+            )
+            nxt = (
+                nxt.withColumn("__r", F.row_number().over(rank_w))
+                .filter(F.col("__r") <= max_streams)
+                .drop("__r")
+            )
+        nxt.write.mode("overwrite").parquet(f"{state_path}/v={batch_id}")
 
     return (
         stream_df.writeStream.foreachBatch(_process)

@@ -216,3 +216,55 @@ def test_syslog_socket_source_end_to_end(spark, tmp_path):
         assert rows["ID2"]["facility"] == 4  # pri 34 -> auth
     finally:
         srv.shutdown()
+
+
+def test_stateful_d2c_max_stale_and_max_streams(spark, tmp_path):
+    """State-table eviction mirrors the reference's max_stale/max_streams
+    bounds: a stream silent past the horizon restarts from 0; the stream
+    count stays capped at the most recently seen."""
+    src = tmp_path / "in4"
+    src.mkdir()
+    _write_jsonl(src / "b1.jsonl", [
+        {"ts": "2025-10-10T13:00:00.000Z", "stream": "old", "value": 5.0},
+        {"ts": "2025-10-10T13:00:00.000Z", "stream": "hot", "value": 1.0},
+    ])
+
+    def read_stream():
+        return (
+            spark.readStream.schema("ts string, stream string, value double")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+
+    def run():
+        q = S.stateful_delta_to_cumulative(
+            read_stream(), ["stream"], ts_col="ts",
+            state_path=str(tmp_path / "state4"),
+            output_path=str(tmp_path / "out4"),
+            checkpoint=str(tmp_path / "ck4"),
+            max_stale=60.0, max_streams=2,
+        ).start()
+        q.awaitTermination(120)
+
+    run()
+    # second batch 10 minutes later: 'old' and 'hot' are both beyond
+    # max_stale; 'hot' restarts from zero, and two NEW streams push the
+    # state to the max_streams cap
+    _write_jsonl(src / "b2.jsonl", [
+        {"ts": "2025-10-10T13:10:00.000Z", "stream": "hot", "value": 2.0},
+        {"ts": "2025-10-10T13:10:00.000Z", "stream": "n1", "value": 7.0},
+        {"ts": "2025-10-10T13:10:00.000Z", "stream": "n2", "value": 8.0},
+    ])
+    run()
+    rows = spark.read.parquet(str(tmp_path / "out4")).collect()
+    got = {(r["stream"], r["cumulative"]) for r in rows}
+    # 'hot' did NOT continue from 1.0 — its state was evicted as stale
+    assert ("hot", 2.0) in got and ("hot", 3.0) not in got
+    import os
+
+    versions = sorted(
+        d for d in os.listdir(tmp_path / "state4") if d.startswith("v=")
+    )
+    final_state = spark.read.parquet(str(tmp_path / "state4" / versions[-1]))
+    assert final_state.count() <= 2  # max_streams cap holds
