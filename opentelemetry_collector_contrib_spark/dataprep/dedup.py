@@ -395,3 +395,47 @@ def duplicate_clusters(
             "duplicate-chain diameter)"
         )
     return labels
+
+
+def dedupe_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    threshold: float = 0.8,
+    hash_impl: str = "xxhash",
+    keep_stats: bool = False,
+    **minhash_kw,
+) -> DataFrame:
+    """The end-to-end near-dup REMOVAL pipeline a training-data run
+    actually executes (compose of the building blocks above): MinHash+LSH
+    candidate pairs -> exact-Jaccard verify -> connected components ->
+    keep each component's canonical representative (min id) and every
+    unpaired document. Returns the deduplicated corpus; with
+    keep_stats=True adds (cluster, cluster_size) for the survivors.
+
+    Scale: the pair stage's shuffles are the slim band joins documented
+    on minhash_lsh_pairs; the removal itself is one left_anti join
+    against the (tiny) non-representative id set."""
+    pairs = minhash_lsh_pairs(
+        docs, text_col, id_col, threshold=threshold, hash_impl=hash_impl,
+        **minhash_kw,
+    )
+    clusters = duplicate_clusters(pairs)
+    losers = clusters.filter(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias(id_col)
+    )
+    kept = docs.join(losers, id_col, "left_anti")
+    if keep_stats:
+        sizes = clusters.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("cluster_size")
+        )
+        kept = (
+            kept.join(
+                clusters.withColumnRenamed("id", id_col), id_col, "left"
+            )
+            .join(sizes, "cluster", "left")
+            .withColumn("cluster", F.coalesce("cluster", F.col(id_col)))
+            .withColumn("cluster_size", F.coalesce("cluster_size", F.lit(1)))
+        )
+    return kept

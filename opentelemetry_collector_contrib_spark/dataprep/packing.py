@@ -114,3 +114,76 @@ def token_span_duplication(
     return out.withColumn(
         "span_fraction", F.round(F.col("dup_spans") / denom, 4)
     )
+
+
+def pack_sequences_bestfit(
+    df: DataFrame,
+    max_len: int,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    num_shards: int = 8,
+) -> DataFrame:
+    """Bin-packing variant of pack_sequences: documents are NEVER split —
+    each shard's docs are packed first-fit-decreasing into bins of
+    capacity max_len (the 'sample packing' used when examples must stay
+    contiguous for attention masking; concat-and-chunk crosses document
+    boundaries, this does not). Docs longer than max_len are truncated,
+    loudly, via the `truncated` flag.
+
+    Returns (shard, bin_index, doc_ids array, tokens, n_tok, n_docs,
+    truncated). Shape at scale: same one groupBy(shard) shuffle as
+    pack_sequences; the FFD pass runs per shard in an Arrow batch
+    (applyInPandas) — deterministic (stable sort by (length desc, id)
+    and first-fit order)."""
+    import pandas as pd
+
+    shard = (F.col(id_col) % num_shards).alias("shard")
+    safe_tokens = F.coalesce(
+        F.col(tokens_col), F.array().cast(df.schema[tokens_col].dataType)
+    )
+    src = df.select(
+        shard, F.col(id_col).alias("id"), safe_tokens.alias("t")
+    )
+
+    out_schema = (
+        "shard long, bin_index int, doc_ids array<long>, tokens array<int>, "
+        "n_tok int, n_docs int, truncated boolean"
+    )
+
+    def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        docs = sorted(
+            ((int(r.id), list(r.t)) for r in pdf.itertuples()),
+            key=lambda d: (-len(d[1]), d[0]),
+        )
+        bins: list[dict] = []
+        for did, toks in docs:
+            trunc = len(toks) > max_len
+            if trunc:
+                toks = toks[:max_len]
+            placed = None
+            for b in bins:  # first fit over bins in creation order
+                if b["n"] + len(toks) <= max_len:
+                    placed = b
+                    break
+            if placed is None:
+                placed = {"ids": [], "toks": [], "n": 0, "trunc": False}
+                bins.append(placed)
+            placed["ids"].append(did)
+            placed["toks"].extend(toks)
+            placed["n"] += len(toks)
+            placed["trunc"] |= trunc
+        shard_val = int(pdf["shard"].iloc[0]) if len(pdf) else 0
+        return pd.DataFrame(
+            {
+                "shard": [shard_val] * len(bins),
+                "bin_index": list(range(len(bins))),
+                "doc_ids": [b["ids"] for b in bins],
+                "tokens": [b["toks"] for b in bins],
+                "n_tok": [b["n"] for b in bins],
+                "n_docs": [len(b["ids"]) for b in bins],
+                "truncated": [b["trunc"] for b in bins],
+            }
+        )
+
+    return src.groupBy("shard").applyInPandas(pack_shard, out_schema)

@@ -471,3 +471,48 @@ def test_bpe_training_partitioning_independent(spark):
     c1 = spark.createDataFrame(rows, "doc_id long, text string").repartition(1)
     c2 = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
     assert tokenize.train_bpe(c1, num_merges=2) == tokenize.train_bpe(c2, num_merges=2)
+
+
+def test_pack_sequences_bestfit(spark):
+    from opentelemetry_collector_contrib_spark.dataprep import packing
+
+    docs = spark.createDataFrame(
+        [
+            (0, list(range(6))),      # len 6
+            (4, list(range(5))),      # len 5
+            (8, list(range(4))),      # len 4
+            (12, list(range(3))),     # len 3
+            (16, list(range(12))),    # len 12 > max_len -> truncated
+        ],
+        "doc_id long, tokens array<int>",
+    )
+    out = packing.pack_sequences_bestfit(docs, max_len=8, num_shards=1).collect()
+    # FFD order: 12(trunc to 8) -> own bin; 6 -> new bin; 5 -> new bin
+    # (6+5>8); 4 -> fails bin0(8) and bin1(6+4>8)... 6+4=10>8, 5+4>8 -> new
+    # bin; 3 -> fits bin1 (6+3=9>8? no) -> bin2 5+3=8 fits
+    by_docs = {tuple(sorted(r["doc_ids"])): r for r in out}
+    assert (16,) in by_docs and by_docs[(16,)]["truncated"]
+    assert by_docs[(16,)]["n_tok"] == 8
+    assert (4, 12) in by_docs and by_docs[(4, 12)]["n_tok"] == 8
+    # invariants: no bin exceeds max_len; every doc appears exactly once;
+    # tokens concatenate losslessly per bin
+    all_ids = [d for r in out for d in r["doc_ids"]]
+    assert sorted(all_ids) == [0, 4, 8, 12, 16]
+    for r in out:
+        assert r["n_tok"] <= 8 and r["n_tok"] == len(r["tokens"])
+    # determinism across partitionings
+    again = packing.pack_sequences_bestfit(
+        docs.repartition(5), max_len=8, num_shards=1
+    ).collect()
+    assert {tuple(r["doc_ids"]) for r in again} == {tuple(r["doc_ids"]) for r in out}
+
+
+def test_dedupe_corpus_end_to_end(spark, docs):
+    kept = dedup.dedupe_corpus(docs, threshold=0.9, keep_stats=True)
+    rows = {r["doc_id"]: r for r in kept.collect()}
+    # docs 1/2 are exact dups -> only the min id survives, with its
+    # cluster stats; singletons survive with size 1
+    assert 1 in rows and 2 not in rows
+    assert rows[1]["cluster"] == 1 and rows[1]["cluster_size"] == 2
+    assert rows[4]["cluster_size"] == 1
+    assert set(rows) == {1, 3, 4, 5}
