@@ -405,3 +405,49 @@ def deframe_non_transparent(
         .withColumn(out_col, F.explode("__frames"))
         .drop("__frames")
     )
+
+
+def journald_parser(
+    df: DataFrame,
+    parse_from: str = "body",
+    parse_to: str = "attributes",
+    on_error: str = "send",
+) -> DataFrame:
+    """journald input, parse stage (/root/reference/pkg/stanza/operator/
+    input/journald/input.go:208-259): each line is one `journalctl -o
+    json` object. The subprocess half of the reference input is a host
+    concern (journalctl reads the local binary journal); the parse half —
+    what turns its output into entries — is this operator, applied to
+    lines from any transport (file, socket stream, kafka).
+
+    Mapping (like the reference): __REALTIME_TIMESTAMP (us) -> ts,
+    __CURSOR -> cursor (the resume offset the checkpoint persists),
+    MESSAGE -> message, PRIORITY (syslog severity 0-7) -> OTel
+    severity_number, remaining fields -> the attribute map. Rows missing
+    the timestamp or cursor are parse FAILURES (NULL map -> on_error
+    semantics), exactly like the Go error returns."""
+    src = get_field(df, parse_from)
+    raw = F.from_json(src, "map<string,string>")
+    ok = (
+        raw.isNotNull()
+        & F.map_contains_key(raw, "__REALTIME_TIMESTAMP")
+        & F.map_contains_key(raw, "__CURSOR")
+        & F.element_at(raw, "__REALTIME_TIMESTAMP").rlike("^[0-9]+$")
+    )
+    parsed = F.when(ok, F.map_filter(raw, lambda k, _: k != "__REALTIME_TIMESTAMP"))
+    out = set_parsed(df, parsed, parse_to, on_error)
+    us = F.element_at(raw, "__REALTIME_TIMESTAMP").cast("long")
+    pri = F.element_at(F.col(parse_to), "PRIORITY").cast("int")
+    # syslog severity (0=emerg..7=debug) -> OTel severity number (same
+    # table as syslog_parser)
+    otel = (
+        F.when(pri == 0, 24).when(pri == 1, 22).when(pri == 2, 21)
+        .when(pri == 3, 17).when(pri == 4, 13).when(pri == 5, 10)
+        .when(pri == 6, 9).when(pri == 7, 5)
+    )
+    return (
+        out.withColumn("ts", F.when(ok, F.timestamp_micros(us)))
+        .withColumn("cursor", F.element_at(F.col(parse_to), "__CURSOR"))
+        .withColumn("message", F.element_at(F.col(parse_to), "MESSAGE"))
+        .withColumn("severity_number", otel)
+    )

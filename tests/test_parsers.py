@@ -149,3 +149,31 @@ def test_jsonarray_parser(spark):
     df = _one(spark, '["a","b","c"]')
     r = parsers.jsonarray_parser(df).select("parsed_array").first()[0]
     assert r == ["a", "b", "c"]
+
+
+def test_journald_parser(spark):
+    import json as _j
+
+    from opentelemetry_collector_contrib_spark.operators import parsers
+
+    good = {
+        "__REALTIME_TIMESTAMP": "1700000000123456",
+        "__CURSOR": "s=abc;i=1",
+        "MESSAGE": "unit started",
+        "PRIORITY": "3",
+        "_SYSTEMD_UNIT": "nginx.service",
+    }
+    rows = [(_j.dumps(good),), ('{"MESSAGE":"no ts"}',), ("not json",)]
+    df = spark.createDataFrame(rows, "body string")
+    out = parsers.journald_parser(df).collect()
+    ok = out[0]
+    assert ok["cursor"] == "s=abc;i=1"
+    assert ok["message"] == "unit started"
+    assert ok["severity_number"] == 17  # PRIORITY 3 = err
+    assert ok["attributes"]["_SYSTEMD_UNIT"] == "nginx.service"
+    assert "__REALTIME_TIMESTAMP" not in ok["attributes"]
+    assert ok["ts"].isoformat().startswith("2023-11-14")
+    # missing timestamp / non-JSON -> parse failure (NULL attributes)
+    assert out[1]["attributes"] is None and out[2]["attributes"] is None
+    # on_error='drop' removes the failures entirely
+    assert parsers.journald_parser(df, on_error="drop").count() == 1

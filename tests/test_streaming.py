@@ -268,3 +268,67 @@ def test_stateful_d2c_max_stale_and_max_streams(spark, tmp_path):
     )
     final_state = spark.read.parquet(str(tmp_path / "state4" / versions[-1]))
     assert final_state.count() <= 2  # max_streams cap holds
+
+
+def test_udp_log_datasource_end_to_end(spark, tmp_path):
+    """Real UDP: datagrams sent to the custom Python Data Source stream
+    through the syslog parser chain into a memory sink (the udplog
+    receiver shape; at-most-once by nature of UDP)."""
+    import socket
+    import threading
+    import time
+
+    # pick a free UDP port
+    probe = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+
+    datagrams = [
+        b'<165>1 2025-10-10T13:55:36Z u1 app - ID7 [m s="9"] udp one',
+        b'<34>1 2025-10-10T13:55:37Z u2 app - ID8 - udp two',
+    ]
+    stop = threading.Event()
+
+    def sender():
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        while not stop.is_set():  # re-send until the reader has bound
+            for d in datagrams:
+                s.sendto(d, ("127.0.0.1", port))
+            time.sleep(0.3)
+
+    t = threading.Thread(target=sender, daemon=True)
+    t.start()
+    try:
+        from opentelemetry_collector_contrib_spark.sources.udp_source import (
+            udp_syslog_source,
+        )
+
+        parsed = udp_syslog_source(spark, "127.0.0.1", port)
+        q = (
+            parsed.writeStream.format("memory")
+            .queryName("syslog_udp")
+            .outputMode("append")
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        deadline = time.time() + 45
+        seen = {}
+        while time.time() < deadline:
+            seen = {
+                r["attributes"]["msg_id"]: r
+                for r in spark.table("syslog_udp").collect()
+                if r["attributes"] and "msg_id" in r["attributes"]
+            }
+            if {"ID7", "ID8"} <= set(seen):
+                break
+            time.sleep(0.5)
+        q.stop()
+        assert {"ID7", "ID8"} <= set(seen)
+        assert seen["ID7"]["attributes"]["message"] == "udp one"
+        assert seen["ID7"]["attributes"]["structured_data.m.s"] == "9"
+        assert seen["ID8"]["attributes"]["hostname"] == "u2"
+        assert seen["ID8"]["facility"] == 4
+        assert seen["ID7"]["remote"].startswith("127.0.0.1:")
+    finally:
+        stop.set()
