@@ -451,3 +451,120 @@ def journald_parser(
         .withColumn("message", F.element_at(F.col(parse_to), "MESSAGE"))
         .withColumn("severity_number", otel)
     )
+
+
+def windows_event_parser(
+    df: DataFrame,
+    parse_from: str = "body",
+    parse_to: str = "attributes",
+    on_error: str = "send",
+) -> DataFrame:
+    """Windows Event Log XML parser (/root/reference/pkg/stanza/operator/
+    input/windows/xml.go:15-171): the rendered-event-XML half of the
+    windowseventlogreceiver (the Windows evt subscription API half is a
+    host concern). One rendered <Event> XML document per row -> the flat
+    attribute map the reference's formattedBody builds, with the same
+    rendered-vs-System fallbacks (Level/Task/Opcode/Keywords), dotted
+    keys for the nested groups, and event_data.<Name> entries. Severity:
+    RenderingInfo Level name, else numeric System Level (1 Critical ->
+    fatal .. 4 Information -> info), as OTel numbers. Arrow-batched
+    stdlib-ElementTree UDF (XML needs a real parser, same judgement as
+    functions/xmlfuncs.py)."""
+    import xml.etree.ElementTree as ET
+
+    from pyspark.sql.functions import pandas_udf
+
+    def parse_one(x: str):
+        try:
+            root = ET.fromstring(x)
+        except ET.ParseError:
+            return None
+        # namespace-insensitive lookups (events carry the evt schema ns)
+        def local(tag):
+            return tag.rsplit("}", 1)[-1]
+
+        def find(parent, name):
+            for ch in parent:
+                if local(ch.tag) == name:
+                    return ch
+            return None
+
+        if local(root.tag) != "Event":
+            return None
+        system = find(root, "System")
+        if system is None:
+            return None
+        rendering = find(root, "RenderingInfo")
+        out: dict[str, str] = {}
+
+        def put(k, v):
+            if v is not None and v != "":
+                out[k] = v
+
+        def text(parent, name):
+            el = find(parent, name) if parent is not None else None
+            return None if el is None else (el.text or "")
+
+        eid = find(system, "EventID")
+        if eid is not None:
+            put("event_id.id", eid.text)
+            put("event_id.qualifiers", eid.get("Qualifiers"))
+        prov = find(system, "Provider")
+        if prov is not None:
+            put("provider.name", prov.get("Name"))
+            put("provider.guid", prov.get("Guid"))
+            put("provider.event_source", prov.get("EventSourceName"))
+        tc = find(system, "TimeCreated")
+        if tc is not None:
+            put("system_time", tc.get("SystemTime"))
+        put("computer", text(system, "Computer"))
+        put("channel", text(system, "Channel"))
+        put("record_id", text(system, "EventRecordID"))
+        # rendered values win; System values are the fallback (xml.go:78-96)
+        for name in ("Level", "Task", "Opcode"):
+            rendered = text(rendering, name)
+            put(name.lower(), rendered if rendered else text(system, name))
+        kw_parent = find(rendering, "Keywords") if rendering is not None else None
+        if kw_parent is not None:
+            kws = [k.text or "" for k in kw_parent if local(k.tag) == "Keyword"]
+        else:
+            kw = text(system, "Keywords")
+            kws = [kw] if kw else []
+        if kws:
+            put("keywords", ",".join(kws))
+        put("message", text(rendering, "Message"))
+        sec = find(system, "Security")
+        if sec is not None:
+            put("security.user_id", sec.get("UserID"))
+        ex = find(system, "Execution")
+        if ex is not None:
+            put("execution.process_id", ex.get("ProcessID"))
+            put("execution.thread_id", ex.get("ThreadID"))
+        ed = find(root, "EventData")
+        if ed is not None:
+            put("event_data.name", ed.get("Name"))
+            for d in ed:
+                if local(d.tag) == "Data":
+                    put(f"event_data.{d.get('Name') or 'value'}", d.text or "")
+                elif local(d.tag) == "Binary":
+                    put("event_data.binary", d.text or "")
+        return out
+
+    @pandas_udf("map<string,string>")
+    def _parse(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: None if x is None else parse_one(x))
+
+    src = get_field(df, parse_from)
+    out = set_parsed(df, _parse(src), parse_to, on_error)
+    level_name = F.element_at(F.col(parse_to), "level")
+    sev = (
+        F.when(level_name.isin("Critical", "1"), 21)
+        .when(level_name.isin("Error", "2"), 17)
+        .when(level_name.isin("Warning", "3"), 13)
+        .when(level_name.isin("Information", "4"), 9)
+        .otherwise(F.lit(None).cast("int"))
+    )
+    return out.withColumn("severity_number", sev).withColumn(
+        "ts",
+        F.to_timestamp(F.element_at(F.col(parse_to), "system_time")),
+    )

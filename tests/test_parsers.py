@@ -177,3 +177,62 @@ def test_journald_parser(spark):
     assert out[1]["attributes"] is None and out[2]["attributes"] is None
     # on_error='drop' removes the failures entirely
     assert parsers.journald_parser(df, on_error="drop").count() == 1
+
+
+def test_windows_event_parser(spark):
+    from opentelemetry_collector_contrib_spark.operators import parsers
+
+    xml_evt = (
+        '<Event xmlns="http://schemas.microsoft.com/win/2004/08/events/event">'
+        '<System>'
+        '<Provider Name="Microsoft-Windows-Security-Auditing" '
+        'Guid="{54849625-5478-4994-a5ba-3e3b0328c30d}"/>'
+        '<EventID Qualifiers="0">4624</EventID>'
+        '<Level>0</Level><Task>12544</Task><Opcode>0</Opcode>'
+        '<Keywords>0x8020000000000000</Keywords>'
+        '<TimeCreated SystemTime="2024-03-01T10:20:30.123456700Z"/>'
+        '<EventRecordID>987654</EventRecordID>'
+        '<Execution ProcessID="716" ThreadID="2388"/>'
+        '<Channel>Security</Channel><Computer>WIN-HOST</Computer>'
+        '<Security UserID="S-1-5-18"/>'
+        '</System>'
+        '<EventData>'
+        '<Data Name="TargetUserName">alice</Data>'
+        '<Data Name="LogonType">3</Data>'
+        '</EventData>'
+        '<RenderingInfo Culture="en-US">'
+        '<Message>An account was successfully logged on.</Message>'
+        '<Level>Information</Level><Task>Logon</Task><Opcode>Info</Opcode>'
+        '<Keywords><Keyword>Audit Success</Keyword></Keywords>'
+        '</RenderingInfo>'
+        '</Event>'
+    )
+    df = spark.createDataFrame([(xml_evt,), ("<NotAnEvent/>",), ("garbage",)], "body string")
+    out = parsers.windows_event_parser(df).collect()
+    a = out[0]["attributes"]
+    assert a["event_id.id"] == "4624" and a["event_id.qualifiers"] == "0"
+    assert a["provider.name"] == "Microsoft-Windows-Security-Auditing"
+    assert a["computer"] == "WIN-HOST" and a["channel"] == "Security"
+    assert a["record_id"] == "987654"
+    # rendered values win over System numerics
+    assert a["level"] == "Information" and a["task"] == "Logon"
+    assert a["keywords"] == "Audit Success"
+    assert a["message"] == "An account was successfully logged on."
+    assert a["event_data.TargetUserName"] == "alice"
+    assert a["event_data.LogonType"] == "3"
+    assert a["security.user_id"] == "S-1-5-18"
+    assert a["execution.process_id"] == "716"
+    assert out[0]["severity_number"] == 9
+    assert out[0]["ts"].year == 2024
+    # non-event XML and garbage are parse failures
+    assert out[1]["attributes"] is None and out[2]["attributes"] is None
+    assert parsers.windows_event_parser(df, on_error="drop").count() == 1
+    # numeric-level fallback when RenderingInfo is absent
+    bare = xml_evt.replace(
+        "<Level>0</Level>", "<Level>2</Level>"
+    )
+    bare = bare[: bare.index("<RenderingInfo")] + "</Event>"
+    sev = parsers.windows_event_parser(
+        spark.createDataFrame([(bare,)], "body string")
+    ).first()["severity_number"]
+    assert sev == 17  # System Level 2 -> Error
