@@ -631,6 +631,7 @@ def probabilistic_sampler(
     mode: str = "hash_seed",
     th_col: str | None = None,
     precision: int = 14,
+    priority_col: str | None = None,
 ) -> DataFrame:
     """probabilisticsamplerprocessor, all three sampler modes
     (/root/reference/processor/probabilisticsamplerprocessor/
@@ -663,9 +664,22 @@ def probabilistic_sampler(
         if th_col
         else F.lit(0).cast("long")
     )
+    def apply_priority(t: Column) -> Column:
+        """sampling-priority override (logsprocessor.go:239-270): a
+        nonzero numeric `priority_col` value p is a per-record request to
+        be sampled with probability >= p/100 — the threshold becomes
+        T(p/100), replacing the mode's decision for that record."""
+        if not priority_col:
+            return t
+        p = F.col(priority_col).cast("double") / F.lit(100.0)
+        prio_scaled = F.round(p * F.lit(float(_MAX_ADJ)), 0)
+        t_prio = (F.lit(float(_MAX_ADJ)) - prio_scaled).cast("long")
+        has = p.isNotNull() & (p > 0)
+        return F.when(has, t_prio).otherwise(t)
+
     if mode == "equalizing":
         t_cfg = probability_to_threshold(percent / 100.0, precision)
-        t_eff = F.greatest(t_in, F.lit(t_cfg).cast("long"))
+        t_eff = apply_priority(F.greatest(t_in, F.lit(t_cfg).cast("long")))
         out = df.withColumn("sampling_threshold", _th_hex(t_eff))
         return out.filter(t_eff <= r)
     if mode == "proportional":
@@ -673,8 +687,15 @@ def probabilistic_sampler(
         p_in = (F.lit(float(_MAX_ADJ)) - t_in.cast("double")) / F.lit(float(_MAX_ADJ))
         p_out = p_in * F.lit(ratio)
         scaled = F.round(p_out * F.lit(float(_MAX_ADJ)), 0)
-        t_out = (F.lit(float(_MAX_ADJ)) - scaled).cast("long")
         never = scaled < 1  # probability underflow -> NeverSampleThreshold
+        t_out = apply_priority(
+            F.when(never, F.lit(_MAX_ADJ - 1)).otherwise(
+                F.lit(float(_MAX_ADJ)) - scaled
+            ).cast("long")
+        )
+        if priority_col:
+            p = F.col(priority_col).cast("double")
+            never = never & ~(p.isNotNull() & (p > 0))
         out = df.withColumn(
             "sampling_threshold", F.when(~never, _th_hex(t_out))
         )

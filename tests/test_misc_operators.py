@@ -140,3 +140,34 @@ def test_isolation_forest_pinned_model_across_batches(spark):
     m2 = {(r["a"], r["b"]): r["anomaly_score"] for r in s2.collect()}
     shared = set(m1) & set(m2)
     assert shared and all(m1[k] == m2[k] for k in shared)
+
+
+def test_sampler_priority_attribute_override(spark):
+    from opentelemetry_collector_contrib_spark.operators import processors as P
+
+    # trace id with LOW randomness (R = 0): only an always-sample
+    # threshold keeps it; priority=100 must force it through
+    rows = [
+        ("a" + "0" * 31, 100.0),   # R=0, priority 100 -> kept
+        ("b" + "0" * 31, None),    # R=0, no priority  -> dropped
+        ("c" + "f" * 31, None),    # R=max, no priority -> kept at 50%
+        ("d" + "f" * 31, 0.0),     # priority 0 = unset -> normal path
+    ]
+    df = spark.createDataFrame(rows, "trace_id string, prio double")
+    out = P.probabilistic_sampler(
+        df, 50.0, key_col="trace_id", mode="equalizing", priority_col="prio"
+    ).collect()
+    kept = {r["trace_id"][0]: r["sampling_threshold"] for r in out}
+    assert set(kept) == {"a", "c", "d"}
+    assert kept["a"] == "0"  # T=0: always-sample threshold from priority
+    assert kept["c"] == "8"  # the configured 50% threshold
+    # proportional: priority rescues an underflowed probability
+    df2 = spark.createDataFrame(
+        [("e" + "0" * 31, "ffffffffffffff", 100.0)],
+        "trace_id string, th string, prio double",
+    )
+    out2 = P.probabilistic_sampler(
+        df2, 1.0, key_col="trace_id", mode="proportional",
+        th_col="th", priority_col="prio",
+    ).collect()
+    assert len(out2) == 1 and out2[0]["sampling_threshold"] == "0"
