@@ -12,8 +12,12 @@ Suite -> operators map (also in COVERAGE.md):
   parsers_syslog_time  syslog rfc3164, rfc5424 (+structured data), time_parser x2,
                        trace_parser, severity_parser
   enrichment_suite     k8sattributes, geoip range join, resourcedetection
-  metrics_temporal     deltatocumulative, cumulativetodelta, deltatorate
-  text_stats_suite     language_id, quality, token counts, fingerprint
+  metrics_temporal     deltatocumulative, cumulativetodelta, deltatorate,
+                       metricstarttime (both strategies, round 3)
+  metricstransform_full full op set + metric-context funcs + exp->explicit
+                       histogram (round-3 folds)
+  text_stats_suite     language_id, quality, token counts, fingerprint,
+                       Gopher repetition/shape filters (round 3)
   multimodal_suite     binary payload + metadata, decode stub
   count_sum_connectors count connector, sum connector
   routing_suite        routing connector (first-match), roundrobin connector
