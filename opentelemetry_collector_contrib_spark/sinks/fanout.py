@@ -125,3 +125,32 @@ def clickhouse_export(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.json(path)
+
+
+def tap_processor(
+    df: DataFrame,
+    path: str,
+    *,
+    limit: int = 1000,
+    id_cols: list[str] | None = None,
+    seed: str = "tap",
+) -> DataFrame:
+    """remotetapprocessor, batch analog (/root/reference/processor/
+    remotetapprocessor/processor.go:119-130): pass the data through
+    UNCHANGED while a rate-limited sampled copy streams out for live
+    inspection. The websocket push is meaningless without a collector
+    process; the batch-native tap is a bounded JSON-lines side output —
+    `tail -f`/`jq` it the way you'd attach to the websocket.
+
+    The sample is deterministic (hash-ordered first `limit` rows over
+    id_cols, or all columns cast to string when omitted — same
+    resampling-stability discipline as stratified_sample), so reruns tap
+    identical rows. Returns the input df unchanged; the side write is
+    eager (like the reference's fire-and-forget push)."""
+    key_cols = id_cols or df.columns
+    h = F.xxhash64(F.lit(seed), *[F.col(c).cast("string") for c in key_cols])
+    sample = df.withColumn("__h", h).orderBy("__h").limit(limit).drop("__h")
+    sample.selectExpr("to_json(struct(*)) AS line").coalesce(1).write.mode(
+        "overwrite"
+    ).text(path)
+    return df

@@ -57,3 +57,31 @@ def test_clickhouse_export_jsoneachrow(spark, tmp_path):
     clickhouse_export(rows, out)
     lines2 = sum(1 for f in _glob.glob(f"{out}/*.json") for _ in open(f))
     assert lines2 == 1
+
+
+def test_tap_processor_passthrough_and_bounded_sample(spark, tmp_path):
+    import json
+
+    from opentelemetry_collector_contrib_spark.sinks.fanout import tap_processor
+
+    df = spark.createDataFrame(
+        [(i, f"msg-{i}") for i in range(50)], "id long, body string"
+    )
+    out = tap_processor(df, str(tmp_path / "tap"), limit=5, id_cols=["id"])
+    # pass-through: the returned frame is the input, untouched
+    assert out.count() == 50 and out.columns == ["id", "body"]
+    lines = [
+        json.loads(line)
+        for f in (tmp_path / "tap").glob("part-*")
+        for line in f.read_text().splitlines()
+    ]
+    assert len(lines) == 5
+    assert all(set(x) == {"id", "body"} for x in lines)
+    # deterministic: rerun taps the identical sample
+    tap_processor(df.repartition(7), str(tmp_path / "tap2"), limit=5, id_cols=["id"])
+    lines2 = [
+        json.loads(line)
+        for f in (tmp_path / "tap2").glob("part-*")
+        for line in f.read_text().splitlines()
+    ]
+    assert {x["id"] for x in lines} == {x["id"] for x in lines2}
