@@ -166,6 +166,53 @@ def _stage(cfg: dict) -> Callable[[DataFrame], DataFrame]:
             labels_col=cfg.get("labels_col", "labels"),
             value_col=cfg.get("value_col", "value"),
         )
+    if t == "probabilistic_sampler":
+        # processor/probabilisticsamplerprocessor config surface
+        return lambda df: processors.probabilistic_sampler(
+            df,
+            cfg.get("sampling_percentage", 100.0),
+            key_col=cfg.get("key_col", "trace_id"),
+            mode=cfg.get("mode", "hash_seed"),
+            th_col=cfg.get("th_col"),
+            priority_col=cfg.get("sampling_priority"),
+            precision=cfg.get("sampling_precision", 14),
+        )
+    if t == "sumologic":
+        from ..operators import sumologic
+
+        return lambda df: sumologic.sumologic_processor(
+            df,
+            attrs_col=cfg.get("attrs_col", "attributes"),
+            add_cloud_namespace_enabled=cfg.get("add_cloud_namespace", True),
+            translate_attributes_enabled=cfg.get("translate_attributes", True),
+            nest_attributes_enabled=cfg.get("nest_attributes", {}).get("enabled", False),
+            nesting_separator=cfg.get("nest_attributes", {}).get("separator", "."),
+            aggregate=[
+                (p["attribute"], p["prefixes"])
+                for p in cfg.get("aggregate_attributes", [])
+            ]
+            or None,
+            log_fields=bool(cfg.get("field_attributes")),
+        )
+    if t == "datadogsemantics":
+        from ..operators.datadog import datadog_semantics
+
+        return lambda df: datadog_semantics(
+            df,
+            override_incoming_datadog_fields=cfg.get(
+                "override_incoming_datadog_fields", False
+            ),
+        )
+    if t == "journald_parser":
+        return lambda df: parsers.journald_parser(
+            df, cfg.get("parse_from", "body"), cfg.get("parse_to", "attributes"),
+            cfg.get("on_error", "send"),
+        )
+    if t == "windows_event_parser":
+        return lambda df: parsers.windows_event_parser(
+            df, cfg.get("parse_from", "body"), cfg.get("parse_to", "attributes"),
+            cfg.get("on_error", "send"),
+        )
     raise ValueError(f"unknown operator type {t!r}")
 
 

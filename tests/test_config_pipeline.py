@@ -185,3 +185,35 @@ service:
     row = back.filter(F.element_at("attributes", "code") == "10").first()
     assert row["attributes"]["env"] == "prod"
     assert row["severity_number"] == 17  # ERROR line
+
+
+def test_round3_operator_types_compile(spark):
+    from opentelemetry_collector_contrib_spark.plans.config import build_pipeline
+
+    yaml_cfg = """
+operators:
+  - type: sumologic
+    add_cloud_namespace: true
+  - type: datadogsemantics
+  - type: probabilistic_sampler
+    sampling_percentage: 50.0
+    mode: equalizing
+    key_col: trace_id
+"""
+    pipe = build_pipeline(yaml_cfg)
+    df = spark.createDataFrame(
+        [({"cloud.platform": "aws_ec2", "service.name": "s"},
+          {"http.request.method": "GET"},
+          "GET /", "SERVER", "UNSET", "", "c" + "f" * 31)],
+        "resource_attributes map<string,string>, attributes map<string,string>, "
+        "span_name string, span_kind string, status_code string, "
+        "status_message string, trace_id string",
+    )
+    out = pipe(df).first()
+    # sumologic ran on the span-attrs map; datadog derived columns exist;
+    # the high-randomness trace survives the 50% equalizing sampler
+    assert out["datadog_name"] == "http.server.request"
+    assert out["sampling_threshold"] == "8"
+    # journald / windows parser types also resolve
+    build_pipeline({"operators": [{"type": "journald_parser"}]})
+    build_pipeline({"operators": [{"type": "windows_event_parser"}]})
