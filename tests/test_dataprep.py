@@ -516,3 +516,36 @@ def test_dedupe_corpus_end_to_end(spark, docs):
     assert rows[1]["cluster"] == 1 and rows[1]["cluster_size"] == 2
     assert rows[4]["cluster_size"] == 1
     assert set(rows) == {1, 3, 4, 5}
+
+
+def test_embedding_quantization_roundtrip(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    q = emb.select(
+        "vec_id",
+        "embedding",
+        similarity.l2_normalize(F.col("embedding")).alias("unit"),
+        similarity.quantize_int8(F.col("embedding")).alias("q"),
+    )
+    rows = q.withColumn("deq", similarity.dequantize_int8(F.col("q"))).collect()
+    import math
+
+    for r in rows:
+        # unit vectors have norm 1
+        n = math.sqrt(sum(x * x for x in r["unit"]))
+        assert abs(n - 1.0) < 1e-5
+        # quantization error bounded by scale/2 per component
+        half = r["q"]["scale"] / 2 + 1e-9
+        assert all(abs(a - b) <= half for a, b in zip(r["embedding"], r["deq"]))
+        assert all(-127 <= c <= 127 for c in r["q"]["codes"])
+    # cosine is preserved to quantization precision
+    a, b = rows[0], rows[1]
+    def cos(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        return d / (math.sqrt(sum(x * x for x in u)) * math.sqrt(sum(x * x for x in v)))
+    assert abs(cos(a["embedding"], b["embedding"]) - cos(a["deq"], b["deq"])) < 0.02
+    # zero vector passes through both ops
+    z = spark.createDataFrame([([0.0] * 4,)], "embedding array<float>").select(
+        similarity.l2_normalize(F.col("embedding")).alias("u"),
+        similarity.quantize_int8(F.col("embedding")).alias("q"),
+    ).first()
+    assert list(z["u"]) == [0.0] * 4 and z["q"]["scale"] == 0.0
