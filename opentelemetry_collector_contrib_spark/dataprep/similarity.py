@@ -5,11 +5,14 @@
   DuckDB oracle can mirror it exactly.
 - brute_force_topk: exact top-k for a (small) query set vs the corpus —
   broadcast the queries, one pass over the corpus, per-query window rank.
-- sign_lsh_topk: the scale path — random-hyperplane-style sign buckets
-  (here: sign bits of a deterministic dimension subset) shrink the
-  candidate set to same-bucket vectors; exact cosine re-rank within the
-  bucket. At 10^12 vectors the bucket join is the only shuffle.
+- sign_lsh_topk: the scale path — seeded random ±1 hyperplane sign
+  buckets (optionally mean-centered for offset-dominated spaces) shrink
+  the candidate set to same-bucket vectors; exact cosine re-rank within
+  the bucket. At 10^12 vectors the bucket join is the only shuffle.
+- ivf_topk: index-based ANN — persisted coarse-quantizer centroids,
+  vectorized numpy cell assignment, equality join on the cell id.
 - embedding_cosine_pairs: thresholded near-dup pairs (dedup use-case).
+- l2_normalize / quantize_int8 / dequantize_int8: the storage path.
 """
 
 from __future__ import annotations
