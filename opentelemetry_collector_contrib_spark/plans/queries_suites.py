@@ -279,7 +279,14 @@ def _geo_blocks(spark: SparkSession) -> DataFrame:
         (base + 128 * 256, base + 192 * 256 - 1, "JP"),
         (base + 192 * 256, base + 256 * 256 - 1, "BR"),
     ]
-    return spark.createDataFrame(rows, "ip_start long, ip_end long, country string")
+    # prefix16 turns the pure range join (BroadcastNestedLoopJoin) into
+    # the documented equi+range BroadcastHashJoin — the shape that holds
+    # when the block table is a full GeoIP db (blocks spanning several
+    # /16s would be duplicated per prefix; these fixtures don't)
+    return spark.createDataFrame(
+        [(s, e, c, s // 65536) for s, e, c in rows],
+        "ip_start long, ip_end long, country string, prefix16 long",
+    )
 
 
 def _dns_table(spark: SparkSession) -> DataFrame:

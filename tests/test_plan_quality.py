@@ -131,3 +131,26 @@ def test_ngram_jaccard_gram_df_join_not_force_broadcast(spark):
         assert pairs == {(1, 2): 1.0}
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_registry_wide_no_cartesian_products(spark):
+    """Global plan gate: no registry query may contain a CartesianProduct,
+    and BroadcastNestedLoopJoin is allowed ONLY in the two documented
+    exact-path queries (brute-force ANN with a broadcast 10-row query
+    side; the exact all-pairs cosine check that exists to oracle-verify
+    the bucketed path). Everything else must be equality joins."""
+    from opentelemetry_collector_contrib_spark.plans.queries import REGISTRY
+
+    bnlj_allowed = {"ann_cosine_topk", "dedup_embedding_cosine"}
+    skip = {"streaming_windowed_counts"}  # executes a stream on build
+    offenders = []
+    for name, (fn, _sql) in REGISTRY.items():
+        if name in skip:
+            continue
+        df = fn(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_allowed:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
