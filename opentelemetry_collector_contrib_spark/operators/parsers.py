@@ -274,16 +274,19 @@ def severity_parser(
     if mapping:
         table.update({k.lower(): v for k, v in mapping.items()})
     src = F.lower(get_field(df, parse_from))
-    num = None
-    for text, n in table.items():
-        cond = src == F.lit(text)
-        num = F.when(cond, n) if num is None else num.when(cond, n)
-    num = num.otherwise(F.lit(0))
-    text_col = None
-    for n, t in SEVERITY_TEXT.items():
-        cond = num == F.lit(n)
-        text_col = F.when(cond, t) if text_col is None else text_col.when(cond, t)
-    text_col = text_col.otherwise(F.lit(""))
+    # literal-map lookups, NOT a chained CASE: CollapseProject inlines the
+    # source expression into every WHEN branch, so a 30+-way chain over a
+    # derived column re-evaluates that column's whole tree per branch
+    # (measured 3x the entire parse stage on the fused pipeline); a map
+    # probe evaluates the source once
+    num_map = F.create_map(
+        *[F.lit(x) for kv in table.items() for x in kv]
+    )
+    num = F.coalesce(F.element_at(num_map, src), F.lit(0))
+    text_map = F.create_map(
+        *[F.lit(x) for kv in SEVERITY_TEXT.items() for x in kv]
+    )
+    text_col = F.coalesce(F.element_at(text_map, num), F.lit(""))
     return df.withColumn(out_number, num.cast("int")).withColumn(out_text, text_col)
 
 
