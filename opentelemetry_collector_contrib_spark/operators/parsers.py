@@ -179,11 +179,13 @@ def syslog_parser(
     # severity from priority: sev = priority & 7, facility = priority >> 3
     pri = F.element_at(F.col(parse_to), "priority").cast("int")
     syslog_sev = pri.bitwiseAND(F.lit(7))
-    # syslog severity (0=emerg..7=debug) -> OTel severity number
-    otel = (
-        F.when(syslog_sev == 0, 24).when(syslog_sev == 1, 22).when(syslog_sev == 2, 21)
-        .when(syslog_sev == 3, 17).when(syslog_sev == 4, 13).when(syslog_sev == 5, 10)
-        .when(syslog_sev == 6, 9).otherwise(5)
+    # syslog severity (0=emerg..7=debug) -> OTel severity number; a
+    # literal-map probe, not a WHEN chain - CollapseProject would inline
+    # the derived syslog_sev tree into every branch (see severity_parser)
+    otel = F.coalesce(
+        F.element_at(F.create_map(*[F.lit(x) for x in
+            [0, 24, 1, 22, 2, 21, 3, 17, 4, 13, 5, 10, 6, 9]]), syslog_sev),
+        F.lit(5),
     )
     return (
         out.withColumn("severity_number", F.when(pri.isNotNull(), otel))
@@ -442,11 +444,11 @@ def journald_parser(
     us = F.element_at(raw, "__REALTIME_TIMESTAMP").cast("long")
     pri = F.element_at(F.col(parse_to), "PRIORITY").cast("int")
     # syslog severity (0=emerg..7=debug) -> OTel severity number (same
-    # table as syslog_parser)
-    otel = (
-        F.when(pri == 0, 24).when(pri == 1, 22).when(pri == 2, 21)
-        .when(pri == 3, 17).when(pri == 4, 13).when(pri == 5, 10)
-        .when(pri == 6, 9).when(pri == 7, 5)
+    # table as syslog_parser; literal-map probe for the same
+    # CollapseProject reason)
+    otel = F.element_at(
+        F.create_map(*[F.lit(x) for x in
+            [0, 24, 1, 22, 2, 21, 3, 17, 4, 13, 5, 10, 6, 9, 7, 5]]), pri
     )
     return (
         out.withColumn("ts", F.when(ok, F.timestamp_micros(us)))
