@@ -712,9 +712,23 @@ def murmur3_hash128_exact(col: Column) -> Column:
     return murmur3_hash128_hex(col)
 
 
+def xxh3_(col: Column) -> Column:
+    """XXH3(target) — exact-parity XXH3_64 hex (func_xxh3.go)."""
+    from .xxh3 import xxh3_hex
+
+    return xxh3_hex(col)
+
+
+def xxh128_(col: Column) -> Column:
+    """XXH128(target) — exact-parity XXH3_128 hex (func_xxh128.go)."""
+    from .xxh3 import xxh128_hex
+
+    return xxh128_hex(col)
+
+
 # round-3 registry-diff closers (func_index.go / func_nanosecond.go /
-# func_unix.go; the remaining gap vs ottlfuncs/functions.go is XXH3/XXH128
-# only — see COVERAGE.md deliberate exclusions)
+# func_unix.go, and xxh3_/xxh128_ above — the full ottlfuncs/functions.go
+# converter registry is now wired; see COVERAGE.md accounting)
 
 
 def index_(target: Column, value: Column) -> Column:

@@ -217,18 +217,9 @@ def _converters():
         "Unix": lambda a: ottl.unix_(
             _to_col(a[0]), _to_col(a[1]) if len(a) > 1 else None
         ),
-        "XXH3": _xxh_unavailable,
-        "XXH128": _xxh_unavailable,
+        "XXH3": lambda a: ottl.xxh3_(a[0]),
+        "XXH128": lambda a: ottl.xxh128_(a[0]),
     }
-
-
-def _xxh_unavailable(args):
-    raise NotImplementedError(
-        "XXH3/XXH128 need xxhash's 192-byte default-secret constant block; "
-        "no xxhash library exists in this environment and the constants "
-        "cannot be re-derived with confidence of bit-parity (COVERAGE.md "
-        "'deliberate exclusions'). Use XXH64 / Murmur3Hash128 instead."
-    )
 
 
 def _extract_grok(args):

@@ -45,3 +45,48 @@ def test_sampling_is_deterministic_and_unbiased(spark):
     kept2 = df.filter(hashes.sample_predicate(F.col("k"), 25.0)).count()
     assert kept == kept2  # deterministic
     assert abs(kept - 1000) < 120  # ~25%
+
+
+def test_xxh3_reference_vectors():
+    """Byte parity with the reference's own test vectors
+    (func_xxh3_test.go:24-30, func_xxh128_test.go:24-30): the two vectors
+    cover the len==0 and len 9..16 paths and, through them, secret bytes
+    24..95 of the published default secret."""
+    from opentelemetry_collector_contrib_spark.functions.xxh3 import (
+        xxh3_64,
+        xxh3_128,
+    )
+
+    assert f"{xxh3_64(b''):016x}" == "2d06800538d394c2"
+    assert f"{xxh3_64(b'hello world'):016x}" == "d447b1ea40e6988b"
+    hi, lo = xxh3_128(b"")
+    assert f"{hi:016x}{lo:016x}" == "99aa06d3014798d86001c324468d497f"
+    hi, lo = xxh3_128(b"hello world")
+    assert f"{hi:016x}{lo:016x}" == "df8d09e93f874900a99b8775cc15b6c7"
+
+
+def test_xxh3_all_length_paths_stable():
+    """Every length-dispatch path (0/1-3/4-8/9-16/17-128/129-240/long,
+    incl. multi-block long inputs) runs, is deterministic, and produces
+    distinct values across neighboring lengths (avalanche sanity)."""
+    from opentelemetry_collector_contrib_spark.functions.xxh3 import (
+        xxh3_64,
+        xxh3_128,
+    )
+
+    base = (bytes(range(256)) * 41)[: 256 * 40 + 1]  # > 9 blocks of 1024
+    lengths = [0, 1, 2, 3, 4, 7, 8, 9, 15, 16, 17, 32, 33, 64, 96, 97,
+               128, 129, 160, 240, 241, 500, 1024, 1025, 2048, 5000, 10241]
+    seen64 = set()
+    seen128 = set()
+    for n in lengths:
+        d = base[:n]
+        h1 = xxh3_64(d)
+        assert h1 == xxh3_64(d)
+        assert 0 <= h1 <= 0xFFFFFFFFFFFFFFFF
+        seen64.add(h1)
+        hi, lo = xxh3_128(d)
+        assert (hi, lo) == xxh3_128(d)
+        seen128.add((hi, lo))
+    assert len(seen64) == len(lengths)
+    assert len(seen128) == len(lengths)

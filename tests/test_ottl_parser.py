@@ -263,13 +263,9 @@ def test_grammar_extract_grok_patterns(spark):
 
 def test_registry_diff_closers(spark):
     """Index / Nanosecond / Unix converters + replace_match /
-    replace_all_matches / flatten editors; XXH3/XXH128 raise the
-    documented exclusion error."""
-    import pytest as _pytest
-
+    replace_all_matches / flatten editors."""
     from opentelemetry_collector_contrib_spark.functions.ottl_parser import (
         apply_statements,
-        parse_statement,
     )
 
     df = spark.createDataFrame(
@@ -292,5 +288,28 @@ def test_registry_diff_closers(spark):
     # flatten promoted the JSON-object value into dotted keys
     assert a["j.a"] == "1" and a["j.b"] == "2" and "j" not in a
     assert a["p"] == "keep"
-    with _pytest.raises(NotImplementedError, match="xxhash"):
-        parse_statement('set(attributes["x"], XXH3(body))')
+
+
+def test_xxh3_converters_end_to_end(spark):
+    """XXH3/XXH128 through the grammar match the reference's e2e
+    statements (pkg/ottl/e2e/e2e_test.go:1375,1381 and the unit vectors
+    in func_xxh3_test.go / func_xxh128_test.go)."""
+    from opentelemetry_collector_contrib_spark.functions.ottl_parser import (
+        apply_statements,
+    )
+
+    df = spark.createDataFrame(
+        [("hello world", {}), ("", {})],
+        "body string, attributes map<string,string>",
+    )
+    out = {
+        r["body"]: r["attributes"]
+        for r in apply_statements(df, [
+            'set(attributes["x3"], XXH3(body))',
+            'set(attributes["x128"], XXH128(body))',
+        ]).collect()
+    }
+    assert out["hello world"]["x3"] == "d447b1ea40e6988b"
+    assert out["hello world"]["x128"] == "df8d09e93f874900a99b8775cc15b6c7"
+    assert out[""]["x3"] == "2d06800538d394c2"
+    assert out[""]["x128"] == "99aa06d3014798d86001c324468d497f"
