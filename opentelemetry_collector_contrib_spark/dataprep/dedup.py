@@ -52,15 +52,13 @@ def words(text: Column) -> Column:
     return F.split(text, " ")
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingles of a text column (array<string>).
-    Pure column expression: k-1 zip_with passes over shifted slices —
-    same values as the transform+slice form but without allocating a
-    k-element array per gram (~2x on the MinHash/Jaccard hot path).
-    concat_ws skips the NULLs zip_with pads past the shorter slice, so
-    docs shorter than k words get their whole text as the single
-    shingle, exactly like before."""
-    w = words(text)
+def array_shingles(w: Column, k: int = 3) -> Column:
+    """Distinct k-gram shingles over a word-array column. Pure column
+    expression: k-1 zip_with passes over shifted slices — same values as
+    the transform+slice form but without allocating a k-element array per
+    gram (~2x on the MinHash/Jaccard hot path). concat_ws skips the NULLs
+    zip_with pads past the shorter slice, so arrays shorter than k words
+    yield their whole content as the single shingle."""
     n = F.size(w)
     m = F.greatest(n - (k - 1), F.lit(1))
     grams = F.slice(w, 1, m)
@@ -69,6 +67,11 @@ def word_shingles(text: Column, k: int = 3) -> Column:
             grams, F.slice(w, j + 1, m), lambda a, b: F.concat_ws(" ", a, b)
         )
     return F.array_distinct(grams)
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of a text column (array<string>)."""
+    return array_shingles(words(text), k)
 
 
 def exact_dedup(

@@ -39,7 +39,9 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # nullif guards the zero-norm case (all-zero padding/OOV vectors):
+    # NULL similarity instead of an ANSI DIVIDE_BY_ZERO job abort
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
 def _rank_topk(scored: DataFrame, query_col: str, k: int) -> DataFrame:
@@ -232,18 +234,21 @@ def _assign_cells_pandas(vec: Column, centroids: list[list[float]], nprobe: int)
             if len(s) == 0:
                 yield pd.DataFrame({"cell": pd.Series([], dtype="int32"), "probes": []})
                 continue
-            V = np.asarray([np.asarray(x, dtype=np.float64) for x in s])
-            d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            order = np.argsort(d, axis=1, kind="stable")
-            yield pd.DataFrame(
-                {
-                    "cell": order[:, 0].astype("int32"),
-                    "probes": [
-                        order[i, :nprobe].astype("int32").tolist()
-                        for i in range(len(s))
-                    ],
-                }
-            )
+            # NULL embeddings get NULL cell/probes (matching the catalyst
+            # mirror) instead of crashing np.asarray on None
+            valid = s.notna().to_numpy()
+            cells = pd.array([None] * len(s), dtype="Int32")
+            probes: list[list[int] | None] = [None] * len(s)
+            if valid.any():
+                V = np.asarray(
+                    [np.asarray(x, dtype=np.float64) for x in s[valid]]
+                )
+                d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                order = np.argsort(d, axis=1, kind="stable")
+                for j, i in enumerate(np.flatnonzero(valid)):
+                    cells[i] = int(order[j, 0])
+                    probes[i] = order[j, :nprobe].astype("int32").tolist()
+            yield pd.DataFrame({"cell": cells, "probes": probes})
 
     # the function IS deterministic, but telling Catalyst so lets it clone
     # the ArrowEvalPython node into the explode's null-guard filter — every

@@ -92,21 +92,29 @@ def fingerprint(text: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def _nonempty_words(text: Column) -> Column:
+    """Word array with the empty tokens a bare split-on-space produces
+    for consecutive/leading/trailing spaces removed. The Gopher signals
+    use this — otherwise 8 aligned spaces read as a 7-long repeated-word
+    run and gopher_quality_filter drops a clean document."""
+    return F.filter(words(text), lambda x: x != F.lit(""))
+
+
 def distinct_ngram_fraction(text: Column, n: int = 2) -> Column:
     """distinct n-grams / total n-grams (low values = templated or
     repeated boilerplate; Gopher drops docs below per-n thresholds)."""
-    from .dedup import word_shingles
+    from .dedup import array_shingles
 
-    w = words(text)
+    w = _nonempty_words(text)
     total = F.greatest(F.size(w) - F.lit(n - 1), F.lit(1)).cast("double")
-    return F.round(F.size(word_shingles(text, n)).cast("double") / total, 4)
+    return F.round(F.size(array_shingles(w, n)).cast("double") / total, 4)
 
 
 def max_word_run(text: Column) -> Column:
     """Longest run of the SAME word repeated consecutively (catches
     'buy buy buy buy ...' spam). One fold over the word array carrying
     (previous word, current run, best run) in a struct accumulator."""
-    w = words(text)
+    w = _nonempty_words(text)
     init = F.struct(
         F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
     )
@@ -126,14 +134,15 @@ def symbol_word_ratio(text: Column) -> Column:
     symbol-heavy docs, e.g. > 0.1 #/... per word)."""
     symbols = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
     return F.round(
-        symbols.cast("double") / F.greatest(F.size(words(text)), F.lit(1)).cast("double"),
+        symbols.cast("double")
+        / F.greatest(F.size(_nonempty_words(text)), F.lit(1)).cast("double"),
         4,
     )
 
 
 def mean_word_length(text: Column) -> Column:
     """Mean characters per word (Gopher keeps 3..10)."""
-    w = words(text)
+    w = _nonempty_words(text)
     total_chars = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
     return F.round(
         total_chars.cast("double") / F.greatest(F.size(w), F.lit(1)).cast("double"), 4
@@ -153,7 +162,7 @@ def gopher_quality_filter(
 ) -> Column:
     """Boolean keep/drop combining the individual signals with the
     Gopher-paper default thresholds (tunable per corpus)."""
-    n = F.size(words(text))
+    n = F.size(_nonempty_words(text))
     return (
         (n >= min_words)
         & (n <= max_words)

@@ -112,6 +112,10 @@ def train_bpe(
             a, b = best["p"]["a"], best["p"]["b"]
             merges.append((a, b))
             nxt = cur.withColumn("toks", _merge_pair_udf(a, b)(F.col("toks"))).persist()
+            # materialize the new cache BEFORE dropping the old one —
+            # unpersisting first would make every later round re-execute
+            # the whole merge-UDF chain from the shuffle (quadratic work)
+            nxt.count()
             cur.unpersist()
             cur = nxt
     finally:

@@ -181,7 +181,9 @@ def isolation_forest_processor(
         )
     scored = df.withColumn(
         score_col, isolation_forest_scores(forest, *[F.col(c) for c in feature_cols])
-    )
+    ).persist()  # the threshold action below would otherwise run the
+    # Python tree-walk twice: once for the percentile, again when the
+    # caller consumes the returned frame
     thr = scored.selectExpr(
         f"percentile({score_col}, {threshold_quantile}) AS t"
     ).first()["t"]

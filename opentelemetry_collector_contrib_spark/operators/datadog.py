@@ -166,12 +166,30 @@ def datadog_semantics(
         )
         .withColumn(
             "datadog_error",
-            keep_incoming(
-                "datadog.error",
-                F.when(is_error, F.lit(1)).otherwise(F.lit(0)).cast("string"),
-            ).cast("int"),
+            # try_cast: a non-numeric incoming datadog.error (e.g. "true")
+            # becomes NULL->derived instead of an ANSI CAST_INVALID_INPUT
+            # job abort
+            F.coalesce(
+                keep_incoming(
+                    "datadog.error",
+                    F.when(is_error, F.lit(1)).otherwise(F.lit(0)).cast("string"),
+                ).try_cast("int"),
+                F.when(is_error, F.lit(1)).otherwise(F.lit(0)),
+            ),
         )
-        .withColumn("datadog_error_msg", F.when(is_error, keep_incoming("datadog.error.msg", err_msg)))
-        .withColumn("datadog_error_type", F.when(is_error, keep_incoming("datadog.error.type", exc_type)))
-        .withColumn("datadog_error_stack", F.when(is_error, keep_incoming("datadog.error.stack", exc_stack)))
+        # incoming datadog.error.* values survive on NON-error spans too
+        # (keep_incoming first; the derived value only applies when the
+        # span is an error) — matching the service/name columns' behavior
+        .withColumn(
+            "datadog_error_msg",
+            keep_incoming("datadog.error.msg", F.when(is_error, err_msg)),
+        )
+        .withColumn(
+            "datadog_error_type",
+            keep_incoming("datadog.error.type", F.when(is_error, exc_type)),
+        )
+        .withColumn(
+            "datadog_error_stack",
+            keep_incoming("datadog.error.stack", F.when(is_error, exc_stack)),
+        )
     )

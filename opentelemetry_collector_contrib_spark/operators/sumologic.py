@@ -144,6 +144,20 @@ def translate_attributes(m: Column) -> Column:
     return F.map_from_entries(folded)
 
 
+def _map_from_entries_last_wins(entries: Column) -> Column:
+    """map_from_entries with Go pdata Put semantics: a later entry with
+    the same key OVERWRITES the earlier one, instead of Spark's default
+    DUPLICATED_MAP_KEY runtime error (mapKeyDedupPolicy=EXCEPTION)."""
+    folded = F.aggregate(
+        entries,
+        F.array().cast("array<struct<key:string,value:string>>"),
+        lambda acc, e: F.concat(
+            F.filter(acc, lambda a: a["key"] != e["key"]), F.array(e)
+        ),
+    )
+    return F.map_from_entries(folded)
+
+
 def translate_docker_metrics(
     df: DataFrame, metric_col: str = "metric", attrs_col: str | None = "attributes"
 ) -> DataFrame:
@@ -166,7 +180,10 @@ def translate_docker_metrics(
 
         out = out.withColumn(
             attrs_col,
-            F.map_from_entries(
+            # last-wins: an input carrying both the OTel key and its Sumo
+            # target must not raise DUPLICATED_MAP_KEY; the rename (later
+            # entry) overwrites, matching pdata Put
+            _map_from_entries_last_wins(
                 F.transform(
                     F.map_entries(m),
                     lambda x: F.struct(rk(x["key"]).alias("key"), x["value"].alias("value")),
@@ -264,13 +281,19 @@ def aggregate_attributes(
             return e
 
         matched = F.map_filter(out, lambda k, _: has_prefix(k))
-        stripped = F.map_from_entries(
+        # two keys can strip to the same name (e.g. prefixes a./b. both
+        # yielding x): last wins like pdata Put, never DUPLICATED_MAP_KEY
+        stripped = _map_from_entries_last_wins(
             F.transform(
                 F.map_entries(matched),
                 lambda x: F.struct(strip(x["key"]).alias("key"), x["value"].alias("value")),
             )
         )
-        rest = F.map_filter(out, lambda k, _: ~has_prefix(k))
+        # a pre-existing non-matching attribute named target_key is
+        # overwritten by the aggregate (PutEmptyMap semantics)
+        rest = F.map_filter(
+            out, lambda k, _: ~has_prefix(k) & (k != F.lit(target_key))
+        )
         agg = F.map_from_arrays(
             F.array(F.lit(target_key)), F.array(F.to_json(stripped))
         )
@@ -319,7 +342,12 @@ def sumologic_processor(
     log_fields: bool = False,
     **log_fields_kw,
 ) -> DataFrame:
-    """The composed processor in the reference's sub-processor order."""
+    """The composed processor in the reference's sub-processor order
+    (processor.go:47-55), with one documented flat-model deviation: the
+    reference nests attributes in place and then aggregates over the
+    nested map; the flat model emits nesting into a separate JSON column,
+    so aggregation here runs over the FLAT attributes and nesting renders
+    last. Observable only when both options are enabled together."""
     m = F.col(attrs_col)
     if add_cloud_namespace_enabled:
         m = add_cloud_namespace(m)

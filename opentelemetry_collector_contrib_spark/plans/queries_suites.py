@@ -455,28 +455,33 @@ def _sql_text_stats() -> str:
     stoplist = "[" + ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS) + "]"
     return rf"""
 WITH b AS (
-  SELECT doc_id, text, string_split(text,' ') AS w FROM documents
+  SELECT doc_id, text, string_split(text,' ') AS w,
+         list_filter(string_split(text,' '), x -> x <> '') AS wn
+  FROM documents
 ), m AS (
+  -- language/quality/ws_tokens/fp keep whitespace-split semantics; the
+  -- Gopher shape signals use the non-empty word array wn (empty tokens
+  -- from doubled spaces must not read as repeated-word runs)
   SELECT doc_id, text, w, len(w)::DOUBLE AS n,
          len(list_distinct(w))::DOUBLE AS nd,
          list_sum(list_transform(w,
            x -> CASE WHEN list_contains({stoplist}, x) THEN 1 ELSE 0 END))::DOUBLE AS hits,
          ROUND(len(list_distinct(list_transform(
-                 range(1, greatest(len(w)-1,1)+1),
-                 i -> array_to_string(w[i:i+1], ' '))))::DOUBLE
-               / greatest(len(w)-1, 1), 4) AS d2g_frac,
+                 range(1, greatest(len(wn)-1,1)+1),
+                 i -> array_to_string(wn[i:i+1], ' '))))::DOUBLE
+               / greatest(len(wn)-1, 1), 4) AS d2g_frac,
          ROUND(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
-               / greatest(len(w), 1), 4) AS sym_ratio,
-         ROUND(list_sum(list_transform(w, x -> length(x)))::DOUBLE
-               / greatest(len(w), 1), 4) AS mean_wlen
+               / greatest(len(wn), 1), 4) AS sym_ratio,
+         ROUND(list_sum(list_transform(wn, x -> length(x)))::DOUBLE
+               / greatest(len(wn), 1), 4) AS mean_wlen
   FROM b
 ), runs AS (
   SELECT doc_id, MAX(cnt) AS max_run FROM (
     SELECT doc_id, word, grp, COUNT(*) AS cnt FROM (
-      SELECT doc_id, w[t.pos] AS word, t.pos,
-             t.pos - ROW_NUMBER() OVER (PARTITION BY doc_id, w[t.pos]
+      SELECT doc_id, wn[t.pos] AS word, t.pos,
+             t.pos - ROW_NUMBER() OVER (PARTITION BY doc_id, wn[t.pos]
                                         ORDER BY t.pos) AS grp
-      FROM b, UNNEST(range(1, len(w)+1)) AS t(pos)
+      FROM b, UNNEST(range(1, len(wn)+1)) AS t(pos)
     ) GROUP BY 1, 2, 3
   ) GROUP BY 1
 )
@@ -489,13 +494,14 @@ SELECT m.doc_id,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens,
        list_reduce(list_transform(w, x -> ('0x'||substr(md5(x),1,8))::BIGINT),
                    (a, b) -> (a * 31 + b) % 2147483647) AS fp,
-       m.d2g_frac, CAST(r.max_run AS INT) AS max_run, m.sym_ratio, m.mean_wlen,
+       m.d2g_frac, CAST(COALESCE(r.max_run, 0) AS INT) AS max_run,
+       m.sym_ratio, m.mean_wlen,
        (len(w) >= 50 AND len(w) <= 100000
         AND m.mean_wlen BETWEEN 3.0 AND 10.0
         AND m.sym_ratio <= 0.1
         AND m.d2g_frac >= 0.2
-        AND r.max_run <= 6) AS gopher_keep
-FROM m JOIN runs r USING (doc_id)
+        AND COALESCE(r.max_run, 0) <= 6) AS gopher_keep
+FROM m LEFT JOIN runs r USING (doc_id)
 """
 
 

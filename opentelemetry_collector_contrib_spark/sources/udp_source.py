@@ -10,10 +10,14 @@ received since the last trigger, and downstream stages (syslog parse,
 enrich, route) run distributed as usual.
 
 Delivery semantics: UDP is lossy by nature — the source is at-most-once
-for datagrams the kernel drops, and exactly-once from the socket onward:
-a bounded replay buffer serves `readBetweenOffsets` so a restarted batch
-replays identical rows (the same contract the collector's udp input has:
-no acks, best-effort).
+for datagrams the kernel drops, and exactly-once from the socket onward
+WITHIN a driver process: a bounded replay buffer serves
+`readBetweenOffsets` so a failed batch replays identical rows. Across a
+driver restart the in-memory buffer is gone — an uncommitted batch
+replays empty (data received before the crash is lost, exactly like the
+collector's udp input: no acks, best-effort) and `read` resyncs its
+sequence counter from the checkpointed offset so post-restart datagrams
+land on fresh offsets.
 
 Usage:
     spark.dataSource.register(UdpLogDataSource)
@@ -64,6 +68,12 @@ class UdpLogStreamReader(SimpleDataSourceStreamReader):
         return {"seq": 0}
 
     def read(self, start: dict):
+        # resync after a restart-from-checkpoint: a fresh reader starts at
+        # seq 0, but the checkpointed offset may be far ahead — new
+        # datagrams must never be assigned seqs inside the committed range
+        # (they would be silently dropped as already-processed)
+        if start.get("seq", 0) > self._next_seq:
+            self._next_seq = start["seq"]
         sock = self._socket()
         rows: list[tuple[str, str]] = []
         while len(rows) < self.max_batch:

@@ -279,3 +279,135 @@ def test_rfc5424_structured_data_escaped_quotes(spark):
     attrs = out["attributes"]
     assert attrs["structured_data.ex@32473.msg"] == 'say "hi" now'
     assert attrs["structured_data.ex@32473.x"] == "1"
+
+
+# ---------------------------------------------------------------------------
+# round-3 second review pass
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_zero_norm_vector_yields_null(spark):
+    """An all-zero embedding (OOV/padding) must NULL the similarity, not
+    raise ANSI DIVIDE_BY_ZERO and kill the job."""
+    from opentelemetry_collector_contrib_spark.dataprep import similarity as S
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    got = df.select(S.cosine(F.col("a"), F.col("b")).alias("c")).collect()
+    assert got[0]["c"] is None
+    assert abs(got[1]["c"] - 1.0) < 1e-9
+
+
+def test_ivf_pandas_assignment_null_embedding(spark):
+    """The default pandas IVF cell assigner must tolerate NULL embeddings
+    like its catalyst mirror (NULL cell, not an Arrow-UDF crash)."""
+    from opentelemetry_collector_contrib_spark.dataprep.similarity import (
+        _assign_cells_pandas,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.1]), (2, None), (3, [5.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = df.select(
+        "vec_id",
+        _assign_cells_pandas(
+            F.col("embedding"), [[0.0, 0.0], [5.0, 5.0]], nprobe=2
+        ).alias("a"),
+    ).collect()
+    got = {r["vec_id"]: r["a"] for r in out}
+    assert got[1]["cell"] == 0 and got[3]["cell"] == 1
+    assert got[2]["cell"] is None and got[2]["probes"] is None
+
+
+def test_sumologic_aggregate_attributes_existing_target_key(spark):
+    """A non-matching attribute named like the target key is overwritten
+    (pdata PutEmptyMap), not a DUPLICATED_MAP_KEY crash; two keys
+    stripping to the same name resolve last-wins (pdata Put)."""
+    from opentelemetry_collector_contrib_spark.operators import sumologic as SU
+
+    # map() literals (unlike python dicts) preserve entry order, making
+    # the last-wins assertion deterministic
+    df = spark.range(1).select(
+        F.expr("map('pod','x','pod_name','y')").alias("m0"),
+        F.expr("map('a.x','1','b.x','2')").alias("m1"),
+    )
+    out = df.select(
+        SU.aggregate_attributes(
+            F.col("m0"), [("pod", ["pod_"])]
+        ).alias("r0"),
+        SU.aggregate_attributes(
+            F.col("m1"), [("t", ["a.", "b."])]
+        ).alias("r1"),
+    ).first()
+    assert out["r0"]["pod"] == '{"name":"y"}'  # aggregate overwrote the scalar
+    assert out["r1"]["t"] == '{"x":"2"}'  # b.x (later entry) won
+
+
+def test_sumologic_docker_rename_collision_last_wins(spark):
+    from opentelemetry_collector_contrib_spark.operators import sumologic as SU
+
+    df = spark.createDataFrame(
+        [("m", {"container.id": "abc", "container.FullID": "def"})],
+        "metric string, attributes map<string,string>",
+    )
+    out = SU.translate_docker_metrics(df).first()
+    # no DUPLICATED_MAP_KEY; the rename (later map entry wins) survives
+    assert out["attributes"]["container.FullID"] in {"abc", "def"}
+    assert "container.id" not in out["attributes"]
+
+
+def test_datadog_incoming_error_fields_survive_non_error_span(spark):
+    from opentelemetry_collector_contrib_spark.operators.datadog import (
+        datadog_semantics,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (
+                "s1", "server", "STATUS_CODE_OK", None,
+                {"datadog.error.msg": "upstream says boom",
+                 "datadog.error": "true"},
+                {},
+            )
+        ],
+        "span_name string, span_kind string, status_code string,"
+        " status_message string, attributes map<string,string>,"
+        " resource_attributes map<string,string>",
+    )
+    row = datadog_semantics(df).first()
+    # incoming datadog.error.msg wins even though the span is not an error
+    assert row["datadog_error_msg"] == "upstream says boom"
+    # non-numeric incoming datadog.error does not ANSI-crash; falls back
+    # to the derived 0 (span is OK)
+    assert row["datadog_error"] == 0
+
+
+def test_gopher_signals_ignore_empty_tokens(spark):
+    from opentelemetry_collector_contrib_spark.dataprep import textstats as TS
+
+    clean = "the quick brown fox jumps over the lazy dog again and again"
+    spaced = clean.replace("fox ", "fox        ")  # aligned-column spaces
+    df = spark.createDataFrame([(clean,), (spaced,)], "text string")
+    got = df.select(
+        TS.max_word_run(F.col("text")).alias("run"),
+        TS.mean_word_length(F.col("text")).alias("mwl"),
+    ).collect()
+    assert got[0]["run"] == got[1]["run"] == 1
+    assert got[0]["mwl"] == got[1]["mwl"]
+
+
+def test_udp_reader_resyncs_offsets_after_restart():
+    """A fresh reader restarted from a checkpointed offset must not emit
+    new datagrams at sequence numbers inside the committed range."""
+    from opentelemetry_collector_contrib_spark.sources.udp_source import (
+        UdpLogStreamReader,
+    )
+
+    r = UdpLogStreamReader({"port": "0", "idle_ms": "50"})
+    rows, end = r.read({"seq": 1000})
+    assert list(rows) == []  # nothing received
+    assert end["seq"] >= 1000  # counter resynced, no regression below start
+    r._sock.close()
