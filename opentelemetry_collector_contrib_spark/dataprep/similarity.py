@@ -361,6 +361,86 @@ def embedding_cosine_pairs(
     return pairs.filter(F.col("cos") >= threshold)
 
 
+def semdedup(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    k: int = 16,
+    threshold: float = 0.95,
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication in embedding space — cluster the corpus with a coarse
+    k-means quantizer, then within each cluster drop every example whose
+    cosine similarity to a HIGHER-PRIORITY cluster member exceeds the
+    threshold. Priority follows the paper's best-performing keep policy:
+    examples with LOW similarity to their cluster centroid are kept
+    first (ties broken by id, so the result is fully deterministic).
+
+    Returns one row per input vector:
+      (id, cluster, centroid_sim, kept, shield_id, shield_cos)
+    where shield_id is the highest-cosine higher-priority duplicate that
+    caused the drop (NULL for kept rows).
+
+    Scale shape: one equality-join shuffle keyed on the cluster id; the
+    within-cluster pairwise cost is the standard SemDeDup O(sum c_i^2) —
+    size k ~ sqrt(N) so clusters stay bounded, and AQE splits any hot
+    cluster. Pass persisted `centroids` (fit-once discipline, see
+    ivf_fit_centroids) for resumable/deterministic runs."""
+    if centroids is None:
+        centroids = ivf_fit_centroids(corpus, vec_col, k=k, seed=seed)
+    carr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    base = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.element_at(ivf_assign(F.col(vec_col), centroids, 1), 1).alias(
+                "cluster"
+            ),
+        )
+        .withColumn(
+            "centroid_sim",
+            F.round(cosine(F.col("v"), F.element_at(carr, F.col("cluster") + 1)), 6),
+        )
+    )
+    l, r = base.alias("l"), base.alias("r")
+    higher_priority = (F.col("r.centroid_sim") < F.col("l.centroid_sim")) | (
+        (F.col("r.centroid_sim") == F.col("l.centroid_sim"))
+        & (F.col("r.id") < F.col("l.id"))
+    )
+    dup_pairs = (
+        l.join(r, on=[F.col("l.cluster") == F.col("r.cluster"), higher_priority])
+        .select(
+            F.col("l.id").alias("id"),
+            F.col("r.id").alias("rid"),
+            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("rid").asc())
+    shields = (
+        dup_pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", F.col("rid").alias("shield_id"), F.col("cos").alias("shield_cos"))
+    )
+    return (
+        base.join(shields, "id", "left")
+        .select(
+            "id",
+            "cluster",
+            "centroid_sim",
+            F.col("shield_id").isNull().alias("kept"),
+            "shield_id",
+            "shield_cos",
+        )
+    )
+
+
 def l2_normalize(vec: Column) -> Column:
     """Unit-normalize an embedding (cosine becomes a dot product — the
     standard pre-step before ANN indexing). Zero vectors pass through

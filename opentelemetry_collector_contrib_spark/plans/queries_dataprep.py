@@ -163,9 +163,14 @@ SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
-    """Both cosine near-dup paths in one oracle row: the exact all-pairs
-    check ('exact') AND the sign-bucketed scale path ('bucketed', the
-    production shape — equality join on the LSH bucket, no theta join)."""
+    """Three cosine near-dup paths in one oracle row: the exact
+    all-pairs check ('exact'), the sign-bucketed scale path ('bucketed',
+    the production shape — equality join on the LSH bucket, no theta
+    join), and SemDeDup ('semdedup', Abbas et al. 2023 — clustered
+    semantic dedup; each dropped vector is emitted as the pair
+    (dropped_id, shielding higher-priority duplicate). Centroids are the
+    first 8 corpus vectors, persisted-index style, which is what makes
+    the cluster assignment oracle-able."""
     emb = _embeddings(spark, sf_dir)
     exact = similarity.embedding_cosine_pairs(emb, threshold=0.35).withColumn(
         "path", F.lit("exact")
@@ -173,7 +178,21 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     bucketed = similarity.embedding_cosine_pairs(
         emb, threshold=0.35, bucket_bits=8, dim=64
     ).withColumn("path", F.lit("bucketed"))
-    return exact.unionByName(bucketed)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    sem = (
+        similarity.semdedup(emb, centroids=cents, threshold=0.35)
+        .filter(~F.col("kept"))
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("shield_id").alias("id_b"),
+            F.round("shield_cos", 4).alias("cos"),
+            F.lit("semdedup").alias("path"),
+        )
+    )
+    return exact.unionByName(bucketed).unionByName(sem)
 
 
 def _hp_bucket_sql(bits: int = 8, dim: int = 64, seed: int = 7, vec: str = "embedding") -> str:
@@ -209,10 +228,55 @@ scored AS (
                  i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
                / (a.nrm * b.nrm), 4) AS cos
   FROM n a JOIN n b ON a.vec_id < b.vec_id
+),
+-- SemDeDup (fixed centroids = first 8 vectors, the same persisted-index
+-- discipline as the ANN oracle): priority = centroid cosine ASC with id
+-- tie-break (low-sim kept first); a vector is dropped when a
+-- higher-priority same-cluster member has cos >= threshold, and the
+-- emitted pair is its max-cos (min-id tie-break) shield
+cent AS (
+  SELECT vec_id AS cid, embedding AS cv,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS cnrm
+  FROM embeddings WHERE vec_id < 8
+),
+cdist AS (
+  SELECT n.vec_id, cent.cid, cent.cnrm,
+         list_sum(list_transform(range(1, len(n.embedding)+1),
+           i -> (n.embedding[i]::DOUBLE - cent.cv[i]::DOUBLE)
+              * (n.embedding[i]::DOUBLE - cent.cv[i]::DOUBLE))) AS dist,
+         list_sum(list_transform(range(1, len(n.embedding)+1),
+           i -> n.embedding[i]::DOUBLE * cent.cv[i]::DOUBLE)) AS cdot
+  FROM n, cent
+),
+sd AS (
+  SELECT n.vec_id, n.embedding, n.nrm, d.cid AS cell,
+         ROUND(d.cdot / (n.nrm * d.cnrm), 6) AS csim
+  FROM n JOIN (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rnk
+    FROM cdist
+  ) d ON d.vec_id = n.vec_id AND d.rnk = 1
+),
+sd_pairs AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         ROUND(list_sum(list_transform(range(1, len(l.embedding)+1),
+                 i -> l.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE))
+               / (l.nrm * r.nrm), 6) AS cos
+  FROM sd l JOIN sd r
+    ON l.cell = r.cell
+   AND (r.csim < l.csim OR (r.csim = l.csim AND r.vec_id < l.vec_id))
+),
+sd_shield AS (
+  SELECT id_a, id_b, cos,
+         ROW_NUMBER() OVER (PARTITION BY id_a
+                            ORDER BY cos DESC, id_b ASC) AS rn
+  FROM sd_pairs WHERE cos >= 0.35
 )
 SELECT id_a, id_b, cos, 'exact' AS path FROM scored WHERE cos >= 0.35
 UNION ALL
 SELECT id_a, id_b, cos, 'bucketed' AS path FROM scored WHERE cos >= 0.35 AND same_bucket
+UNION ALL
+SELECT id_a, id_b, ROUND(cos, 4) AS cos, 'semdedup' AS path
+FROM sd_shield WHERE rn = 1
 """
 
 

@@ -549,3 +549,64 @@ def test_embedding_quantization_roundtrip(spark):
         similarity.quantize_int8(F.col("embedding")).alias("q"),
     ).first()
     assert list(z["u"]) == [0.0] * 4 and z["q"]["scale"] == 0.0
+
+
+def test_semdedup_planted_clusters(spark):
+    """SemDeDup on a planted fixture: two tight clusters + one isolate.
+    Within each cluster the LOW-centroid-similarity member is kept first
+    (the paper's keep policy) and near-identical higher-priority members
+    shield the rest."""
+    from opentelemetry_collector_contrib_spark.dataprep import similarity as S
+
+    rows = [
+        # cluster around (1, 0): three near-identical + one offset member
+        (1, [1.0, 0.0]),
+        (2, [0.999, 0.001]),
+        (3, [0.998, 0.002]),
+        (4, [0.8, 0.6]),      # same cluster, lower centroid sim
+        # cluster around (0, 1): a pair
+        (10, [0.0, 1.0]),
+        (11, [0.001, 0.999]),
+        # isolate: its own cluster
+        (20, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]]
+    out = {
+        r["id"]: r
+        for r in S.semdedup(df, centroids=cents, threshold=0.99).collect()
+    }
+    assert len(out) == 7
+    # cluster 0: vector 4 has the lowest centroid sim -> highest priority,
+    # but is not a near-dup of anyone (cos(4, 1..3) ~ 0.8 < 0.99).
+    assert out[4]["kept"]
+    # 1..3 are mutual near-dups; priority among equals is ascending
+    # centroid sim then id. 3 has lowest csim of the trio -> kept;
+    # 1 and 2 are shielded.
+    assert out[3]["kept"]
+    assert not out[1]["kept"] and not out[2]["kept"]
+    assert out[1]["shield_id"] in (2, 3) and out[2]["shield_id"] == 3
+    # cluster 1: the lower-csim member of the pair survives
+    kept_pair = {i for i in (10, 11) if out[i]["kept"]}
+    assert len(kept_pair) == 1
+    # isolate always kept
+    assert out[20]["kept"] and out[20]["shield_id"] is None
+    # determinism
+    again = {
+        r["id"]: r["kept"]
+        for r in S.semdedup(df, centroids=cents, threshold=0.99).collect()
+    }
+    assert again == {i: r["kept"] for i, r in out.items()}
+
+
+def test_semdedup_fits_centroids_when_absent(spark):
+    from opentelemetry_collector_contrib_spark.dataprep import similarity as S
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), float((i + 1) % 3)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    out = S.semdedup(df, k=3, threshold=0.999)
+    assert out.count() == 30
+    # identical vectors (same residue class) dedup down to one keeper each
+    assert out.filter(F.col("kept")).count() == 3
