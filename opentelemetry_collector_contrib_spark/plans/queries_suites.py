@@ -438,7 +438,7 @@ def q_text_stats_suite(spark, sf_dir):
     )
     # the keep decision reuses the projected (rounded) signal columns —
     # re-invoking gopher_quality_filter(text) would recompute every fold
-    return base.withColumn(
+    gopher = base.withColumn(
         "gopher_keep",
         (F.col("ws_tokens") >= 50)
         & (F.col("ws_tokens") <= 100_000)
@@ -447,6 +447,29 @@ def q_text_stats_suite(spark, sf_dir):
         & (F.col("d2g_frac") >= 0.2)
         & (F.col("max_run") <= 6),
     )
+    # DSIR importance resampling (Xie et al. 2023): target = the English
+    # slice, raw = the whole corpus; per-doc log importance weight + the
+    # deterministic Gumbel-top-k selection flag. Fully declarative fit
+    # (dsir_log_ratio_table) so the whole thing is one lazy plan.
+    from ..dataprep import dsir
+
+    B = 256
+    corpus = docs.select("doc_id", "lang", "text")
+    ratios = dsir.dsir_log_ratio_table(
+        spark,
+        dsir.bucket_counts(corpus.filter(F.col("lang") == "en"), buckets=B),
+        dsir.bucket_counts(corpus, buckets=B),
+        buckets=B,
+    )
+    wts = corpus.select("doc_id").join(
+        dsir.dsir_weights_join(corpus, ratios, buckets=B), "doc_id", "left"
+    ).select("doc_id", F.coalesce(F.col("logw"), F.lit(0.0)).alias("logw"))
+    sel = dsir.dsir_select(wts, k=100).select(
+        "doc_id",
+        F.col("logw").alias("dsir_logw"),
+        F.col("selected").alias("dsir_selected"),
+    )
+    return gopher.join(sel, "doc_id")
 
 
 def _sql_text_stats() -> str:
@@ -484,6 +507,40 @@ WITH b AS (
       FROM b, UNNEST(range(1, len(wn)+1)) AS t(pos)
     ) GROUP BY 1, 2, 3
   ) GROUP BY 1
+), dg AS (
+  -- DSIR grams: non-distinct unigrams + bigrams over non-empty words
+  SELECT doc_id, lang, unnest(list_concat(
+           wn, list_transform(range(1, len(wn)), i -> wn[i] || ' ' || wn[i+1])
+         )) AS gram
+  FROM (SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), x -> x <> '') AS wn
+        FROM documents)
+), db AS (
+  SELECT doc_id, lang, ('0x'||substr(md5(gram),1,8))::BIGINT % 256 AS bucket
+  FROM dg
+), dtc AS (SELECT bucket, COUNT(*) AS c FROM db WHERE lang = 'en' GROUP BY 1
+), drc AS (SELECT bucket, COUNT(*) AS c FROM db GROUP BY 1
+), dtot AS (
+  SELECT (SELECT SUM(c) FROM dtc) + 0.5 * 256 AS tt,
+         (SELECT SUM(c) FROM drc) + 0.5 * 256 AS rt
+), drat AS (
+  SELECT s.bucket,
+         ROUND(ln((COALESCE(t.c, 0) + 0.5) / tt)
+             - ln((COALESCE(r.c, 0) + 0.5) / rt), 4) AS lr
+  FROM (SELECT unnest(range(0, 256)) AS bucket) s
+  LEFT JOIN dtc t USING (bucket) LEFT JOIN drc r USING (bucket), dtot
+), dw AS (
+  SELECT d.doc_id, COALESCE(w.lw, 0.0) AS dsir_logw
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, ROUND(SUM(lr), 4) AS lw
+    FROM db JOIN drat USING (bucket) GROUP BY 1
+  ) w USING (doc_id)
+), dsel AS (
+  SELECT doc_id FROM dw
+  ORDER BY dsir_logw + (-ln(-ln(
+             (('0x'||substr(md5('7:'||doc_id::VARCHAR),1,8))::BIGINT + 1)
+             / 4294967297.0))) DESC, doc_id
+  LIMIT 100
 )
 SELECT m.doc_id,
        CASE WHEN hits / n >= 0.02 THEN 'en' ELSE 'und' END AS lang_guess,
@@ -500,8 +557,12 @@ SELECT m.doc_id,
         AND m.mean_wlen BETWEEN 3.0 AND 10.0
         AND m.sym_ratio <= 0.1
         AND m.d2g_frac >= 0.2
-        AND COALESCE(r.max_run, 0) <= 6) AS gopher_keep
+        AND COALESCE(r.max_run, 0) <= 6) AS gopher_keep,
+       dw.dsir_logw,
+       (sd.doc_id IS NOT NULL) AS dsir_selected
 FROM m LEFT JOIN runs r USING (doc_id)
+JOIN dw USING (doc_id)
+LEFT JOIN dsel sd USING (doc_id)
 """
 
 
