@@ -1,0 +1,162 @@
+"""CCNet-style perplexity filtering (Wenzek et al. 2020, arXiv:1911.00359):
+score every document with a language-model perplexity fit on a clean
+target corpus, then split the corpus into head / middle / tail quality
+buckets — the standard web-crawl curation step beside dedup and the
+Gopher heuristics (CCNet uses a KenLM 5-gram; the public recipe's point
+is the *relative* ppl ranking, which a bigram LM preserves).
+
+The LM here is a **hashed-vocabulary bigram model**: words map to
+`hash32(w) % B` buckets, so the vocabulary size is the constant B (no
+corpus-wide vocab scan, no driver collect), OOV handling is automatic
+(every word has a bucket), and the fitted table is bounded by
+min(observed bigrams, B^2) rows regardless of corpus size. Additive
+smoothing: p(b2|b1) = (c(b1,b2) + a) / (c(b1) + a*B).
+
+Spark shapes:
+- fit: one explode + map-side-combined groupBy(b1,b2) shuffle; the
+  context totals c(b1) are a window sum partitioned by b1 over the
+  already-shuffled count table (no second corpus pass).
+- score: explode + two broadcast joins (pair table, context table) +
+  one groupBy(doc_id) shuffle. Per-bigram log-probs are rounded to a
+  fixed 4-decimal grid (like dsir) so per-doc aggregates agree across
+  engines and fold orders.
+- bucket: `ppl_tertiles` ranks with an unpartitioned NTILE(3) —
+  deterministic and oracle-mirrorable, but a single-partition sort; at
+  10^12 docs use `ppl_buckets(scored, lo, hi)` with cutoffs from
+  `approxQuantile` instead (same output column, no global sort).
+
+Everything is built on the md5-prefix hash32 (dedup.hash32) so DuckDB
+mirrors the bucket assignment bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import hash32, words
+
+
+def word_buckets(text: Column, buckets: int) -> Column:
+    """array<bigint>: hashed-vocab bucket per non-empty word."""
+    w = F.filter(words(text), lambda x: x != F.lit(""))
+    return F.transform(w, lambda x: hash32(x) % buckets)
+
+
+def _pair_array(text: Column, buckets: int) -> Column:
+    b = word_buckets(text, buckets)
+    n = F.size(b)
+    empty = F.array().cast("array<struct<b1:bigint,b2:bigint>>")
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(b, i).alias("b1"),
+                F.element_at(b, i + 1).alias("b2"),
+            ),
+        ),
+    ).otherwise(empty)
+
+
+def doc_bigram_buckets(
+    df: DataFrame, id_cols: list[str], text_col: str, buckets: int
+) -> DataFrame:
+    """(id_cols..., b1, b2) — one exploded row per adjacent word pair.
+    Docs with fewer than 2 words contribute no rows (callers left-join
+    the scores back; see score_logppl)."""
+    return df.select(
+        *id_cols, F.explode(_pair_array(F.col(text_col), buckets)).alias("p")
+    ).select(*id_cols, F.col("p.b1").alias("b1"), F.col("p.b2").alias("b2"))
+
+
+def bigram_lm(
+    target: DataFrame,
+    text_col: str = "text",
+    buckets: int = 512,
+    smoothing: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit on the target corpus. Returns (pair_logp, ctx):
+    pair_logp = (b1, b2, logp) for observed pairs, ctx = (b1, c1)
+    context totals — both bounded by B^2 / B rows, both broadcast-sized
+    for any sane B. logp is rounded to the 4-decimal grid."""
+    counts = (
+        doc_bigram_buckets(target, [], text_col, buckets)
+        .groupBy("b1", "b2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    w = Window.partitionBy("b1")
+    pair_logp = counts.select(
+        "b1",
+        "b2",
+        F.round(
+            F.log((F.col("c12") + smoothing) / (F.sum("c12").over(w) + smoothing * buckets)),
+            4,
+        ).alias("logp"),
+    )
+    ctx = counts.groupBy("b1").agg(F.sum("c12").alias("c1"))
+    return pair_logp, ctx
+
+
+def score_logppl(
+    raw: DataFrame,
+    pair_logp: DataFrame,
+    ctx: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 512,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """(doc_id, n_bigrams, logppl): logppl = -mean per-bigram log-prob
+    under the fitted LM (monotone in perplexity = exp(logppl)). Unseen
+    pairs back off to the smoothed floor a/(c1 + a*B); unseen contexts
+    to a/(a*B). Every doc in `raw` gets a row — docs with <2 words come
+    back with n_bigrams=0 and logppl=0.0."""
+    exploded = doc_bigram_buckets(raw, [id_col], text_col, buckets)
+    floor = F.round(
+        F.log(F.lit(smoothing) / (F.coalesce(F.col("c1"), F.lit(0)) + smoothing * buckets)),
+        4,
+    )
+    scored = (
+        exploded.join(F.broadcast(pair_logp), ["b1", "b2"], "left")
+        .join(F.broadcast(ctx), ["b1"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.avg(F.coalesce(F.col("logp"), floor)), 4).alias("logppl"),
+        )
+    )
+    return (
+        raw.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("logppl"), F.lit(0.0)).alias("logppl"),
+        )
+    )
+
+
+def ppl_tertiles(
+    scored: DataFrame, ppl_col: str = "logppl", id_col: str = "doc_id"
+) -> DataFrame:
+    """head/middle/tail by NTILE(3) over (logppl, id) — CCNet's
+    equal-thirds split, deterministic under ties. Unpartitioned window =
+    single-partition sort: fine up to ~10^8 score rows; beyond that use
+    ppl_buckets with approxQuantile cutoffs."""
+    t = F.ntile(3).over(Window.orderBy(F.col(ppl_col).asc(), F.col(id_col).asc()))
+    return scored.withColumn(
+        "ppl_bucket",
+        F.when(t == 1, "head").when(t == 2, "middle").otherwise("tail"),
+    )
+
+
+def ppl_buckets(scored: DataFrame, lo: float, hi: float, ppl_col: str = "logppl") -> DataFrame:
+    """Scale path: bucket by fixed cutoffs (e.g. from
+    df.approxQuantile(ppl_col, [1/3, 2/3], 0.001)) — embarrassingly
+    parallel, no global sort."""
+    c = F.col(ppl_col)
+    return scored.withColumn(
+        "ppl_bucket",
+        F.when(c <= lo, "head").when(c <= hi, "middle").otherwise("tail"),
+    )

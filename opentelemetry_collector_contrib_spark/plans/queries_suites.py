@@ -469,7 +469,19 @@ def q_text_stats_suite(spark, sf_dir):
         F.col("logw").alias("dsir_logw"),
         F.col("selected").alias("dsir_selected"),
     )
-    return gopher.join(sel, "doc_id")
+    # CCNet perplexity buckets (Wenzek et al. 2020): hashed-vocab bigram
+    # LM fit on the English slice, everyone scored, head/middle/tail by
+    # deterministic NTILE(3)
+    from ..dataprep import ccnet
+
+    CB = 64
+    lm, ctx = ccnet.bigram_lm(corpus.filter(F.col("lang") == "en"), buckets=CB)
+    cbuck = ccnet.ppl_tertiles(ccnet.score_logppl(corpus, lm, ctx, buckets=CB)).select(
+        "doc_id",
+        F.col("logppl").alias("ccnet_logppl"),
+        F.col("ppl_bucket").alias("ccnet_bucket"),
+    )
+    return gopher.join(sel, "doc_id").join(cbuck, "doc_id")
 
 
 def _sql_text_stats() -> str:
@@ -541,6 +553,36 @@ WITH b AS (
              (('0x'||substr(md5('7:'||doc_id::VARCHAR),1,8))::BIGINT + 1)
              / 4294967297.0))) DESC, doc_id
   LIMIT 100
+), cw AS (
+  -- CCNet hashed-vocab bigram LM: words -> hash32 % 64 buckets
+  SELECT doc_id, lang,
+         list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+                        x -> ('0x'||substr(md5(x),1,8))::BIGINT % 64) AS wb
+  FROM documents
+), cp AS (
+  SELECT doc_id, lang, wb[t.i] AS b1, wb[t.i+1] AS b2
+  FROM cw, UNNEST(range(1, len(wb))) AS t(i)
+), cc AS (
+  SELECT b1, b2, COUNT(*) AS c12 FROM cp WHERE lang = 'en' GROUP BY 1, 2
+), clm AS (
+  SELECT b1, b2,
+         ROUND(ln((c12 + 0.5) / (SUM(c12) OVER (PARTITION BY b1) + 0.5*64)), 4) AS logp
+  FROM cc
+), cctx AS (
+  SELECT b1, SUM(c12) AS c1 FROM cc GROUP BY 1
+), csc AS (
+  SELECT cp.doc_id,
+         ROUND(-AVG(COALESCE(clm.logp,
+             ROUND(ln(0.5 / (COALESCE(cctx.c1, 0) + 0.5*64)), 4))), 4) AS lp
+  FROM cp LEFT JOIN clm USING (b1, b2) LEFT JOIN cctx USING (b1)
+  GROUP BY 1
+), cbuck AS (
+  SELECT doc_id, ccnet_logppl,
+         CASE NTILE(3) OVER (ORDER BY ccnet_logppl, doc_id)
+           WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+         END AS ccnet_bucket
+  FROM (SELECT d.doc_id, COALESCE(csc.lp, 0.0) AS ccnet_logppl
+        FROM documents d LEFT JOIN csc USING (doc_id))
 )
 SELECT m.doc_id,
        CASE WHEN hits / n >= 0.02 THEN 'en' ELSE 'und' END AS lang_guess,
@@ -559,10 +601,12 @@ SELECT m.doc_id,
         AND m.d2g_frac >= 0.2
         AND COALESCE(r.max_run, 0) <= 6) AS gopher_keep,
        dw.dsir_logw,
-       (sd.doc_id IS NOT NULL) AS dsir_selected
+       (sd.doc_id IS NOT NULL) AS dsir_selected,
+       cb.ccnet_logppl, cb.ccnet_bucket
 FROM m LEFT JOIN runs r USING (doc_id)
 JOIN dw USING (doc_id)
 LEFT JOIN dsel sd USING (doc_id)
+JOIN cbuck cb USING (doc_id)
 """
 
 
