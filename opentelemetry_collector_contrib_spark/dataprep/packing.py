@@ -116,6 +116,90 @@ def token_span_duplication(
     )
 
 
+def exact_substring_removal(
+    df: DataFrame,
+    span_len: int = 16,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    min_count: int = 2,
+    keep_first: bool = True,
+) -> DataFrame:
+    """The removal half of Lee et al. 2022 ExactSubstr dedup (the
+    measure half is token_span_duplication): every corpus position
+    covered by a length-span_len token window that occurs >= min_count
+    times is cut out of the document; with keep_first=True the
+    corpus-minimum (id, pos) occurrence of each duplicated window is
+    exempt, so exactly one copy of each duplicated span survives
+    (window-level policy — a position in the first-occurrence doc can
+    still be removed when a *different* duplicated window covers it).
+
+    Returns (id, tokens cleaned, n_tok, n_removed) — one row per input
+    doc, token order preserved.
+
+    Shape at scale: explode to (id, pos, window-hash) -> ONE shuffle on
+    the hash (count + row_number in the same window partition) ->
+    groupBy(id) to collect each doc's removed starts -> join back and
+    cut with a JVM filter-with-index. The per-doc coverage test is
+    exists() over the doc's duplicated starts — O(n_tok * dup_starts)
+    per doc, which is the right trade until dup density is extreme
+    (then pre-merge the starts into intervals)."""
+    from pyspark.sql import Window
+
+    w = F.col(tokens_col)
+    n = F.size(w)
+    # sequence(1, 0) would emit the DESCENDING [1, 0] — mask short docs
+    idxs = F.when(
+        n >= span_len, F.sequence(F.lit(1), n - span_len + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    span_hash = lambda i: F.xxhash64(  # noqa: E731
+        F.concat_ws(",", F.transform(F.slice(w, i, span_len), lambda t: t.cast("string")))
+    )
+    spans = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(idxs, lambda i: F.struct(i.alias("pos"), span_hash(i).alias("h")))
+        ).alias("s"),
+    ).select(id_col, F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    part = Window.partitionBy("h")
+    occ = spans.select(
+        id_col,
+        "pos",
+        F.count(F.lit(1)).over(part).alias("c"),
+        F.row_number()
+        .over(part.orderBy(F.col(id_col).asc(), F.col("pos").asc()))
+        .alias("rn"),
+    )
+    removed = occ.filter(
+        (F.col("c") >= min_count) & (F.col("rn") > 1 if keep_first else F.lit(True))
+    )
+    starts = removed.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("pos")).alias("__starts")
+    )
+    st = F.col("__starts")
+    # i is the 0-based token index; starts are 1-based window positions
+    covered = lambda i: F.exists(  # noqa: E731
+        st, lambda s: (i + 1 >= s) & (i + 1 < s + span_len)
+    )
+    kept = F.when(st.isNull(), w).otherwise(
+        F.filter(w, lambda t, i: ~covered(i))
+    )
+    return (
+        df.join(starts, id_col, "left")
+        .select(
+            F.col(id_col),
+            kept.alias(tokens_col),
+            n.alias("__n_orig"),
+        )
+        .select(
+            id_col,
+            tokens_col,
+            F.size(tokens_col).alias("n_tok"),
+            (F.col("__n_orig") - F.size(tokens_col)).alias("n_removed"),
+        )
+    )
+
+
 def pack_sequences_bestfit(
     df: DataFrame,
     max_len: int,

@@ -1275,13 +1275,26 @@ def q_sequence_packing(spark, sf_dir):
         .persist()
     )
     dup = packing.token_span_duplication(packed, span_len=16, id_col="pid")
-    return packed.join(dup.select("pid", "dup_spans", "span_fraction"), "pid").select(
-        "shard",
-        "seq_index",
-        F.md5(F.concat_ws(",", F.col("tokens"))).alias("tokens_md5"),
-        "n_tok",
-        "dup_spans",
-        "span_fraction",
+    # ExactSubstr REMOVAL (Lee et al. 2022): cut every duplicated
+    # 16-token window occurrence except the corpus-first one
+    clean = packing.exact_substring_removal(packed, span_len=16, id_col="pid").select(
+        "pid",
+        F.md5(F.concat_ws(",", F.col("tokens"))).alias("clean_md5"),
+        F.col("n_removed"),
+    )
+    return (
+        packed.join(dup.select("pid", "dup_spans", "span_fraction"), "pid")
+        .join(clean, "pid")
+        .select(
+            "shard",
+            "seq_index",
+            F.md5(F.concat_ws(",", F.col("tokens"))).alias("tokens_md5"),
+            "n_tok",
+            "dup_spans",
+            "span_fraction",
+            "clean_md5",
+            "n_removed",
+        )
     )
 
 
@@ -1306,23 +1319,49 @@ c2 AS (
   FROM chunks
 ),
 wins AS (
-  SELECT shard, seq_index,
-         unnest(list_transform(range(1, len(tokens)-16+2),
-                i -> array_to_string(tokens[i:i+15], ','))) AS w
-  FROM c2 WHERE len(tokens) >= 16
+  SELECT shard, seq_index, i AS pos,
+         array_to_string(tokens[i:i+15], ',') AS w
+  FROM c2, UNNEST(range(1, len(tokens)-16+2)) AS u(i)
+  WHERE len(tokens) >= 16
 ),
 wc AS (SELECT w, COUNT(*) AS c FROM wins GROUP BY 1),
 dup AS (
   SELECT shard, seq_index, COUNT(*) AS dup_spans
   FROM wins JOIN wc USING (w) WHERE c >= 2 GROUP BY 1, 2
+),
+occ AS (
+  SELECT shard, seq_index, pos,
+         COUNT(*) OVER (PARTITION BY w) AS c,
+         ROW_NUMBER() OVER (PARTITION BY w
+                            ORDER BY shard*1000000+seq_index, pos) AS rn
+  FROM wins
+),
+rem AS (
+  SELECT shard, seq_index, list_sort(list(pos)) AS starts
+  FROM occ WHERE c >= 2 AND rn > 1 GROUP BY 1, 2
+),
+clean AS (
+  SELECT c2.shard, c2.seq_index,
+         CASE WHEN r.starts IS NULL THEN c2.tokens
+              ELSE list_filter(c2.tokens, (x, i) ->
+                     len(list_filter(r.starts,
+                         s -> i >= s AND i < s + 16)) = 0)
+         END AS ct
+  FROM c2 LEFT JOIN rem r USING (shard, seq_index)
 )
 SELECT c2.shard, c2.seq_index,
        md5(array_to_string(c2.tokens, ',')) AS tokens_md5,
        c2.n_tok,
        CAST(COALESCE(d.dup_spans, 0) AS BIGINT) AS dup_spans,
        ROUND(COALESCE(d.dup_spans, 0) / greatest(c2.n_tok - 15, 1), 4)
-         AS span_fraction
+         AS span_fraction,
+       -- array_to_string([]) is NULL in DuckDB but concat_ws on an empty
+       -- array is '' in Spark: coalesce so a fully-removed sequence
+       -- hashes identically on both engines
+       md5(COALESCE(array_to_string(cl.ct, ','), '')) AS clean_md5,
+       CAST(c2.n_tok - len(cl.ct) AS INT) AS n_removed
 FROM c2 LEFT JOIN dup d USING (shard, seq_index)
+JOIN clean cl USING (shard, seq_index)
 """
 
 

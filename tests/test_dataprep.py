@@ -610,3 +610,49 @@ def test_semdedup_fits_centroids_when_absent(spark):
     assert out.count() == 30
     # identical vectors (same residue class) dedup down to one keeper each
     assert out.filter(F.col("kept")).count() == 3
+
+
+def test_exact_substring_removal_keep_first(spark):
+    from opentelemetry_collector_contrib_spark.dataprep.packing import exact_substring_removal
+
+    df = spark.createDataFrame(
+        [
+            (1, [1, 2, 3, 4, 5, 6]),
+            (2, [9, 1, 2, 3, 4, 8]),  # shares the (1,2,3,4) window with doc 1
+            (3, [7, 7, 7]),  # shorter than span_len: untouched
+        ],
+        "doc_id long, tokens array<int>",
+    )
+    out = {r["doc_id"]: r for r in exact_substring_removal(df, span_len=4).collect()}
+    # doc 1 holds the first occurrence -> survives intact
+    assert out[1]["tokens"] == [1, 2, 3, 4, 5, 6] and out[1]["n_removed"] == 0
+    # doc 2's copy (positions 2..5) is cut, order preserved
+    assert out[2]["tokens"] == [9, 8] and out[2]["n_removed"] == 4
+    assert out[3]["tokens"] == [7, 7, 7] and out[3]["n_tok"] == 3
+
+
+def test_exact_substring_removal_remove_all_copies(spark):
+    from opentelemetry_collector_contrib_spark.dataprep.packing import exact_substring_removal
+
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3, 4, 5, 6]), (2, [9, 1, 2, 3, 4, 8])],
+        "doc_id long, tokens array<int>",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in exact_substring_removal(df, span_len=4, keep_first=False).collect()
+    }
+    # with no exemption both copies go; doc 1 loses positions 1..4
+    assert out[1]["tokens"] == [5, 6] and out[1]["n_removed"] == 4
+    assert out[2]["tokens"] == [9, 8]
+
+
+def test_exact_substring_removal_overlapping_spans_merge(spark):
+    from opentelemetry_collector_contrib_spark.dataprep.packing import exact_substring_removal
+
+    # internal repetition: every (1,2) window after the first is removed,
+    # and the overlapping covered ranges merge to positions 3..8
+    df = spark.createDataFrame([(1, [1, 2, 1, 2, 1, 2, 1, 2])], "doc_id long, tokens array<int>")
+    out = exact_substring_removal(df, span_len=2).collect()[0]
+    assert out["tokens"] == [1, 2]
+    assert out["n_removed"] == 6
