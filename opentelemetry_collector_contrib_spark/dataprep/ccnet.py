@@ -44,17 +44,20 @@ def word_buckets(text: Column, buckets: int) -> Column:
 
 
 def _pair_array(text: Column, buckets: int) -> Column:
+    # zip_with over shifted slices, NOT element_at(b, i) inside a
+    # transform lambda: b is a computed expression (md5 per word), and
+    # Catalyst re-evaluates captured expressions per lambda call, which
+    # turns per-row cost quadratic (2n^2 md5s). The slices evaluate b
+    # once each; zip_with binds its inputs as values.
     b = word_buckets(text, buckets)
     n = F.size(b)
     empty = F.array().cast("array<struct<b1:bigint,b2:bigint>>")
     return F.when(
         n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.struct(
-                F.element_at(b, i).alias("b1"),
-                F.element_at(b, i + 1).alias("b2"),
-            ),
+        F.zip_with(
+            F.slice(b, 1, n - 1),
+            F.slice(b, 2, n - 1),
+            lambda x, y: F.struct(x.alias("b1"), y.alias("b2")),
         ),
     ).otherwise(empty)
 

@@ -43,13 +43,15 @@ def doc_ngrams(text: Column) -> Column:
     feature is a BAG of hashed n-grams)."""
     w = F.filter(words(text), lambda x: x != F.lit(""))
     n = F.size(w)
+    # zip_with over shifted slices, not element_at(w, i) in a transform
+    # lambda — captured expressions re-evaluate per lambda call, making
+    # the per-row cost quadratic in doc length (see ccnet._pair_array)
     bigrams = F.when(
         n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat(
-                F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)
-            ),
+        F.zip_with(
+            F.slice(w, 1, n - 1),
+            F.slice(w, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.concat(w, bigrams)
@@ -145,6 +147,20 @@ def dsir_log_ratio_table(
     )
 
 
+def dsir_weights_from_exploded(
+    exploded: DataFrame, ratios_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, logw) from a pre-exploded (id, bucket) table: broadcast join
+    on the B-row ratio table + one groupBy(id) shuffle. Use this when
+    one corpus explode should feed BOTH the fit (bucket counts) and the
+    score — tokenizing/hashing the corpus once instead of three times."""
+    return (
+        exploded.join(F.broadcast(ratios_df), "bucket")
+        .groupBy(id_col)
+        .agg(F.round(F.sum("log_ratio"), 4).alias("logw"))
+    )
+
+
 def dsir_weights_join(
     raw: DataFrame,
     ratios_df: DataFrame,
@@ -159,11 +175,7 @@ def dsir_weights_join(
     exploded = raw.select(
         F.col(id_col), F.explode(gram_buckets(F.col(text_col), buckets)).alias("bucket")
     )
-    return (
-        exploded.join(F.broadcast(ratios_df), "bucket")
-        .groupBy(id_col)
-        .agg(F.round(F.sum("log_ratio"), 4).alias("logw"))
-    )
+    return dsir_weights_from_exploded(exploded, ratios_df, id_col)
 
 
 def gumbel_noise(id_col: Column, seed: int = 7) -> Column:

@@ -43,6 +43,73 @@ def hash_split(
     return df.withColumn(out_col, split_column(F.col(key_col), weights, seed))
 
 
+def mixture_quotas(
+    df: DataFrame, domain_col: str, weights: dict[str, float]
+) -> DataFrame:
+    """(domain, n_d, quota): the largest achievable corpus size N under
+    target mixture `weights` with no upsampling is min_d floor(n_d/w_d)
+    (the binding domain runs out first); each domain then contributes
+    quota = floor(w_d * N) documents. Domains absent from `weights` (or
+    NULL) get quota 0. One groupBy(domain) agg (D rows) + an
+    unpartitioned window min over those D rows — never a corpus-wide
+    sort."""
+    total = sum(weights.values())
+    wmap = F.create_map(
+        *[x for d, w in weights.items() for x in (F.lit(d), F.lit(w / total))]
+    )
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_d"))
+    wd = F.element_at(wmap, F.col(domain_col))
+    cap = F.when(wd > 0, F.floor(F.col("n_d") / wd))  # NULL for unlisted
+    from pyspark.sql import Window
+
+    n_total = F.min(cap).over(Window.partitionBy())  # min skips NULLs
+    return counts.select(
+        domain_col,
+        "n_d",
+        F.coalesce(F.floor(wd * n_total), F.lit(0)).cast("long").alias("quota"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "mix",
+    exact: bool = True,
+    out_col: str = "mix_keep",
+) -> DataFrame:
+    """Subsample to a target domain mixture (the Pile/Llama-style data
+    mixture reweighting: given per-domain weights, keep the largest
+    corpus whose composition matches them, never upsampling). Adds a
+    boolean `out_col`; filter on it to materialize the mixed corpus.
+
+    exact=True: rank docs within each domain by (hash(seed:id), id) and
+    keep the first `quota` — exact counts, deterministic under
+    repartition/resume. Costs one shuffle on the domain; at 10^12 rows
+    with few giant domains that partition-sort is the bottleneck, so use
+    exact=False there: keep iff hash < (quota/n_d) * 2^32 — zero
+    corpus shuffle (D-row quota table broadcast), counts correct to
+    binomial noise (~sqrt(n_d), negligible at scale)."""
+    from pyspark.sql import Window
+
+    quotas = mixture_quotas(df, domain_col, weights)
+    h = hash32(F.col(id_col).cast("string"), f"{seed}:")
+    joined = df.join(F.broadcast(quotas), domain_col, "left")
+    if exact:
+        rn = F.row_number().over(
+            Window.partitionBy(domain_col).orderBy(h.asc(), F.col(id_col).asc())
+        )
+        out = joined.withColumn(out_col, rn <= F.col("quota"))
+    else:
+        out = joined.withColumn(
+            out_col, h < F.floor(F.col("quota") / F.col("n_d") * U32)
+        )
+    return out.drop("n_d", "quota").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(False))
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

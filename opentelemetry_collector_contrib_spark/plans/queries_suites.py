@@ -455,15 +455,25 @@ def q_text_stats_suite(spark, sf_dir):
 
     B = 256
     corpus = docs.select("doc_id", "lang", "text")
+    # hash/explode the corpus ONCE; the persisted (doc_id, lang, bucket)
+    # table feeds the target counts, the raw counts, and the scorer
+    # (without it the gram explode runs 3x, and dsir_select's topk
+    # self-join doubles the whole weights pipeline on top)
+    db = corpus.select(
+        "doc_id", "lang", F.explode(dsir.gram_buckets(F.col("text"), B)).alias("bucket")
+    ).persist()
     ratios = dsir.dsir_log_ratio_table(
         spark,
-        dsir.bucket_counts(corpus.filter(F.col("lang") == "en"), buckets=B),
-        dsir.bucket_counts(corpus, buckets=B),
+        db.filter(F.col("lang") == "en").groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")),
+        db.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")),
         buckets=B,
     )
-    wts = corpus.select("doc_id").join(
-        dsir.dsir_weights_join(corpus, ratios, buckets=B), "doc_id", "left"
-    ).select("doc_id", F.coalesce(F.col("logw"), F.lit(0.0)).alias("logw"))
+    wts = (
+        corpus.select("doc_id")
+        .join(dsir.dsir_weights_from_exploded(db, ratios), "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("logw"), F.lit(0.0)).alias("logw"))
+        .persist()
+    )
     sel = dsir.dsir_select(wts, k=100).select(
         "doc_id",
         F.col("logw").alias("dsir_logw"),
@@ -476,7 +486,8 @@ def q_text_stats_suite(spark, sf_dir):
 
     CB = 64
     lm, ctx = ccnet.bigram_lm(corpus.filter(F.col("lang") == "en"), buckets=CB)
-    cbuck = ccnet.ppl_tertiles(ccnet.score_logppl(corpus, lm, ctx, buckets=CB)).select(
+    scored = ccnet.score_logppl(corpus, lm, ctx, buckets=CB).persist()
+    cbuck = ccnet.ppl_tertiles(scored).select(
         "doc_id",
         F.col("logppl").alias("ccnet_logppl"),
         F.col("ppl_bucket").alias("ccnet_bucket"),

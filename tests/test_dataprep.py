@@ -656,3 +656,58 @@ def test_exact_substring_removal_overlapping_spans_merge(spark):
     out = exact_substring_removal(df, span_len=2).collect()[0]
     assert out["tokens"] == [1, 2]
     assert out["n_removed"] == 6
+
+
+def test_mixture_sample_exact_quotas(spark):
+    from opentelemetry_collector_contrib_spark.dataprep.split import mixture_sample
+
+    # caps: a floor(60/.5)=120, b floor(30/.3)=100, c floor(10/.2)=50
+    # -> N=50 -> quotas a=25 b=15 c=10
+    rows = [(i, "a") for i in range(60)] + [(i, "b") for i in range(60, 90)] + [
+        (i, "c") for i in range(90, 100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, dom string")
+    out = mixture_sample(df, "dom", {"a": 0.5, "b": 0.3, "c": 0.2})
+    kept = {
+        r["dom"]: r["n"]
+        for r in out.filter("mix_keep").groupBy("dom").agg(F.count("*").alias("n")).collect()
+    }
+    assert kept == {"a": 25, "b": 15, "c": 10}
+    # deterministic: same rows selected on a re-run over a reshuffle
+    ids1 = sorted(r["doc_id"] for r in out.filter("mix_keep").collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in mixture_sample(df.repartition(7), "dom", {"a": 0.5, "b": 0.3, "c": 0.2})
+        .filter("mix_keep")
+        .collect()
+    )
+    assert ids1 == ids2
+
+
+def test_mixture_sample_unlisted_and_null_domains_dropped(spark):
+    from opentelemetry_collector_contrib_spark.dataprep.split import mixture_sample
+
+    rows = [(1, "a"), (2, "a"), (3, "b"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string")
+    out = {r["doc_id"]: r["mix_keep"] for r in mixture_sample(df, "dom", {"a": 1.0}).collect()}
+    assert out == {1: True, 2: True, 3: False, 4: False}
+
+
+def test_mixture_sample_threshold_path_approximates_quotas(spark):
+    from opentelemetry_collector_contrib_spark.dataprep.split import mixture_sample
+
+    rows = (
+        [(i, "a") for i in range(1200)]
+        + [(i, "b") for i in range(1200, 1800)]
+        + [(i, "c") for i in range(1800, 2000)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, dom string")
+    wts = {"a": 0.5, "b": 0.3, "c": 0.2}
+    approx = mixture_sample(df, "dom", wts, exact=False)
+    kept = {
+        r["dom"]: r["n"]
+        for r in approx.filter("mix_keep").groupBy("dom").agg(F.count("*").alias("n")).collect()
+    }
+    # N = min(2400, 2000, 1000) = 1000 -> quotas a=500 b=300 c=200
+    for dom, want in {"a": 500, "b": 300, "c": 200}.items():
+        assert abs(kept[dom] - want) < 4 * (want ** 0.5), (dom, kept[dom], want)
