@@ -564,12 +564,18 @@ def q_dataset_split(spark, sf_dir):
     row counts before and after a per-stratum downsample (keep 100% of
     src0, 25% of src1, 50% of everything else — the training-mix shaping
     a corpus pipeline runs after splitting)."""
-    from ..dataprep.split import hash_split, stratified_sample
+    from ..dataprep.split import hash_split, mixture_sample, stratified_sample
 
     docs = _documents(spark, sf_dir)
     out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
     kept = stratified_sample(
         out, "source", {"src0": 1.0, "src1": 0.25}, default_fraction=0.5
+    )
+    # mixture_sample: subsample to a target LANGUAGE mixture (largest
+    # corpus matching the weights, exact windowed-rank path), counted at
+    # the same (split, source) grain as the other samplers
+    mixed = mixture_sample(
+        out, "lang", {"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05}
     )
     full = out.groupBy("split", "source").agg(
         F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("first_doc")
@@ -577,8 +583,16 @@ def q_dataset_split(spark, sf_dir):
     samp = kept.groupBy("split", "source").agg(
         F.count(F.lit(1)).alias("n_sampled")
     )
-    return full.join(samp, ["split", "source"], "left").withColumn(
-        "n_sampled", F.coalesce("n_sampled", F.lit(0).cast("long"))
+    mixc = (
+        mixed.filter("mix_keep")
+        .groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n_mix"))
+    )
+    return (
+        full.join(samp, ["split", "source"], "left")
+        .join(mixc, ["split", "source"], "left")
+        .withColumn("n_sampled", F.coalesce("n_sampled", F.lit(0).cast("long")))
+        .withColumn("n_mix", F.coalesce("n_mix", F.lit(0).cast("long")))
     )
 
 
@@ -609,10 +623,36 @@ full_counts AS (
 ),
 samp_counts AS (
   SELECT split, source, COUNT(*) AS n_sampled FROM kept GROUP BY 1, 2
+),
+mixn AS (SELECT lang, COUNT(*) AS n_d FROM documents GROUP BY 1),
+mixw AS (
+  SELECT lang, n_d,
+         CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2 WHEN 'fr' THEN 0.15
+                   WHEN 'es' THEN 0.1 WHEN 'zh' THEN 0.05 END AS w_d
+  FROM mixn
+),
+mixq AS (
+  SELECT lang,
+         CAST(floor(w_d * (SELECT MIN(floor(n_d / w_d)) FROM mixw WHERE w_d > 0))
+              AS BIGINT) AS quota
+  FROM mixw WHERE w_d IS NOT NULL
+),
+mixr AS (
+  SELECT a.split, a.source, d.lang,
+         ROW_NUMBER() OVER (PARTITION BY d.lang ORDER BY
+           ('0x'||substr(md5('mix:'||a.doc_id::VARCHAR),1,8))::BIGINT,
+           a.doc_id) AS rn
+  FROM assigned a JOIN documents d USING (doc_id)
+),
+mix_counts AS (
+  SELECT split, source, COUNT(*) AS n_mix
+  FROM mixr JOIN mixq USING (lang) WHERE rn <= quota GROUP BY 1, 2
 )
 SELECT f.split, f.source, f.n, f.first_doc,
-       CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled
+       CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+       CAST(COALESCE(m.n_mix, 0) AS BIGINT) AS n_mix
 FROM full_counts f LEFT JOIN samp_counts s USING (split, source)
+LEFT JOIN mix_counts m USING (split, source)
 """
 
 
