@@ -201,3 +201,17 @@ def encode_ids(
         F.array(*[F.lit(v) for v in vocab.values()]),
     )
     return F.transform(pieces, lambda p: F.element_at(m, p))
+
+
+def decode_ids(ids: Column, vocab: dict[str, int]) -> Column:
+    """array<string> pieces for an id-array column — the inverse of
+    encode_ids (unknown ids -> NULL element, surfaced not dropped).
+    Word boundaries are not part of the piece stream (standard BPE
+    without a boundary marker), so joining the pieces reconstructs the
+    space-stripped text: concat_ws('', decode_ids(encode_ids(t))) ==
+    replace(t, ' ', ''). Pure column op: one literal id->piece map."""
+    m = F.map_from_arrays(
+        F.array(*[F.lit(v) for v in vocab.values()]),
+        F.array(*[F.lit(k) for k in vocab]),
+    )
+    return F.transform(ids, lambda i: F.element_at(m, i))

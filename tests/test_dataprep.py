@@ -462,6 +462,20 @@ def test_bpe_train_encode_roundtrip(spark):
         tokenize.encode_ids(F.col("text"), merges, vocab).alias("ids")
     ).first()["ids"]
     assert ids == [13, 11]
+    # decode closes the loop: ids -> pieces -> space-stripped text
+    dec = corpus.select(
+        F.concat_ws(
+            "",
+            tokenize.decode_ids(
+                tokenize.encode_ids(F.col("text"), merges, vocab), vocab
+            ),
+        ).alias("t")
+    ).first()["t"]
+    assert dec == "lowlowerlowestnewestwidest"
+    unknown = spark.range(1).select(
+        tokenize.decode_ids(F.array(F.lit(13), F.lit(999)), vocab).alias("p")
+    ).first()["p"]
+    assert unknown == ["low", None]
 
 
 def test_bpe_training_partitioning_independent(spark):
