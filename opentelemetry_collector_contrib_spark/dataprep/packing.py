@@ -116,6 +116,82 @@ def token_span_duplication(
     )
 
 
+def pack_sequences_with_spans(
+    df: DataFrame,
+    max_len: int,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    num_shards: int = 8,
+    drop_tail: bool = False,
+) -> DataFrame:
+    """pack_sequences + per-sequence document-boundary metadata: adds
+    ``doc_spans array<struct<start:int, doc_id:long, len:int>>`` (sorted
+    by start, 0-based within the sequence) — what a training loader
+    needs to build block-diagonal attention masks over concat-and-chunk
+    sequences (a doc crossing a chunk boundary contributes a span to
+    both chunks).
+
+    Scale shape: the spans side never re-shuffles the token arrays —
+    offsets come from a window over (shard, id, n_tok) ONLY (a few
+    longs per doc), each doc explodes to its 1 + n_tok/max_len touched
+    chunks, and one groupBy(shard, chunk) collects the per-sequence
+    span list, joined back to the packed output on (shard, seq_index)."""
+    from pyspark.sql import Window
+
+    packed = pack_sequences(
+        df,
+        max_len,
+        id_col=id_col,
+        tokens_col=tokens_col,
+        num_shards=num_shards,
+        drop_tail=drop_tail,
+    )
+    L = max_len
+    shard = (F.col(id_col) % num_shards).alias("shard")
+    lens = df.select(
+        shard,
+        F.col(id_col).alias("__id"),
+        F.coalesce(F.size(tokens_col), F.lit(0)).alias("__n"),
+    ).filter(F.col("__n") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("__id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = lens.withColumn("__off", F.coalesce(F.sum("__n").over(w), F.lit(0)))
+    first_c = (F.col("__off") / L).cast("int")
+    last_c = ((F.col("__off") + F.col("__n") - 1) / L).cast("int")
+    spans = (
+        offs.select(
+            "shard",
+            "__id",
+            "__off",
+            "__n",
+            F.explode(F.sequence(first_c, last_c)).alias("seq_index"),
+        )
+        .select(
+            "shard",
+            "seq_index",
+            F.struct(
+                F.greatest(F.col("__off") - F.col("seq_index") * L, F.lit(0))
+                .cast("int")
+                .alias("start"),
+                F.col("__id").alias("doc_id"),
+                (
+                    F.least(F.col("__off") + F.col("__n"), (F.col("seq_index") + 1) * F.lit(L))
+                    - F.greatest(F.col("__off"), F.col("seq_index") * F.lit(L))
+                )
+                .cast("int")
+                .alias("len"),
+            ).alias("span"),
+        )
+        .groupBy("shard", "seq_index")
+        .agg(F.array_sort(F.collect_list("span")).alias("doc_spans"))
+    )
+    return packed.join(spans, ["shard", "seq_index"])
+
+
 def exact_substring_removal(
     df: DataFrame,
     span_len: int = 16,

@@ -725,3 +725,41 @@ def test_mixture_sample_threshold_path_approximates_quotas(spark):
     # N = min(2400, 2000, 1000) = 1000 -> quotas a=500 b=300 c=200
     for dom, want in {"a": 500, "b": 300, "c": 200}.items():
         assert abs(kept[dom] - want) < 4 * (want ** 0.5), (dom, kept[dom], want)
+
+
+def test_pack_sequences_with_spans_reconstructs_docs(spark):
+    from opentelemetry_collector_contrib_spark.dataprep.packing import (
+        pack_sequences_with_spans,
+    )
+
+    docs = {
+        1: list(range(100, 110)),   # 10 toks
+        2: list(range(200, 207)),   # 7 toks -> crosses the 16-boundary
+        3: list(range(300, 320)),   # 20 toks -> spans two chunks
+        4: [],                      # empty: contributes nothing
+        5: list(range(500, 503)),   # 3 toks (tail)
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "doc_id long, tokens array<int>"
+    )
+    out = pack_sequences_with_spans(df, max_len=16, num_shards=1).collect()
+    assert [r["seq_index"] for r in sorted(out, key=lambda r: r["seq_index"])] == [0, 1, 2]
+    stream = [t for k in sorted(docs) for t in docs[k]]
+    rebuilt = {}
+    for r in out:
+        # span lengths tile the sequence exactly
+        assert sum(s["len"] for s in r["doc_spans"]) == r["n_tok"]
+        assert [s["start"] for s in r["doc_spans"]] == sorted(
+            s["start"] for s in r["doc_spans"]
+        )
+        for s in r["doc_spans"]:
+            piece = r["tokens"][s["start"] : s["start"] + s["len"]]
+            rebuilt.setdefault(s["doc_id"], []).extend(piece)
+        assert r["tokens"] == stream[r["seq_index"] * 16 : (r["seq_index"] + 1) * 16]
+    # every non-empty doc reassembles exactly from its spans, in order
+    assert rebuilt == {k: v for k, v in docs.items() if v}
+    # doc 3 (20 toks at offset 17) crosses chunk 1->2: spans in both
+    chunks_of_3 = sorted(
+        r["seq_index"] for r in out if any(s["doc_id"] == 3 for s in r["doc_spans"])
+    )
+    assert chunks_of_3 == [1, 2]
