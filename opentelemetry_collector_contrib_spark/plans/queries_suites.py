@@ -17,7 +17,9 @@ Suite -> operators map (also in COVERAGE.md):
   metricstransform_full full op set + metric-context funcs + exp->explicit
                        histogram (round-3 folds)
   text_stats_suite     language_id, quality, token counts, fingerprint,
-                       Gopher repetition/shape filters (round 3)
+                       Gopher repetition/shape filters (round 3),
+                       DSIR importance weights + Gumbel-top-k selection,
+                       CCNet perplexity buckets (round-3 late)
   multimodal_suite     binary payload + metadata, decode stub
   count_sum_connectors count connector, sum connector
   routing_suite        routing connector (first-match), roundrobin connector
@@ -418,7 +420,10 @@ def q_text_stats_suite(spark, sf_dir):
     """language_id + quality + token counts + fingerprint PLUS the
     Gopher-style repetition/shape filters (Rae et al. 2021): distinct
     2-gram fraction, longest same-word run, symbol/word ratio, mean word
-    length, and the combined keep/drop decision."""
+    length, and the combined keep/drop decision; PLUS DSIR importance
+    resampling (Xie et al. 2023: dsir_logw + deterministic Gumbel-top-k
+    dsir_selected) and CCNet perplexity buckets (Wenzek et al. 2020:
+    ccnet_logppl + head/middle/tail ccnet_bucket)."""
     from ..dataprep import textstats
 
     docs = _documents(spark, sf_dir)
