@@ -142,3 +142,105 @@ def test_hash_split_total_and_stability(spark, ids, w_train):
     }
     assert a == b  # partitioning-independent
     assert set(a) == set(ids)  # every row assigned exactly once
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 9), min_size=0, max_size=30),
+        min_size=1,
+        max_size=8,
+    ),
+    span_len=st.integers(2, 6),
+    keep_first=st.booleans(),
+)
+@SET
+def test_exact_substring_removal_properties(spark, docs, span_len, keep_first):
+    from opentelemetry_collector_contrib_spark.dataprep.packing import (
+        exact_substring_removal,
+    )
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, tokens array<int>"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in exact_substring_removal(
+            df, span_len=span_len, keep_first=keep_first
+        ).collect()
+    }
+    # one row per doc; removal accounting closes; kept tokens are a
+    # subsequence of the original
+    assert set(out) == set(range(len(docs)))
+    for i, d in enumerate(docs):
+        r = out[i]
+        assert r["n_tok"] + r["n_removed"] == len(d)
+        it = iter(d)
+        assert all(t in it for t in r["tokens"])  # subsequence check
+    # python model: windows whose hash-free VALUE repeats, minus the
+    # first occurrence when keep_first
+    from collections import defaultdict
+
+    occs = defaultdict(list)
+    for i, d in enumerate(docs):
+        for p in range(len(d) - span_len + 1):
+            occs[tuple(d[p : p + span_len])].append((i, p))
+    covered = {i: set() for i in range(len(docs))}
+    for w, lst in occs.items():
+        if len(lst) < 2:
+            continue
+        removable = lst[1:] if keep_first else lst
+        for i, p in removable:
+            covered[i].update(range(p, p + span_len))
+    for i, d in enumerate(docs):
+        want = [t for j, t in enumerate(d) if j not in covered[i]]
+        assert out[i]["tokens"] == want, (i, d)
+
+
+@given(
+    n_per_dom=st.lists(st.integers(0, 40), min_size=1, max_size=4),
+    weights=st.lists(st.floats(0.05, 1.0), min_size=1, max_size=4),
+)
+@SET
+def test_mixture_sample_quota_properties(spark, n_per_dom, weights):
+    from opentelemetry_collector_contrib_spark.dataprep.split import (
+        mixture_quotas,
+        mixture_sample,
+    )
+
+    import math
+
+    doms = [f"d{j}" for j in range(len(n_per_dom))]
+    rows, nid = [], 0
+    for j, n in enumerate(n_per_dom):
+        for _ in range(n):
+            rows.append((nid, doms[j]))
+            nid += 1
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, dom string")
+    # weights may cover only a prefix of the domains: the rest are
+    # "unlisted" and must come back with quota 0
+    wts = {d: w for d, w in zip(doms, weights)}
+    total = sum(wts.values())
+    norm = {d: w / total for d, w in wts.items()}
+    counts = {d: n for d, n in zip(doms, n_per_dom)}
+    N = min(math.floor(counts[d] / norm[d]) for d in wts)
+    quotas = {
+        r["dom"]: r["quota"] for r in mixture_quotas(df, "dom", wts).collect()
+    }
+    kept = {
+        r["dom"]: r["count"]
+        for r in mixture_sample(df, "dom", wts)
+        .filter("mix_keep")
+        .groupBy("dom")
+        .count()
+        .collect()
+    }
+    for d in doms:
+        if counts[d] == 0:
+            assert d not in quotas  # domain absent from the corpus
+            continue
+        want = math.floor(norm[d] * N) if d in wts else 0
+        assert quotas[d] == want, (d, quotas, N)
+        assert kept.get(d, 0) == want
+        assert want <= counts[d]  # never upsamples
