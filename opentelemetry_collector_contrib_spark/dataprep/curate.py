@@ -70,8 +70,11 @@ def curate_corpus(
     fitting after the heuristic filter keeps boilerplate out of the
     reference distribution (CCNet fits on Wikipedia for the same
     reason)."""
-    # 1. exact dedup on normalized text, then near-dup removal
-    key = F.lower(F.trim(F.col(text_col)))
+    # 1. exact dedup on a 128-bit digest of the normalized text (the
+    # groupBy shuffle then carries 16 bytes per doc, not the document
+    # body — the difference between a metadata shuffle and re-shuffling
+    # the corpus at 10^12 docs), then near-dup removal
+    key = F.md5(F.lower(F.trim(F.col(text_col))))
     keepers = dedup.exact_dedup(docs, key, id_col=id_col).select(
         F.col("keeper_id").alias(id_col)
     )
