@@ -98,22 +98,54 @@ def hash_xx(col: Column, seed: int = 0) -> Column:
     return F.xxhash64(F.lit(seed), col)
 
 
+def affine_params(num_hashes: int) -> list:
+    """Deterministic (a, b) coefficients for the universal hash family
+    h_s(x) = (a_s * h(x) + b_s) mod p, p = 2^31-1 (Carter-Wegman).
+    Derived from md5 of the slot index at PLAN time (plain Python), so
+    the exact same integer literals can be pasted into the DuckDB oracle
+    SQL. a in [1, p), b in [0, p): products stay < 2^62 — no ANSI-mode
+    overflow."""
+    import hashlib
+
+    out = []
+    for s in range(num_hashes):
+        a = int(hashlib.md5(f"a{s}".encode()).hexdigest()[:8], 16) % (MOD31 - 1) + 1
+        b = int(hashlib.md5(f"b{s}".encode()).hexdigest()[:8], 16) % MOD31
+        out.append((a, b))
+    return out
+
+
 def minhash_signature(
     shingles: Column, num_hashes: int = 16, hash_impl: str = "md5"
 ) -> Column:
     """MinHash signature: array of num_hashes longs, element s =
-    min over shingles of hash(seed=s, shingle). hash_impl 'md5' is the
-    oracle-checkable path; 'xxhash' is the production path (~10x cheaper:
-    16 seeds x every shingle dominates the whole pipeline's CPU)."""
+    min over shingles of (a_s * h(shingle) + b_s) mod 2^31-1 — ONE base
+    hash per shingle plus num_hashes multiply-adds, instead of num_hashes
+    independent hashes (the affine family is min-wise independent enough
+    in practice; Broder et al. 1998). The base-hash node appears exactly
+    once in the expression tree (hs -> per-slot affine array -> element-
+    wise-min fold), so CollapseProject cannot duplicate the md5 work the
+    way per-seed array_min(transform(...)) did — this took the md5 oracle
+    path from 16 md5s/shingle to 1.
+
+    hash_impl 'md5' (hash32 base) is the oracle-checkable path — the
+    DuckDB SQL replays the same constants; 'xxhash' is the production
+    path (one JVM xxhash64 per shingle, ~10x cheaper still)."""
     if hash_impl == "xxhash":
-        hf = lambda x, s: hash_xx(x, s)  # noqa: E731
+        base = lambda x: F.pmod(hash_xx(x), F.lit(MOD31))  # noqa: E731
     else:
-        hf = lambda x, s: hash32(x, f"{s}:")  # noqa: E731
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda x, s=s: hf(x, s)))
-            for s in range(num_hashes)
-        ]
+        base = lambda x: hash32(x) % MOD31  # noqa: E731
+    params = affine_params(num_hashes)
+    hs = F.transform(shingles, base)
+    per_slot = F.transform(
+        hs,
+        lambda h: F.array(
+            *[(h * F.lit(a) + F.lit(b)) % MOD31 for (a, b) in params]
+        ),
+    )
+    init = F.array(*[F.lit(MOD31).cast("long")] * num_hashes)
+    return F.aggregate(
+        per_slot, init, lambda acc, v: F.zip_with(acc, v, lambda x, y: F.least(x, y))
     )
 
 

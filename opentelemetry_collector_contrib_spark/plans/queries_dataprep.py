@@ -46,7 +46,14 @@ def q_dedup_minhash(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_documents(spark, sf_dir))
 
 
-SQL_DEDUP_MINHASH = """
+# the sig terms replay minhash_signature's universal-hash family with the
+# exact (a_s, b_s) literals the Spark plan uses (dedup.affine_params)
+_MH_SIG_TERMS = ",\n           ".join(
+    f"list_min(list_transform(hs, h -> (h*{a} + {b}) % 2147483647))"
+    for (a, b) in dedup.affine_params(16)
+)
+
+SQL_DEDUP_MINHASH = f"""
 WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
 sh AS (
   SELECT doc_id,
@@ -56,10 +63,11 @@ sh AS (
 ),
 sigs AS (
   SELECT doc_id, sh,
-         list_transform(range(0,16), s ->
-           list_min(list_transform(sh, x ->
-             ('0x'||substr(md5(s::VARCHAR||':'||x),1,8))::BIGINT))) AS sig
-  FROM sh
+         [{_MH_SIG_TERMS}] AS sig
+  FROM (SELECT doc_id, sh,
+               list_transform(sh, x ->
+                 ('0x'||substr(md5(x),1,8))::BIGINT % 2147483647) AS hs
+        FROM sh)
 ),
 bands AS (
   SELECT doc_id, sh, t.j,
