@@ -50,23 +50,36 @@ def mixture_quotas(
     target mixture `weights` with no upsampling is min_d floor(n_d/w_d)
     (the binding domain runs out first); each domain then contributes
     quota = floor(w_d * N) documents. Domains absent from `weights` (or
-    NULL) get quota 0. One groupBy(domain) agg (D rows) + an
-    unpartitioned window min over those D rows — never a corpus-wide
-    sort."""
+    NULL) get quota 0. A weighted domain with ZERO corpus rows clamps N
+    to 0 (its share cannot be met without upsampling) but is dropped from
+    the output — only observed domains come back. One groupBy(domain)
+    agg (D rows) + a D-row spine outer join + an unpartitioned window
+    min over those D rows — never a corpus-wide sort."""
     total = sum(weights.values())
     wmap = F.create_map(
         *[x for d, w in weights.items() for x in (F.lit(d), F.lit(w / total))]
     )
     counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_d"))
+    spark = df.sparkSession
+    spine = spark.createDataFrame(
+        [(d,) for d in weights], f"{domain_col} string"
+    )
+    # weighted-but-absent domains join in with n_d NULL -> counted as 0 in
+    # the min; `observed` marks rows that exist in the corpus
+    full = counts.withColumn("observed", F.lit(True)).join(
+        spine, domain_col, "full_outer"
+    )
     wd = F.element_at(wmap, F.col(domain_col))
-    cap = F.when(wd > 0, F.floor(F.col("n_d") / wd))  # NULL for unlisted
+    cap = F.when(  # NULL for unlisted (never binds)
+        wd > 0, F.floor(F.coalesce(F.col("n_d"), F.lit(0)) / wd)
+    )
     from pyspark.sql import Window
 
     n_total = F.min(cap).over(Window.partitionBy())  # min skips NULLs
-    return counts.select(
-        domain_col,
-        "n_d",
-        F.coalesce(F.floor(wd * n_total), F.lit(0)).cast("long").alias("quota"),
+    return (
+        full.withColumn("quota", F.coalesce(F.floor(wd * n_total), F.lit(0)).cast("long"))
+        .filter(F.col("observed"))
+        .select(domain_col, "n_d", "quota")
     )
 
 
