@@ -649,15 +649,63 @@ SELECT event_id, user_id AS uid, event_type AS etype FROM events
 
 
 def q_groupbytrace(spark, sf_dir):
-    # groupbytrace: release whole traces together — batch check: per-trace
-    # span counts survive the co-location repartition
+    # groupbytrace (release whole traces together) + coralogixprocessor
+    # transactions in one suite: build a binary span tree per trace
+    # (parent of rank r is rank (r-1)/2, root = rank 0), with 'purchase'
+    # spans as SERVER transaction boundaries, then attribute every span to
+    # its nearest boundary ancestor via the pointer-doubling walk.
+    from ..operators.coralogix import coralogix_transactions
+
     ev = _events(spark, sf_dir)
-    out = processors.groupbytrace_processor(ev, "user_id")
-    return out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    grouped = processors.groupbytrace_processor(ev, "user_id")
+    rk = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("event_id")
+    ) - F.lit(1)
+    spans = grouped.withColumn("rk", rk).select(
+        F.col("user_id").cast("string").alias("trace_id"),
+        F.col("rk").cast("string").alias("span_id"),
+        F.when(F.col("rk") > 0, ((F.col("rk") - 1) / 2).cast("long").cast("string"))
+        .alias("parent_span_id"),
+        F.concat(F.lit("op-"), F.col("event_type")).alias("span_name"),
+        F.when(F.col("event_type") == "purchase", "server")
+        .otherwise("internal")
+        .alias("span_kind"),
+        F.col("rk").cast("long").alias("start_ts"),
+    )
+    out = coralogix_transactions(spans)
+    n_spans = F.count(F.lit(1)).over(Window.partitionBy("trace_id"))
+    return out.select(
+        F.col("trace_id").cast("long").alias("user_id"),
+        F.col("span_id").cast("long").alias("span_rk"),
+        n_spans.alias("n_spans"),
+        F.col("cgx_transaction").alias("cgx_txn"),
+        F.coalesce("cgx_transaction_root", F.lit(False)).alias("cgx_root"),
+    )
 
 
 SQL_GROUPBYTRACE = """
-SELECT user_id, COUNT(*) AS n_spans FROM events GROUP BY user_id
+WITH RECURSIVE ranked AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rk,
+         'op-' || event_type AS name,
+         CASE WHEN event_type = 'purchase' THEN 'server' ELSE 'internal' END AS kind
+  FROM events
+), walk AS (
+  SELECT user_id, rk, name AS txn, TRUE AS is_root
+  FROM ranked WHERE rk = 0
+  UNION ALL
+  SELECT s.user_id, s.rk,
+         CASE WHEN s.kind = 'server' THEN s.name ELSE w.txn END,
+         s.kind = 'server'
+  FROM ranked s JOIN walk w
+    ON s.user_id = w.user_id AND (s.rk - 1) // 2 = w.rk AND s.rk > 0
+)
+SELECT r.user_id,
+       r.rk AS span_rk,
+       COUNT(*) OVER (PARTITION BY r.user_id) AS n_spans,
+       w.txn AS cgx_txn,
+       w.is_root AS cgx_root
+FROM ranked r JOIN walk w ON r.user_id = w.user_id AND r.rk = w.rk
 """
 
 
