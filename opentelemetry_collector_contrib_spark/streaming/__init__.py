@@ -1,1 +1,1 @@
-from . import stream  # noqa: F401
+from . import stateful, stream  # noqa: F401

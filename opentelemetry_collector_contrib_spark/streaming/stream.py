@@ -95,13 +95,15 @@ def stateful_delta_to_cumulative(
     per-stream running sums that survive across micro-batches and restarts.
 
     Implemented as foreachBatch + a STATE TABLE (parquet, batch-id
-    versioned) rather than applyInPandasWithState — the arbitrary-state
-    APIs crash in this pyspark build (4.1.x: PythonSQLMetrics NPE /
-    worker crash), and state-as-a-table is the production-robust pattern
-    at scale anyway: state is columnar, inspectable, and replay-idempotent
-    (each batch writes state under v=<batch_id> and reads the latest
-    version strictly below its own id, so re-running a failed batch
-    cannot double-count).
+    versioned) rather than applyInPandasWithState (which this build does
+    support — see streaming/stateful.py for the buffer-and-flush
+    operators built on it): state-as-a-table is the better fit for a
+    RUNNING-SUM whose state must be exactly-once under replay — state is
+    columnar, inspectable, and replay-idempotent (each batch writes
+    state under v=<batch_id> and reads the latest version strictly below
+    its own id, so re-running a failed batch cannot double-count),
+    whereas the state-store API gives at-least-once output on
+    foreachBatch replay.
 
     State growth is bounded like the reference (config.go:20-23):
     `max_stale` (seconds) evicts streams not seen within that horizon of
