@@ -1381,16 +1381,38 @@ JOIN clean cl USING (shard, seq_index)
 """
 
 
-def q_streaming_windowed_counts(spark, sf_dir):
-    """Structured Streaming surface under the driver gate (rows-only — a
-    stream's trigger/commit cycle is not SQL-expressible): bounded
-    file-source stream over the events table -> watermarked tumbling
-    window counts -> memory sink, availableNow trigger. The same
-    windowed_counts transformation the streaming pipeline uses
-    (streaming/stream.py), proving the batch operators run unchanged
-    under a micro-batch trigger."""
-    import os
+# groupbytrace_stream wait inside the streaming suite: longer than the
+# events table's 30-day span, so every key buffers its whole history and
+# releases exactly ONCE — making the release set SQL-expressible (the
+# multi-release case, where spans after a release start a fresh wait, is
+# event-order-dependent and lives in tests/test_stateful_streaming.py)
+_GBT_WAIT_MS = 60 * 86400 * 1000
 
+
+def q_streaming_windowed_counts(spark, sf_dir):
+    """Structured Streaming surface under the driver gate, two stateful
+    shapes over the events table united into one oracle-checked result:
+
+    kind='window'  — bounded file-source stream -> watermarked tumbling
+                     3600s window counts per event_type (complete mode),
+                     the same windowed_counts transformation the
+                     streaming pipeline uses (streaming/stream.py).
+    kind='release' — groupbytrace_stream (streaming/stateful.py:
+                     applyInPandasWithState buffer-by-key + event-time
+                     timer): every user_id's events buffer until the
+                     wait expires, then release as one complete group.
+                     A far-future sentinel row drives the watermark past
+                     every timer; the sentinel itself stays buffered and
+                     must not appear (that's part of the check — its key
+                     would be an extra row).
+
+    Columns: (kind, k, t, value). window rows: t = window start epoch
+    SECONDS, value = count. release rows: t = release timestamp epoch MS
+    (first event + wait), value = spans in the released group."""
+    import os
+    import tempfile
+
+    from ..streaming.stateful import groupbytrace_stream
     from ..streaming.stream import windowed_counts
 
     # events.parquet is a single file; the file stream source needs a
@@ -1411,19 +1433,78 @@ def q_streaming_windowed_counts(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
-    return spark.table(name).select(
-        F.col("window.start").cast("long").alias("win_start"), "event_type", "value"
+
+    # --- groupbytrace over the same events + a watermark-driving sentinel
+    gbt_dir = tempfile.mkdtemp(prefix="gbt_stream_src_")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type"
     )
+    events.coalesce(1).write.mode("overwrite").parquet(gbt_dir)
+    spark.createDataFrame(
+        [(int(-1), "2099-01-01 00:00:00", int(-1), "__sentinel")],
+        "event_id long, ts string, user_id long, event_type string",
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type"
+    ).coalesce(1).write.mode("append").parquet(gbt_dir)
+
+    gbt_src = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, event_type string")
+        .parquet(gbt_dir)
+    )
+    released = groupbytrace_stream(
+        gbt_src,
+        trace_col="user_id",
+        ts_col="ts",
+        wait_duration=_GBT_WAIT_MS / 1000,
+        watermark="10 seconds",
+    )
+    gbt_name = f"stream_gbt_{os.getpid()}"
+    q2 = (
+        released.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(gbt_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q2.awaitTermination(180)
+
+    win_rows = spark.table(name).select(
+        F.lit("window").alias("kind"),
+        F.col("event_type").alias("k"),
+        F.col("window.start").cast("long").alias("t"),
+        F.col("value").cast("long").alias("value"),
+    )
+    rel_rows = (
+        spark.table(gbt_name)
+        .groupBy("user_id")
+        .agg(
+            F.first("gbt_released_ms").alias("released_ms"),
+            F.first("gbt_n_spans").cast("long").alias("n_spans"),
+        )
+        .select(
+            F.lit("release").alias("kind"),
+            F.col("user_id").cast("string").alias("k"),
+            F.col("released_ms").alias("t"),
+            F.col("n_spans").alias("value"),
+        )
+    )
+    return win_rows.unionByName(rel_rows)
 
 
-# the trigger/commit cycle is not SQL-expressible, but the FINAL state of a
-# complete-mode windowed count over a bounded stream is: a tumbling 3600s
-# window aligned to the epoch is date_trunc('hour', ts)
-SQL_STREAMING_WINDOWED_COUNTS = """
-SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
-       event_type, COUNT(*) AS value
-FROM events GROUP BY 1, 2
+# the trigger/commit cycle is not SQL-expressible, but the FINAL state of
+# both bounded streams is: a tumbling 3600s epoch-aligned window is
+# date_trunc('hour', ts), and a single-release groupbytrace group is the
+# key's whole history released at min(ts) + wait
+SQL_STREAMING_WINDOWED_COUNTS = f"""
+SELECT 'window' AS kind, event_type AS k,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS t,
+       COUNT(*) AS value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'release', CAST(user_id AS VARCHAR),
+       epoch_ms(MIN(ts)) + {_GBT_WAIT_MS}, COUNT(*)
+FROM events GROUP BY 2
 """
 
 
