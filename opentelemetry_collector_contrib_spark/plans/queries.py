@@ -218,18 +218,37 @@ def q_attributes_processor(spark, sf_dir):
             processors.AttrAction("delete", "type"),
         ],
     )
+    # resourceprocessor = the SAME action list over the resource map
+    # (processor/resourceprocessor/resource_processor.go applies
+    # attraction.go to pcommon.Resource attributes)
+    out = out.withColumn(
+        "resource_attributes",
+        F.create_map(F.lit("host"), F.format_string("h-%d", F.col("user_id") % 5)),
+    )
+    out = processors.attributes_processor(
+        out,
+        [
+            processors.AttrAction("insert", "service.name", value="api"),
+            processors.AttrAction("upsert", "host.alias", from_attribute="host"),
+        ],
+        target="resource_attributes",
+    )
     return out.select(
         "event_id",
         F.element_at("attributes", "env").alias("env"),
         F.element_at("attributes", "uid").alias("uid_hash"),
         F.element_at("attributes", "type2").alias("type2"),
         F.element_at("attributes", "type").alias("type_deleted"),
+        F.element_at("resource_attributes", "service.name").alias("res_service"),
+        F.element_at("resource_attributes", "host.alias").alias("res_alias"),
     )
 
 
 SQL_ATTRIBUTES_PROCESSOR = """
 SELECT event_id, 'prod' AS env, sha256(user_id::VARCHAR) AS uid_hash,
-       event_type AS type2, NULL AS type_deleted
+       event_type AS type2, NULL AS type_deleted,
+       'api' AS res_service,
+       'h-' || (user_id % 5)::VARCHAR AS res_alias
 FROM events
 """
 

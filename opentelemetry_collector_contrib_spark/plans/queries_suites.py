@@ -212,6 +212,53 @@ def q_parsers_syslog_time(spark, sf_dir):
     out = parsers.trace_parser(out, trace_id_from="tid", span_id_from="sid", flags_from="fl")
     out = parsers.severity_parser(out, "lvl")
     out = parsers.scope_name_parser(out, "a5[appname]")
+
+    # --- RFC6587 tcp framing round-trips (pkg/stanza/operator/input/tcp):
+    # pack 5 messages per chunk, deframe, reparse, join back per event.
+    # Octet-counting ("<len> <msg>" concatenated) exercises the
+    # variable-length jump arithmetic; non-transparent (LF trailer) the
+    # split+explode path. A deframe bug corrupts rt_* or drops rows.
+    def _chunk_join(body_col, frame_expr, sep):
+        return F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("event_id").alias("i"), frame_expr.alias("f"))
+                    )
+                ),
+                lambda x: x["f"],
+            ),
+            sep,
+        )
+
+    oc_frame = F.format_string("%d %s", F.length("body5424"), F.col("body5424"))
+    chunks = ev.groupBy(F.floor(F.col("event_id") / 5).alias("chunk")).agg(
+        _chunk_join("body5424", oc_frame, "").alias("oc_chunk"),
+        _chunk_join("body3164", F.col("body3164"), "\n").alias("nt_chunk"),
+        F.count(F.lit(1)).alias("rt_n_frames"),
+    )
+    oc = parsers.deframe_octet_counting(
+        chunks.select("rt_n_frames", "oc_chunk"), col="oc_chunk", out_col="fr"
+    )
+    oc = parsers.syslog_parser(oc, protocol="rfc5424", parse_from="fr", parse_to="rt")
+    oc_rows = oc.select(
+        F.regexp_extract(F.element_at("rt", "message"), r"msg (\d+)", 1)
+        .cast("long")
+        .alias("event_id"),
+        F.element_at("rt", "message").alias("rt5424_msg"),
+        "rt_n_frames",
+    )
+    nt = parsers.deframe_non_transparent(
+        chunks.select("nt_chunk"), col="nt_chunk", out_col="fr"
+    )
+    nt = parsers.syslog_parser(nt, protocol="rfc3164", parse_from="fr", parse_to="rt")
+    nt_rows = nt.select(
+        F.regexp_extract(F.element_at("rt", "message"), r"event (\d+) occurred", 1)
+        .cast("long")
+        .alias("event_id"),
+        F.element_at("rt", "message").alias("rt3164_msg"),
+    )
+    out = out.join(oc_rows, "event_id").join(nt_rows, "event_id")
     return out.select(
         "event_id",
         "scope_name",
@@ -230,6 +277,7 @@ def q_parsers_syslog_time(spark, sf_dir):
         F.unix_micros(F.col("t2").cast("timestamp")).alias("t2_us"),
         "trace_id", "span_id", "flags",
         "severity_number", "severity_text",
+        "rt5424_msg", "rt_n_frames", "rt3164_msg",
     )
 
 
@@ -256,7 +304,10 @@ SELECT event_id,
        substr(md5(event_id::VARCHAR || 's'), 1, 16) AS span_id,
        1 AS flags,
        CASE WHEN event_type = 'error' THEN 17 WHEN event_type = 'purchase' THEN 10 ELSE 9 END AS severity_number,
-       CASE WHEN event_type = 'error' THEN 'ERROR' WHEN event_type = 'purchase' THEN 'INFO2' ELSE 'INFO' END AS severity_text
+       CASE WHEN event_type = 'error' THEN 'ERROR' WHEN event_type = 'purchase' THEN 'INFO2' ELSE 'INFO' END AS severity_text,
+       'msg ' || event_id::VARCHAR AS rt5424_msg,
+       COUNT(*) OVER (PARTITION BY event_id // 5) AS rt_n_frames,
+       'event ' || event_id::VARCHAR || ' occurred' AS rt3164_msg
 FROM events
 """
 
