@@ -474,3 +474,77 @@ def dedupe_corpus(
             .withColumn("cluster_size", F.coalesce("cluster_size", F.lit(1)))
         )
     return kept
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    lines_col: Column | None = None,
+    keep: str = "first",
+    normalize: bool = False,
+) -> DataFrame:
+    """Corpus-level duplicated-LINE removal (CCNet, Wenzek et al. 2020
+    arXiv:1911.00359 §3.1 "deduplicating paragraphs"; also the line-dedup
+    stage of RefinedWeb): a line whose (optionally normalized) form
+    already appeared earlier in the corpus — ordered by (doc id, line
+    index) — is cut from the document. keep='none' instead cuts EVERY
+    occurrence of a line that appears more than once (C4's policy for
+    three-sentence spans).
+
+    `lines_col` overrides the split when the caller already has an
+    array<string> of lines/paragraphs. `normalize=True` applies CCNet's
+    collision key (lowercase, strip everything but letters and spaces);
+    lines whose normalized form is empty are never treated as duplicates
+    (blank separators would otherwise all collide).
+
+    Returns one row per input document: (id_col, <text_col>_dedup,
+    n_lines, n_removed). Documents whose every line was cut keep a row
+    with an empty string.
+
+    Scale: one shuffle partitioned by the line key (window rank decides
+    the corpus-first copy — at 10^12 docs the hot keys are boilerplate
+    lines, bounded by per-key occurrence counts, and AQE skew-split
+    applies), then one groupBy(id) to reassemble. Line text crosses each
+    shuffle once; nothing is collected."""
+    from pyspark.sql import Window
+
+    if keep not in ("first", "none"):
+        raise ValueError("keep must be 'first' or 'none'")
+    lines = F.split(F.col(text_col), sep) if lines_col is None else lines_col
+    ex = df.select(F.col(id_col).alias("__id"), F.posexplode(lines).alias("__idx", "__line"))
+    if normalize:
+        key = F.trim(F.regexp_replace(F.lower(F.col("__line")), "[^a-z ]", ""))
+    else:
+        key = F.col("__line")
+    ex = ex.withColumn("__key", key)
+    w = Window.partitionBy("__key").orderBy("__id", "__idx")
+    is_blank = F.col("__key") == "" if normalize else F.lit(False)
+    if keep == "first":
+        keep_line = is_blank | (F.row_number().over(w) == 1)
+    else:
+        keep_line = is_blank | (F.count(F.lit(1)).over(w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)) == 1)
+    ranked = ex.withColumn("__keep", keep_line)
+    rebuilt = ranked.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("__keep"), 0).otherwise(1)).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"),
+                            F.struct(F.col("__idx"), F.col("__line").alias("l")),
+                        )
+                    )
+                ),
+                lambda x: x["l"],
+            ),
+            sep,
+        ).alias(f"{text_col}_dedup"),
+    )
+    return rebuilt.select(
+        F.col("__id").alias(id_col), f"{text_col}_dedup", "n_lines", "n_removed"
+    )

@@ -30,15 +30,71 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark, sf_dir):
+    """Two grains united under one oracle row: document-level exact dedup
+    (hash-groupBy on a normalization key) and corpus-level duplicated-LINE
+    removal (dedup.line_dedup — the CCNet/RefinedWeb paragraph-dedup
+    stage). The synthetic documents are single-line word streams, so the
+    line grain is synthesized as consecutive 8-word paragraphs (pure
+    column expression, mirrored 1:1 in DuckDB).
+
+    kind='doc':  k = dedup key, a = keeper doc, b = group size
+    kind='line': k = doc id,    a = lines removed, b = hash60 of the
+                 reassembled deduplicated text"""
     docs = _documents(spark, sf_dir)
     key = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5))
-    return dedup.exact_dedup(docs, key).filter(F.col("group_size") > 1)
+    doc_rows = (
+        dedup.exact_dedup(docs, key)
+        .filter(F.col("group_size") > 1)
+        .select(
+            F.lit("doc").alias("kind"),
+            F.col("dedup_key").alias("k"),
+            F.col("keeper_id").alias("a"),
+            F.col("group_size").alias("b"),
+        )
+    )
+    ws = F.split(F.col("text"), " ")
+    paragraphs = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(ws) / 8).cast("int") - 1),
+        lambda i: F.array_join(F.slice(ws, i * 8 + 1, 8), " "),
+    )
+    line_rows = dedup.line_dedup(
+        docs, id_col="doc_id", text_col="text", lines_col=paragraphs
+    ).select(
+        F.lit("line").alias("kind"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("n_removed").alias("a"),
+        dedup.hash60(F.col("text_dedup")).alias("b"),
+    )
+    return doc_rows.unionByName(line_rows)
 
 
 SQL_DEDUP_EXACT = """
-SELECT array_to_string(string_split(text,' ')[1:5], ' ') AS dedup_key,
-       MIN(doc_id) AS keeper_id, COUNT(*) AS group_size
-FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+WITH doc_rows AS (
+  SELECT 'doc' AS kind,
+         array_to_string(string_split(text,' ')[1:5], ' ') AS k,
+         MIN(doc_id) AS a, COUNT(*) AS b
+  FROM documents GROUP BY 2 HAVING COUNT(*) > 1
+),
+para AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(ws[(i*8+1)::BIGINT:(i*8+8)::BIGINT], ' ') AS line
+  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+       UNNEST(range(0, ceil(len(ws)/8.0)::BIGINT)) AS u(i)
+),
+ranked AS (
+  SELECT doc_id, idx, line,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+  FROM para
+),
+line_rows AS (
+  SELECT 'line' AS kind, doc_id::VARCHAR AS k,
+         COUNT(*) FILTER (WHERE rn > 1) AS a,
+         ('0x' || substr(md5(coalesce(
+             string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE rn = 1),
+             '')), 1, 15))::BIGINT AS b
+  FROM ranked GROUP BY doc_id
+)
+SELECT * FROM doc_rows UNION ALL SELECT * FROM line_rows
 """
 
 

@@ -763,3 +763,59 @@ def test_pack_sequences_with_spans_reconstructs_docs(spark):
         r["seq_index"] for r in out if any(s["doc_id"] == 3 for s in r["doc_spans"])
     )
     assert chunks_of_3 == [1, 2]
+
+
+def test_line_dedup_keep_first_and_none(spark):
+    from opentelemetry_collector_contrib_spark.dataprep.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nshared line\nbeta"),
+            (2, "shared line\ngamma\nshared line"),
+            (3, "delta\nonly here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    # corpus-first copy (doc 1, idx 1) survives; later copies cut —
+    # including the SECOND occurrence inside doc 2 itself
+    assert out[1]["text_dedup"] == "alpha\nshared line\nbeta"
+    assert out[1]["n_removed"] == 0
+    assert out[2]["text_dedup"] == "gamma"
+    assert out[2]["n_removed"] == 2 and out[2]["n_lines"] == 3
+    assert out[3]["n_removed"] == 0
+
+    none = {r["doc_id"]: r for r in line_dedup(docs, keep="none").collect()}
+    # C4 policy: every occurrence of a repeated line is cut
+    assert none[1]["text_dedup"] == "alpha\nbeta"
+    assert none[2]["text_dedup"] == "gamma"
+
+
+def test_line_dedup_normalize_and_blank_guard(spark):
+    from opentelemetry_collector_contrib_spark.dataprep.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello World!\n---\nxa"),
+            (2, "hello, world\n---\nxb"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, normalize=True).collect()}
+    # normalized forms collide ("hello world"); the '---' separator
+    # normalizes to empty and must NOT be treated as a duplicate
+    assert out[1]["text_dedup"] == "Hello World!\n---\nxa"
+    assert out[2]["text_dedup"] == "---\nxb"
+    assert out[2]["n_removed"] == 1
+
+
+def test_line_dedup_all_lines_removed_keeps_row(spark):
+    from opentelemetry_collector_contrib_spark.dataprep.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "dup"), (2, "dup")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, keep="none").collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["text_dedup"] == "" and out[2]["text_dedup"] == ""
+    assert out[1]["n_removed"] == 1
