@@ -276,6 +276,90 @@ def exact_substring_removal(
     )
 
 
+def shuffle_sequences(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    num_shards: int = 64,
+    seed: str = "shuffle-v1",
+) -> DataFrame:
+    """Deterministic corpus shuffle-and-shard — the final stage every
+    pretraining data loader needs: rows are scattered pseudorandomly
+    across num_shards output shards and given a pseudorandom position
+    within their shard, WITHOUT a global sort.
+
+    Adds (shuffle_shard int, shuffle_pos int): shard = hash(seed, id) %
+    num_shards, pos = rank of hash within the shard (ties broken by id,
+    so the assignment is total and reproducible across runs/partitioning).
+
+    Shape at scale: ONE hash shuffle (the row_number window partitioned
+    by shard) — no global ordering, no skew (the hash is uniform), and
+    num_shards is sized so a shard is one output file (~corpus/num_shards
+    rows each). Changing the seed is a full reshuffle, as intended
+    (epoch reshuffles use seed=f"epoch-{i}")."""
+    from pyspark.sql import Window
+
+    from .dedup import hash32
+
+    key = hash32(F.col(id_col).cast("string"), seed)
+    w = Window.partitionBy("shuffle_shard").orderBy("__key", id_col)
+    return (
+        df.withColumn("__key", key)
+        .withColumn("shuffle_shard", (F.col("__key") % num_shards).cast("int"))
+        .withColumn("shuffle_pos", (F.row_number().over(w) - 1).cast("int"))
+        .drop("__key")
+    )
+
+
+def length_buckets(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+    max_batch_tokens: int = 16384,
+    seed: str = "shuffle-v1",
+) -> DataFrame:
+    """Length-bucketed batch assembly: rows are grouped into power-of-two
+    length buckets (bucket b holds lengths in (2^(b-1), 2^b]; length<=1
+    lands in bucket 1) and assigned deterministic batch ids so each batch
+    pads to its bucket's capacity — the padding-efficiency trick for
+    variable-length training/inference batching. Batch size per bucket is
+    max(1, max_batch_tokens / 2^b), so every batch costs ~max_batch_tokens
+    padded tokens regardless of bucket.
+
+    Adds (bucket int, batch_id int, batch_pos int). Order within a bucket
+    is pseudorandom (same hash32 key family as shuffle_sequences, so
+    batches are length-homogeneous but content-shuffled).
+
+    The bucket index is integer-exact in both engines —
+    length(bin(greatest(n-1, 1))) — no float log2 edge cases at exact
+    powers of two. Shape at scale: one window shuffle partitioned by
+    bucket; buckets are few (~log2(max_len)) but each window only
+    computes row_number, and per-bucket skew is bounded by corpus length
+    distribution — repartition on (bucket, batch_id) afterwards if a
+    writer wants one file per batch group."""
+    from pyspark.sql import Window
+
+    from .dedup import hash32
+
+    n = F.col(len_col)
+    b = F.length(F.bin(F.greatest(n - 1, F.lit(1)))).cast("int")
+    cap = F.pow(F.lit(2.0), F.col("bucket"))
+    batch_size = F.greatest(
+        F.lit(1).cast("long"), F.floor(F.lit(max_batch_tokens) / cap).cast("long")
+    )
+    w = Window.partitionBy("bucket").orderBy("__key", id_col)
+    rn = F.row_number().over(w) - 1
+    return (
+        df.withColumn("bucket", b)
+        .withColumn("__key", hash32(F.col(id_col).cast("string"), seed))
+        .withColumn("__rn", rn)
+        .withColumn("batch_id", (F.col("__rn") / batch_size).cast("int"))
+        .withColumn("batch_pos", (F.col("__rn") % batch_size).cast("int"))
+        .drop("__key", "__rn")
+    )
+
+
 def pack_sequences_bestfit(
     df: DataFrame,
     max_len: int,

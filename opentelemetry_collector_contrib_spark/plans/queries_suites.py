@@ -27,6 +27,9 @@ Suite -> operators map (also in COVERAGE.md):
   otlpjson_slowsql     otlpjson connector, slowsql connector
   connector_metrics    signaltometrics, exceptions
   ottl_field_ops       OTTL map editors, schema processor renames
+  sequence_packing     pack_sequences, token_span_duplication,
+                       exact_substring_removal, shuffle_sequences,
+                       length_buckets (round-3 folds)
 """
 
 from __future__ import annotations
@@ -1349,9 +1352,24 @@ def q_sequence_packing(spark, sf_dir):
         F.md5(F.concat_ws(",", F.col("tokens"))).alias("clean_md5"),
         F.col("n_removed"),
     )
+    # data-loader stages over the packed rows: deterministic corpus
+    # shuffle-and-shard (no global sort, one hash-window shuffle) +
+    # pow-2 length-bucketed batch assembly (padding-efficient batching)
+    shuf = packing.shuffle_sequences(
+        packed.select("pid"), id_col="pid", num_shards=8, seed="sh1"
+    )
+    lb = packing.length_buckets(
+        packed.select("pid", "n_tok"),
+        id_col="pid",
+        len_col="n_tok",
+        max_batch_tokens=256,
+        seed="sh1",
+    ).select("pid", "bucket", "batch_id", "batch_pos")
     return (
         packed.join(dup.select("pid", "dup_spans", "span_fraction"), "pid")
         .join(clean, "pid")
+        .join(shuf, "pid")
+        .join(lb, "pid")
         .select(
             "shard",
             "seq_index",
@@ -1361,6 +1379,11 @@ def q_sequence_packing(spark, sf_dir):
             "span_fraction",
             "clean_md5",
             "n_removed",
+            "shuffle_shard",
+            "shuffle_pos",
+            "bucket",
+            "batch_id",
+            "batch_pos",
         )
     )
 
@@ -1415,6 +1438,35 @@ clean AS (
                          s -> i >= s AND i < s + 16)) = 0)
          END AS ct
   FROM c2 LEFT JOIN rem r USING (shard, seq_index)
+),
+keyed AS (
+  SELECT shard, seq_index, n_tok,
+         shard * 1000000 + seq_index AS pid,
+         ('0x' || substr(md5('sh1' || CAST(shard * 1000000 + seq_index
+                                           AS VARCHAR)), 1, 8))::BIGINT AS k
+  FROM c2
+),
+shuf AS (
+  SELECT pid,
+         CAST(k % 8 AS INT) AS shuffle_shard,
+         CAST(ROW_NUMBER() OVER (PARTITION BY k % 8 ORDER BY k, pid) - 1
+              AS INT) AS shuffle_pos
+  FROM keyed
+),
+lb0 AS (
+  SELECT pid, k, len(bin(greatest(n_tok - 1, 1))) AS b FROM keyed
+),
+lb AS (
+  SELECT pid,
+         CAST(b AS INT) AS bucket,
+         CAST(rn // bs AS INT) AS batch_id,
+         CAST(rn % bs AS INT) AS batch_pos
+  FROM (
+    SELECT pid, b,
+           ROW_NUMBER() OVER (PARTITION BY b ORDER BY k, pid) - 1 AS rn,
+           greatest(1::BIGINT, CAST(floor(256 / (2 ** b)) AS BIGINT)) AS bs
+    FROM lb0
+  )
 )
 SELECT c2.shard, c2.seq_index,
        md5(array_to_string(c2.tokens, ',')) AS tokens_md5,
@@ -1426,9 +1478,13 @@ SELECT c2.shard, c2.seq_index,
        -- array is '' in Spark: coalesce so a fully-removed sequence
        -- hashes identically on both engines
        md5(COALESCE(array_to_string(cl.ct, ','), '')) AS clean_md5,
-       CAST(c2.n_tok - len(cl.ct) AS INT) AS n_removed
+       CAST(c2.n_tok - len(cl.ct) AS INT) AS n_removed,
+       s.shuffle_shard, s.shuffle_pos, l.bucket, l.batch_id, l.batch_pos
 FROM c2 LEFT JOIN dup d USING (shard, seq_index)
 JOIN clean cl USING (shard, seq_index)
+JOIN keyed ky USING (shard, seq_index)
+JOIN shuf s ON s.pid = ky.pid
+JOIN lb l ON l.pid = ky.pid
 """
 
 

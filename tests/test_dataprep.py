@@ -819,3 +819,67 @@ def test_line_dedup_all_lines_removed_keeps_row(spark):
     assert set(out) == {1, 2}
     assert out[1]["text_dedup"] == "" and out[2]["text_dedup"] == ""
     assert out[1]["n_removed"] == 1
+
+
+def test_shuffle_sequences_is_a_permutation(spark):
+    from opentelemetry_collector_contrib_spark.dataprep.packing import shuffle_sequences
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(500)], "doc_id long"
+    )
+    out = shuffle_sequences(docs, num_shards=8, seed="e0").collect()
+    assert len(out) == 500
+    # every row lands in exactly one shard with contiguous 0-based positions
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        assert 0 <= r["shuffle_shard"] < 8
+        by_shard.setdefault(r["shuffle_shard"], []).append(r["shuffle_pos"])
+    assert sum(len(v) for v in by_shard.values()) == 500
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # uniform-ish: no shard absorbs the corpus (hash-uniform scatter)
+    assert max(len(v) for v in by_shard.values()) < 500 * 0.3
+    # deterministic across recomputation, full reshuffle across seeds
+    again = shuffle_sequences(docs, num_shards=8, seed="e0").collect()
+    assert {(r["doc_id"], r["shuffle_shard"], r["shuffle_pos"]) for r in again} == {
+        (r["doc_id"], r["shuffle_shard"], r["shuffle_pos"]) for r in out
+    }
+    other = shuffle_sequences(docs, num_shards=8, seed="e1").collect()
+    moved = sum(
+        1
+        for a, b in zip(
+            sorted(out, key=lambda r: r["doc_id"]),
+            sorted(other, key=lambda r: r["doc_id"]),
+        )
+        if (a["shuffle_shard"], a["shuffle_pos"]) != (b["shuffle_shard"], b["shuffle_pos"])
+    )
+    assert moved > 400
+
+
+def test_length_buckets_capacity_and_batching(spark):
+    from opentelemetry_collector_contrib_spark.dataprep.packing import length_buckets
+
+    rows = [(i, ln) for i, ln in enumerate([1, 2, 3, 4, 5, 8, 9, 16, 17, 31, 32, 33, 64, 100, 128, 200] * 20)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_tok int")
+    out = length_buckets(docs, max_batch_tokens=64, seed="b0").collect()
+    assert len(out) == len(rows)
+    for r in out:
+        cap = 2 ** r["bucket"]
+        # bucket b holds lengths in (2^(b-1), 2^b]; n<=1 lands in bucket 1
+        assert r["n_tok"] <= cap
+        if r["n_tok"] > 2:
+            assert r["n_tok"] > cap // 2
+        # batch pads to <= max_batch_tokens unless one row alone exceeds it
+        bs = max(1, 64 // cap)
+        assert 0 <= r["batch_pos"] < bs
+    # batches fill densely: within a bucket, batch_pos cycles 0..bs-1
+    from collections import defaultdict
+
+    per_bucket = defaultdict(list)
+    for r in out:
+        per_bucket[r["bucket"]].append((r["batch_id"], r["batch_pos"]))
+    for b, pairs in per_bucket.items():
+        bs = max(1, 64 // (2 ** b))
+        n = len(pairs)
+        expected = [(i // bs, i % bs) for i in range(n)]
+        assert sorted(pairs) == expected
