@@ -148,16 +148,55 @@ def dsir_log_ratio_table(
 
 
 def dsir_weights_from_exploded(
-    exploded: DataFrame, ratios_df: DataFrame, id_col: str = "doc_id"
+    exploded: DataFrame,
+    ratios_df: DataFrame,
+    id_col: str = "doc_id",
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """(id, logw) from a pre-exploded (id, bucket) table: broadcast join
     on the B-row ratio table + one groupBy(id) shuffle. Use this when
     one corpus explode should feed BOTH the fit (bucket counts) and the
-    score — tokenizing/hashing the corpus once instead of three times."""
-    return (
-        exploded.join(F.broadcast(ratios_df), "bucket")
+    score — tokenizing/hashing the corpus once instead of three times.
+
+    Mirrors dsir_weight exactly: a gram whose bucket is absent from
+    ratios_df NULLs the whole document's logw (left join + miss count —
+    an inner join would silently sum a SUBSET of the doc's grams, i.e.
+    plausible-but-wrong weights when fit and score disagree on B), and a
+    document with zero grams scores 0.0 — pass `docs` (any frame with
+    id_col covering all documents) to keep such rows; without it the
+    explode has nothing to emit for them and they are absent from the
+    output."""
+    per_doc = (
+        exploded.join(F.broadcast(ratios_df), "bucket", "left")
         .groupBy(id_col)
-        .agg(F.round(F.sum("log_ratio"), 4).alias("logw"))
+        .agg(
+            F.round(F.sum("log_ratio"), 4).alias("__s"),
+            F.sum(
+                F.when(F.col("log_ratio").isNull(), 1).otherwise(0)
+            ).alias("__miss"),
+        )
+        .select(
+            id_col,
+            F.when(F.col("__miss") > 0, F.lit(None).cast("double"))
+            .otherwise(F.col("__s"))
+            .alias("logw"),
+            F.lit(True).alias("__present"),
+        )
+    )
+    if docs is None:
+        return per_doc.drop("__present")
+    # absent from per_doc = zero grams -> 0.0; present with NULL logw =
+    # missing bucket -> stays NULL (coalesce would wrongly zero it)
+    return (
+        docs.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .withColumn(
+            "logw",
+            F.when(F.col("__present").isNull(), F.lit(0.0)).otherwise(
+                F.col("logw")
+            ),
+        )
+        .drop("__present")
     )
 
 
@@ -171,11 +210,12 @@ def dsir_weights_join(
     """Scale path: (doc_id, logw) via explode + broadcast join on the
     B-row ratio table (columns bucket, log_ratio) + one groupBy(doc_id)
     shuffle. Identical values to dsir_weight when the ratio table holds
-    the same rounded ratios."""
+    the same rounded ratios — including zero-gram docs (logw 0.0, kept
+    via the raw-side spine) and NULL on ratio-table bucket misses."""
     exploded = raw.select(
         F.col(id_col), F.explode(gram_buckets(F.col(text_col), buckets)).alias("bucket")
     )
-    return dsir_weights_from_exploded(exploded, ratios_df, id_col)
+    return dsir_weights_from_exploded(exploded, ratios_df, id_col, docs=raw)
 
 
 def gumbel_noise(id_col: Column, seed: int = 7) -> Column:

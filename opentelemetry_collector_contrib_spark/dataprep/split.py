@@ -17,9 +17,17 @@ U32 = float(1 << 32)
 
 def split_column(key: Column, weights: dict[str, float], seed: str = "split") -> Column:
     """Column assigning a split name by cumulative hash ranges.
-    weights need not sum to 1 — they are normalized."""
+    weights need not sum to 1 — they are normalized.
+
+    NULL keys hash as the empty string, so they all land together in
+    whichever split that one hash picks — deterministic and independent
+    of the weights dict's ordering. (Without the coalesce, hash32(NULL)
+    is NULL, every range test is NULL, and ALL NULL-key rows would
+    silently fall through to the LAST-listed split — an eval split
+    quietly contaminated by dict order.) Same-key-same-split is the
+    design contract; id-less rows share one key."""
     total = sum(weights.values())
-    h = hash32(key.cast("string"), f"{seed}:")
+    h = hash32(F.coalesce(key.cast("string"), F.lit("")), f"{seed}:")
     expr = None
     acc = 0.0
     items = list(weights.items())

@@ -41,9 +41,16 @@ _PENDING, _ROOT, _DEAD = 0, 1, 2
 
 
 def _norm_kind(kind):
-    # accept 'server', 'Server', 'SPAN_KIND_SERVER', integer-ish strings
-    return F.regexp_replace(F.lower(F.coalesce(kind.cast("string"), F.lit(""))),
-                            "^span_kind_", "")
+    # accept 'server', 'Server', 'SPAN_KIND_SERVER', and the OTLP enum
+    # integers (2=SERVER, 5=CONSUMER — a common wire encoding; without
+    # this mapping numeric kinds would silently disable kind boundaries)
+    s = F.regexp_replace(F.lower(F.coalesce(kind.cast("string"), F.lit(""))),
+                         "^span_kind_", "")
+    return (
+        F.when(s == "2", F.lit("server"))
+        .when(s == "5", F.lit("consumer"))
+        .otherwise(s)
+    )
 
 
 def coralogix_transactions(
@@ -92,7 +99,12 @@ def coralogix_transactions(
     )
 
     # --- root election: earliest parentless span, else earliest span ---
-    parentless = F.col("p").isNull() | (F.col("p") == "")
+    # parentless includes the all-zeros parent span id (the OTLP wire
+    # convention for roots) — same predicate as ottl.is_root_span and
+    # the reference's ParentSpanID().IsEmpty()
+    from ..functions.ottl import is_root_span
+
+    parentless = is_root_span(F.col("p"))
     rn = F.row_number().over(
         Window.partitionBy("t").orderBy(
             parentless.desc(), F.col("st").asc(), F.col("s").asc()
@@ -131,9 +143,15 @@ def coralogix_transactions(
     )
 
     # --- pointer doubling ---------------------------------------------
+    # each round's pending count is a FULL count over the (persisted)
+    # child state, which materializes every partition of the cache before
+    # the parent is unpersisted — unpersisting the parent while the child
+    # is still lazy would force each round to recompute the whole join
+    # cascade from st0 (O(rounds^2) joins instead of O(rounds))
     state = st0
+    pending = state.filter(F.col("stat") == _PENDING).count()
     for _ in range(max_rounds):
-        if state.filter(F.col("stat") == _PENDING).limit(1).count() == 0:
+        if pending == 0:
             break
         nxt = state.select(
             F.col("t").alias("bt"),
@@ -165,6 +183,7 @@ def coralogix_transactions(
             )
             .persist()
         )
+        pending = new_state.filter(F.col("stat") == _PENDING).count()
         state.unpersist()
         state = new_state
     # rows still _PENDING after max_rounds sit on a parent cycle ->
@@ -208,6 +227,9 @@ def coralogix_transactions(
         .withColumn(TRANSACTION_ROOT_ATTR, is_root_out)
         .drop("__ct", "__cs", "__croot", "__cpre", "__cknd", "__cnm", "__cfb", "__cstat")
     )
-    spans.unpersist()
-    state.unpersist()
+    # spans/state stay persisted: the returned DataFrame is lazy and its
+    # plan reads both — unpersisting here would recompute the whole
+    # doubling cascade on the caller's first action. Both frames are slim
+    # (ids + one name per span); Spark evicts them LRU when memory needs
+    # the space.
     return out

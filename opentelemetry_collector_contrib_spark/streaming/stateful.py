@@ -80,14 +80,23 @@ def _make_buffer_fn(wait_ms: int) -> Callable[..., Any]:
         min_ms: int | None = None
         for pdf in pdf_iter:
             new_spans.extend(pdf["__span"].tolist())
-            m = pdf["__ts"].min()
+            # NULL event times survive the watermark predicate (NULL <
+            # wm is NULL, not true) and reach here as NaT; min() over an
+            # all-NaT column yields NaT whose .value is int64-min garbage
+            m = pdf["__ts"].dropna().min()
+            if pd.isna(m):
+                continue
             ms = int(pd.Timestamp(m).value // 1_000_000)
             min_ms = ms if min_ms is None else min(min_ms, ms)
         if state.exists:
             first_ms, spans = state.get
             state.update((first_ms, list(spans) + new_spans))
         else:
-            first_ms = min_ms
+            # a first batch whose spans ALL lack event time still buffers
+            # (lossless); anchor the wait at the current watermark
+            first_ms = (
+                min_ms if min_ms is not None else state.getCurrentWatermarkMs()
+            )
             state.update((first_ms, new_spans))
         # GroupState clears the timer on every invocation, so re-arm it
         # with the SAME anchor each time: first span + wait, never

@@ -411,3 +411,140 @@ def test_udp_reader_resyncs_offsets_after_restart():
     assert list(rows) == []  # nothing received
     assert end["seq"] >= 1000  # counter resynced, no regression below start
     r._sock.close()
+
+
+def test_coralogix_zero_parent_span_is_parentless(spark):
+    """OTLP wire convention: parent_span_id='0'*16 marks a root. The
+    zero-parent span must win root election even when a child starts
+    earlier (clock skew)."""
+    from opentelemetry_collector_contrib_spark.operators.coralogix import (
+        coralogix_transactions,
+    )
+
+    rows = [
+        # child starts EARLIER than the true root
+        ("t1", "aa", "bb", "child-op", "internal", 5),
+        ("t1", "bb", "0" * 16, "root-op", "internal", 10),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "trace_id string, span_id string, parent_span_id string, "
+        "span_name string, span_kind string, start_ts long",
+    )
+    out = {r["span_id"]: r for r in coralogix_transactions(df).collect()}
+    assert out["bb"]["cgx_transaction"] == "root-op"
+    assert out["bb"]["cgx_transaction_root"] is True
+    assert out["aa"]["cgx_transaction"] == "root-op"
+
+
+def test_coralogix_numeric_span_kind_is_boundary(spark):
+    """OTLP enum integers (2=SERVER, 5=CONSUMER) must start transactions
+    like their string forms."""
+    from opentelemetry_collector_contrib_spark.operators.coralogix import (
+        coralogix_transactions,
+    )
+
+    rows = [
+        ("t1", "r", None, "root-op", "1", 0),        # INTERNAL root
+        ("t1", "s", "r", "server-op", "2", 1),       # SERVER boundary
+        ("t1", "c", "s", "leaf-op", "1", 2),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "trace_id string, span_id string, parent_span_id string, "
+        "span_name string, span_kind string, start_ts long",
+    )
+    out = {r["span_id"]: r for r in coralogix_transactions(df).collect()}
+    assert out["s"]["cgx_transaction"] == "server-op"
+    assert out["s"]["cgx_transaction_root"] is True
+    assert out["c"]["cgx_transaction"] == "server-op"
+
+
+def test_dsir_join_path_keeps_empty_docs_and_nulls_on_missing_bucket(spark):
+    from opentelemetry_collector_contrib_spark.dataprep import dsir
+
+    raw = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    B = 16
+    # full-spine ratio table: join path == literal-map path, empty docs 0.0
+    target = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    ratios = dsir.dsir_log_ratio_table(
+        spark,
+        dsir.bucket_counts(target, buckets=B),
+        dsir.bucket_counts(raw, buckets=B),
+        buckets=B,
+    )
+    joined = {r["doc_id"]: r["logw"] for r in dsir.dsir_weights_join(raw, ratios, buckets=B).collect()}
+    rdict = {r["bucket"]: r["log_ratio"] for r in ratios.collect()}
+    lit = {
+        r["doc_id"]: r["logw"]
+        for r in raw.select(
+            "doc_id", dsir.dsir_weight(F.col("text"), rdict, B).alias("logw")
+        ).collect()
+    }
+    assert set(joined) == {1, 2, 3}, "empty/whitespace docs must not vanish"
+    for d in (1, 2, 3):
+        assert joined[d] == lit[d]
+    assert joined[2] == 0.0 and joined[3] == 0.0
+    # a ratio table NOT covering every bucket must NULL the whole doc's
+    # weight (both paths), never sum a subset of its grams
+    partial = ratios.limit(1)
+    jp = {r["doc_id"]: r["logw"] for r in dsir.dsir_weights_join(raw, partial, buckets=B).collect()}
+    assert jp[1] is None
+
+
+def test_split_null_keys_do_not_follow_dict_order(spark):
+    from opentelemetry_collector_contrib_spark.dataprep.split import hash_split
+
+    df = spark.createDataFrame(
+        [(None,), (None,), ("a",), ("b",)], "doc_id string"
+    )
+    w1 = {"train": 0.9, "val": 0.05, "test": 0.05}
+    w2 = {"test": 0.05, "val": 0.05, "train": 0.9}
+    s1 = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id", w1).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id", w2).collect()}
+    # NULL keys get a real (hash-determined) split, identical across
+    # weight-dict orderings — not the last-listed split
+    assert s1[None] is not None
+    assert s1[None] == s2[None]
+    assert s1["a"] == s2["a"] and s1["b"] == s2["b"]
+
+
+def test_groupbytrace_buffer_fn_all_null_event_times():
+    """A first batch whose spans all lack event time must not poison the
+    trace timer with int64-min garbage (NaT.value)."""
+    import pandas as pd
+
+    from opentelemetry_collector_contrib_spark.streaming.stateful import (
+        _make_buffer_fn,
+    )
+
+    class FakeState:
+        hasTimedOut = False
+        exists = False
+
+        def __init__(self):
+            self.updated = None
+            self.timeout = None
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutTimestamp(self, ts):
+            self.timeout = ts
+
+        def getCurrentWatermarkMs(self):
+            return 1_000_000
+
+    fn = _make_buffer_fn(wait_ms=5_000)
+    pdf = pd.DataFrame(
+        {"__span": ["s1", "s2"], "__ts": pd.to_datetime([None, None])}
+    )
+    st = FakeState()
+    list(fn(("trace-1",), iter([pdf]), st))
+    first_ms, spans = st.updated
+    assert spans == ["s1", "s2"], "null-ts spans still buffer (lossless)"
+    assert first_ms == 1_000_000, "anchor falls back to the watermark"
+    assert st.timeout == 1_000_000 + 5_000
