@@ -378,11 +378,14 @@ def duplicate_clusters(
     """Connected components over near-duplicate pairs -> (id, cluster)
     where cluster = min id in the component (the canonical keeper).
 
-    Iterative min-label propagation: O(log(diameter)) rounds of
-    join+groupBy; converges when no label changes. At 10^12-pair scale the
-    same loop applies with the edges pre-partitioned by node (each round
-    is one keyed shuffle); components here are tiny (dup groups), so the
-    diameter — and round count — stays small.
+    Iterative min-label propagation WITH pointer jumping: each round
+    takes the min over neighbours' labels and then shortcuts every label
+    to its label's label (label-of-label), so the distance a min travels
+    roughly doubles per round — O(log(diameter)) rounds of keyed
+    shuffles, not O(diameter) (plain one-hop propagation needs a round
+    per hop and a 30-doc duplicate chain would blow the default
+    max_iter). Converges when no label changes. At 10^12-pair scale the
+    same loop applies with the edges pre-partitioned by node.
     """
     edges = pairs.select(
         F.col(id_a).alias("a"), F.col(id_b).alias("b")
@@ -397,22 +400,43 @@ def duplicate_clusters(
             .groupBy("a")
             .agg(F.min("cluster").alias("nmin"))
         )
-        # persist each round's labels: without it, round r's convergence
-        # count() would re-execute all r prior join rounds (O(r^2) work)
-        # and the lineage would grow unboundedly
-        new_labels = (
+        # eager localCheckpoint, not persist: the pointer-jumping
+        # self-join below puts TWO copies of `stepped` in the round's
+        # plan, so with persist (which caches data but never truncates
+        # the LOGICAL plan) the analyzed plan would DOUBLE every round —
+        # exponential, and the driver OOMs on plan analysis around round
+        # 10. Checkpointing flattens each round to a leaf so the
+        # per-round plan stays constant-size. (At executor-loss-sensitive
+        # deployments swap in checkpoint() with a checkpoint dir.)
+        stepped = (
             labels.join(neighbor_min, labels["id"] == neighbor_min["a"], "left")
             .select(
                 "id",
                 F.least(F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))).alias("cluster"),
             )
-            .persist()
+            .localCheckpoint()
+        )
+        # pointer jumping: shortcut each label to its label's label —
+        # this is what makes convergence O(log d); cluster always names
+        # an id present in `stepped`, so the left join's coalesce is only
+        # for self-labels
+        ll = stepped.select(
+            F.col("id").alias("__lid"), F.col("cluster").alias("__lcl")
+        )
+        new_labels = (
+            stepped.join(ll, stepped["cluster"] == ll["__lid"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("__lcl"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .limit(1)
             .count()
         )
         labels.unpersist()
@@ -426,8 +450,8 @@ def duplicate_clusters(
         # beats returning silently non-canonical clusters
         raise RuntimeError(
             f"duplicate_clusters did not converge within max_iter={max_iter} "
-            "rounds; raise max_iter (rounds needed ~ log2 of the longest "
-            "duplicate-chain diameter)"
+            "rounds; raise max_iter (with pointer jumping, rounds needed "
+            "~ log2 of the longest duplicate-chain diameter)"
         )
     return labels
 
@@ -495,13 +519,16 @@ def line_dedup(
 
     `lines_col` overrides the split when the caller already has an
     array<string> of lines/paragraphs. `normalize=True` applies CCNet's
-    collision key (lowercase, strip everything but letters and spaces);
-    lines whose normalized form is empty are never treated as duplicates
-    (blank separators would otherwise all collide).
+    collision key (lowercase, strip everything but letters and spaces).
+    Lines whose key is blank (empty or whitespace-only — under either
+    key) are never treated as duplicates: blank separators would
+    otherwise all collide corpus-wide and every multi-paragraph document
+    would silently lose its structure.
 
-    Returns one row per input document: (id_col, <text_col>_dedup,
-    n_lines, n_removed). Documents whose every line was cut keep a row
-    with an empty string.
+    Returns one row per input document — including NULL-text documents,
+    which come back with an empty ``<text_col>_dedup`` (NULL splits to
+    nothing, so they'd otherwise vanish from the explode). Documents
+    whose every line was cut keep a row with an empty string.
 
     Scale: one shuffle partitioned by the line key (window rank decides
     the corpus-first copy — at 10^12 docs the hot keys are boilerplate
@@ -512,7 +539,15 @@ def line_dedup(
 
     if keep not in ("first", "none"):
         raise ValueError("keep must be 'first' or 'none'")
-    lines = F.split(F.col(text_col), sep) if lines_col is None else lines_col
+    src = (
+        F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+        if lines_col is None
+        else lines_col
+    )
+    # a NULL text / NULL or empty lines_col array explodes to zero rows
+    # and the document would vanish from the groupBy reassembly — give it
+    # one blank line instead (blank lines are exempt from dedup below)
+    lines = F.when(F.size(src) > 0, src).otherwise(F.array(F.lit("")))
     ex = df.select(F.col(id_col).alias("__id"), F.posexplode(lines).alias("__idx", "__line"))
     if normalize:
         key = F.trim(F.regexp_replace(F.lower(F.col("__line")), "[^a-z ]", ""))
@@ -520,7 +555,10 @@ def line_dedup(
         key = F.col("__line")
     ex = ex.withColumn("__key", key)
     w = Window.partitionBy("__key").orderBy("__id", "__idx")
-    is_blank = F.col("__key") == "" if normalize else F.lit(False)
+    # blank separators are structure, not content — exempt under BOTH key
+    # modes (raw keys: without this every blank line in the corpus except
+    # the corpus-first would be cut, mangling paragraph structure)
+    is_blank = F.trim(F.col("__key")) == ""
     if keep == "first":
         keep_line = is_blank | (F.row_number().over(w) == 1)
     else:

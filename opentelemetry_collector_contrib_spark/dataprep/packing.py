@@ -65,6 +65,31 @@ def pack_sequences(
     return chunks
 
 
+def _window_index_hashes(w, span_len: int):
+    """(idxs, span_hash): the 1-based start positions of every
+    length-span_len window in token array `w`, and a hash expression per
+    start. Shared by token_span_duplication and exact_substring_removal —
+    the measure and removal halves of ExactSubstr MUST hash windows
+    identically or their duplicated-span sets silently diverge.
+
+    Docs shorter than span_len have zero windows; sequence(1, 0) would
+    emit the DESCENDING [1, 0] and slice(..., 0, _) then raises
+    INVALID_PARAMETER_VALUE.START — mask them to an empty index array."""
+    n = F.size(w)
+    idxs = F.when(
+        n >= span_len, F.sequence(F.lit(1), n - span_len + 1)
+    ).otherwise(F.array().cast("array<int>"))
+
+    def span_hash(i):
+        return F.xxhash64(
+            F.concat_ws(
+                ",", F.transform(F.slice(w, i, span_len), lambda t: t.cast("string"))
+            )
+        )
+
+    return idxs, span_hash
+
+
 def token_span_duplication(
     df: DataFrame,
     span_len: int = 16,
@@ -78,7 +103,12 @@ def token_span_duplication(
     tokens repeated across the corpus): every length-span_len token
     window is hashed (one xxhash64 per window, JVM-side), window hashes
     are counted corpus-wide, and each document gets the fraction of its
-    token positions covered by a window that appears >= min_count times.
+    WINDOWS that appear >= min_count times corpus-wide
+    (dup_spans / (n_tok - span_len + 1) — a window fraction, NOT the
+    fraction of token positions covered: overlapping duplicated windows
+    cover more positions than they count as windows; use
+    exact_substring_removal's n_removed / n_tok when position coverage
+    is the quantity you filter on).
 
     Returns (doc_id, n_tok, dup_spans, span_fraction). Shape at scale:
     explode to (hash) -> count (one map-side-combined shuffle) ->
@@ -86,15 +116,7 @@ def token_span_duplication(
     AQE-split like every other hot-key join here."""
     w = F.col(tokens_col)
     n = F.size(w)
-    # docs shorter than span_len have zero windows; sequence(1, 0) would
-    # emit the DESCENDING [1, 0] and slice(..., 0, _) then raises
-    # INVALID_PARAMETER_VALUE.START — mask them to an empty index array
-    idxs = F.when(
-        n >= span_len, F.sequence(F.lit(1), n - span_len + 1)
-    ).otherwise(F.array().cast("array<int>"))
-    span_hash = lambda i: F.xxhash64(  # noqa: E731
-        F.concat_ws(",", F.transform(F.slice(w, i, span_len), lambda t: t.cast("string")))
-    )
+    idxs, span_hash = _window_index_hashes(w, span_len)
     spans = df.select(
         F.col(id_col),
         n.alias("n_tok"),
@@ -224,13 +246,7 @@ def exact_substring_removal(
 
     w = F.col(tokens_col)
     n = F.size(w)
-    # sequence(1, 0) would emit the DESCENDING [1, 0] — mask short docs
-    idxs = F.when(
-        n >= span_len, F.sequence(F.lit(1), n - span_len + 1)
-    ).otherwise(F.array().cast("array<int>"))
-    span_hash = lambda i: F.xxhash64(  # noqa: E731
-        F.concat_ws(",", F.transform(F.slice(w, i, span_len), lambda t: t.cast("string")))
-    )
+    idxs, span_hash = _window_index_hashes(w, span_len)
     spans = df.select(
         F.col(id_col),
         F.explode(

@@ -125,7 +125,19 @@ def sign_bucket(
         if dim is None:
             raise ValueError("sign_bucket needs dim (or explicit hyperplanes)")
         hyperplanes = random_hyperplanes(dim, bits, seed)
-    out = F.lit(0).cast("long")
+    d = len(hyperplanes[0])
+    # a dim/embedding-width mismatch must fail LOUDLY: zip_with NULL-pads
+    # the shorter array, the projection fold turns NULL, when(NULL >= 0)
+    # is false, and EVERY vector would silently land in bucket 0 — the
+    # equality join then degenerates to the all-pairs cross product the
+    # bucketing exists to prevent. assert_true is NULL when the guard
+    # holds, so the coalesce below is a no-op on valid rows (and the
+    # DuckDB oracle mirror needs no counterpart).
+    guard = F.assert_true(
+        vec.isNull() | (F.size(vec) == d),
+        F.lit(f"sign_bucket: embedding length != hyperplane dim {d}"),
+    )
+    out = F.lit(0).cast("long") + F.coalesce(guard.cast("long"), F.lit(0))
     for j, h in enumerate(hyperplanes):
         if center is not None:
             h_shift = -sum(c * x for c, x in zip(center, h))
@@ -141,7 +153,9 @@ def sign_bucket(
             lambda acc, v: acc + v,
         )
         out = out + F.when(proj >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
-    return out
+    # NULL embeddings get a NULL bucket (equality joins skip them), not a
+    # shared bucket 0
+    return F.when(vec.isNull(), F.lit(None).cast("long")).otherwise(out)
 
 
 def sign_lsh_topk(
@@ -192,7 +206,12 @@ def ivf_fit_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("__v"))
+    # NULL embeddings NPE inside array_to_vector and would kill the fit
+    # before the NULL handling in semdedup/_assign_cells_pandas is ever
+    # reached — the fit simply ignores them, like every assignment path
+    feats = corpus.filter(F.col(vec_col).isNotNull()).select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__v")
+    )
     model = KMeans(k=k, seed=seed, featuresCol="__v").fit(feats)
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
@@ -303,11 +322,18 @@ def ivf_topk(
                 F.col("__a.probes").alias("__probes"),
             )
         cd = _centroid_dists(F.col(vec_col), centroids)
+        # NULL embeddings: every distance is NULL, array_sort ties on the
+        # index and cd[0]['i'] would be centroid 0 — give them NULL
+        # cell/probes instead, matching the pandas path (the cell join
+        # skips NULL keys, explode(NULL) emits nothing)
+        ok = F.col(vec_col).isNotNull()
         return df.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
-            cd[0]["i"].alias("__cell"),
-            F.transform(F.slice(cd, 1, nprobe), lambda e: e["i"]).alias("__probes"),
+            F.when(ok, cd[0]["i"]).alias("__cell"),
+            F.when(
+                ok, F.transform(F.slice(cd, 1, nprobe), lambda e: e["i"])
+            ).alias("__probes"),
         )
 
     base = _with_assignment(corpus)

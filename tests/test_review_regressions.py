@@ -548,3 +548,94 @@ def test_groupbytrace_buffer_fn_all_null_event_times():
     assert spans == ["s1", "s2"], "null-ts spans still buffer (lossless)"
     assert first_ms == 1_000_000, "anchor falls back to the watermark"
     assert st.timeout == 1_000_000 + 5_000
+
+
+def test_line_dedup_raw_mode_preserves_blank_lines(spark):
+    from opentelemetry_collector_contrib_spark.dataprep.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a\n\nb\n\nc"), (2, "x\n\ny")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    # blank separators are structure, not content — never deduplicated
+    assert out[1]["text_dedup"] == "a\n\nb\n\nc"
+    assert out[2]["text_dedup"] == "x\n\ny"
+    assert out[1]["n_removed"] == 0 and out[2]["n_removed"] == 0
+
+
+def test_line_dedup_null_text_keeps_row(spark):
+    from opentelemetry_collector_contrib_spark.dataprep.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb"), (2, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert set(out) == {1, 2}, "NULL-text docs must not vanish"
+    assert out[2]["text_dedup"] == "" and out[2]["n_removed"] == 0
+
+
+def test_sign_bucket_dim_mismatch_fails_loudly(spark):
+    import pytest as _pytest
+
+    from opentelemetry_collector_contrib_spark.dataprep.similarity import sign_bucket
+
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(128)]), (2, None)],
+        "vec_id long, embedding array<float>",
+    )
+    # wrong dim: must raise, never silently bucket everything to 0
+    with _pytest.raises(Exception, match="hyperplane dim"):
+        df.select(sign_bucket(F.col("embedding"), 4, dim=64)).collect()
+    # right dim: NULL embedding gets a NULL bucket, not bucket 0
+    rows = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id", sign_bucket(F.col("embedding"), 4, dim=128).alias("b")
+        ).collect()
+    }
+    assert rows[1] is not None and rows[2] is None
+
+
+def test_ivf_catalyst_and_fit_tolerate_null_embeddings(spark):
+    from opentelemetry_collector_contrib_spark.dataprep.similarity import (
+        ivf_fit_centroids,
+        ivf_topk,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, None),
+            (3, [0.9, 0.1]),
+            (4, [0.1, 0.9]),
+            (5, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    # the fit must not NPE on the NULL row
+    cents = ivf_fit_centroids(df, k=2, seed=7)
+    assert len(cents) == 2
+    got = {}
+    for impl in ("pandas", "catalyst"):
+        rows = ivf_topk(
+            df, centroids=cents, nprobe=2, k=1, impl=impl
+        ).collect()
+        ids = {r["vec_id"] for r in rows}
+        assert 2 not in ids, f"{impl}: NULL embedding must emit no rows"
+        assert all(r["cos"] is not None for r in rows)
+        got[impl] = sorted((r["vec_id"], r["neighbor_id"]) for r in rows)
+    assert got["pandas"] == got["catalyst"]
+
+
+def test_duplicate_clusters_long_chain_converges_logarithmically(spark):
+    from opentelemetry_collector_contrib_spark.dataprep import dedup
+
+    # a 200-node duplicate chain: diameter 199, pointer jumping must
+    # converge well inside the default max_iter=20 (~log2 rounds);
+    # one-hop propagation would need ~200 rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    labels = dedup.duplicate_clusters(pairs).collect()
+    assert len(labels) == 201
+    assert all(r["cluster"] == 0 for r in labels)
