@@ -22,25 +22,29 @@ EN_STOPWORDS = [
 
 def _ratio_in(ws: Column, wordlist: list[str]) -> Column:
     """Fraction of tokens that appear in `wordlist` (computed narrow via
-    array_intersect-free aggregate so duplicates count)."""
+    array_intersect-free aggregate so duplicates count). Empty arrays
+    ratio 0.0, not NaN."""
     lit_set = F.array(*[F.lit(w) for w in wordlist])
     hits = F.aggregate(
         ws,
         F.lit(0),
         lambda acc, w: acc + F.when(F.array_contains(lit_set, w), 1).otherwise(0),
     )
-    return hits.cast("double") / F.size(ws).cast("double")
+    return hits.cast("double") / F.greatest(F.size(ws), F.lit(1)).cast("double")
 
 
 def language_id(text: Column, min_ratio: float = 0.02) -> Column:
     """Heuristic language ID: stopword-hit ratio against per-language
     function-word lists; 'und' when no list clears min_ratio."""
-    en = _ratio_in(words(text), EN_STOPWORDS)
+    en = _ratio_in(_nonempty_words(text), EN_STOPWORDS)
     return F.when(en >= min_ratio, F.lit("en")).otherwise(F.lit("und"))
 
 
 def english_ratio(text: Column) -> Column:
-    return _ratio_in(words(text), EN_STOPWORDS)
+    # non-empty words: a doubled space would otherwise add a "" token to
+    # the denominator and deflate the ratio ("the  cat  sat" would read
+    # 1/5 English instead of 1/3, flipping near-threshold docs to 'und')
+    return _ratio_in(_nonempty_words(text), EN_STOPWORDS)
 
 
 def quality_score(text: Column) -> Column:
@@ -48,11 +52,15 @@ def quality_score(text: Column) -> Column:
     0.4 * length_score (saturates at 100 words)
     + 0.3 * lexical diversity (distinct/total words)
     + 0.3 * stopword presence (saturates at ratio 0.1).
-    Deterministic double arithmetic, same evaluation order as the oracle."""
-    ws = words(text)
+    Deterministic double arithmetic, same evaluation order as the oracle.
+    Word counts ignore the empty tokens a bare split-on-space emits for
+    consecutive/leading/trailing spaces (see _nonempty_words)."""
+    ws = _nonempty_words(text)
     n = F.size(ws).cast("double")
     length_score = F.least(n / F.lit(100.0), F.lit(1.0))
-    diversity = F.size(F.array_distinct(ws)).cast("double") / n
+    diversity = F.size(F.array_distinct(ws)).cast("double") / F.greatest(
+        n, F.lit(1.0)
+    )
     stop = F.least(english_ratio(text) / F.lit(0.1), F.lit(1.0))
     return F.round(
         F.lit(0.4) * length_score + F.lit(0.3) * diversity + F.lit(0.3) * stop, 4
@@ -65,8 +73,9 @@ BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
 
 def token_counts(text: Column) -> tuple[Column, Column]:
-    """(whitespace_tokens, bpe_ish_tokens) for a text column."""
-    ws_count = F.size(words(text))
+    """(whitespace_tokens, bpe_ish_tokens) for a text column. Whitespace
+    tokens are NON-EMPTY words ("the  cat" is 2 tokens, not 3)."""
+    ws_count = F.size(_nonempty_words(text))
     bpe_count = F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
     return ws_count, bpe_count
 
@@ -74,12 +83,16 @@ def token_counts(text: Column) -> tuple[Column, Column]:
 def fingerprint(text: Column) -> Column:
     """Order-sensitive rolling polynomial fingerprint of the word stream:
     fold (acc * 31 + hash32(word)) mod (2^31 - 1) left-to-right, seeded by
-    the first word's hash. Used for cheap shift-robust doc identity."""
-    hs = F.transform(words(text), lambda w: hash32(w))
+    the first word's hash. Used for cheap shift-robust doc identity.
+    Empty tokens are excluded (a trailing space must not change the doc's
+    identity); a document with no words fingerprints NULL."""
+    hs = F.transform(_nonempty_words(text), lambda w: hash32(w))
     rest = F.slice(hs, 2, F.greatest(F.size(hs) - 1, F.lit(0)))
     return F.aggregate(
         rest,
-        F.element_at(hs, 1),
+        # get(), not element_at(): a no-word doc has an empty hash array
+        # and element_at(.., 1) errors under ANSI mode — get returns NULL
+        F.get(hs, 0),
         lambda acc, h: (acc * 31 + h) % MOD31,
     )
 
@@ -130,9 +143,13 @@ def max_word_run(text: Column) -> Column:
 
 
 def symbol_word_ratio(text: Column) -> Column:
-    """Non-alphanumeric, non-space characters per word (Gopher drops
-    symbol-heavy docs, e.g. > 0.1 #/... per word)."""
-    symbols = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    """Gopher's symbol-to-word ratio: occurrences of the hash symbol or
+    an ellipsis ('…' or '...') per word — the paper's actual targets
+    (Rae et al. 2021, Table A1). Counting EVERY non-alphanumeric char
+    here would read each accented letter in clean French/Spanish text as
+    a symbol and silently drop virtually all non-ASCII documents at the
+    0.1 threshold."""
+    symbols = F.regexp_count(text, F.lit(r"#|…|\.\.\."))
     return F.round(
         symbols.cast("double")
         / F.greatest(F.size(_nonempty_words(text)), F.lit(1)).cast("double"),

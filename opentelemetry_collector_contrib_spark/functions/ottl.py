@@ -285,13 +285,6 @@ def base64_decode(col: Column) -> Column:
     return F.unbase64(col).cast("string")
 
 
-def murmur3_hash(col: Column) -> Column:
-    """Spark's builtin hash IS Murmur3 x86 32-bit (seed 42) — documented
-    approximation of OTTL Murmur3Hash (seed 0); exact-seed parity would
-    need a pandas UDF."""
-    return F.hash(col)
-
-
 def xxh64(col: Column) -> Column:
     return F.xxhash64(col)
 

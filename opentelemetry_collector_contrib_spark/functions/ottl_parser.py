@@ -73,6 +73,13 @@ def _unescape(s: str) -> str:
     return "".join(out)
 
 
+_KEYWORDS = {"and", "or", "not", "where"}
+
+# token kinds that can END an operand — a '-'+digits right after one of
+# these is a binary minus, not a sign
+_OPERAND_END = {"int", "float", "string", "rbracket", "rparen"}
+
+
 def _tokenize(src: str) -> list[tuple[str, str]]:
     out, i = [], 0
     while i < len(src):
@@ -81,8 +88,25 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
             raise ValueError(f"OTTL syntax error at {src[i:i+20]!r}")
         i = m.end()
         kind = m.lastgroup
-        if kind != "ws":
-            out.append((kind, m.group()))
+        if kind == "ws":
+            continue
+        val = m.group()
+        # the regex greedily lexes '-1' as a negative literal even in
+        # `Len(body)-1`, which would leave [rparen, int] with no operator
+        # and fail the whole statement — re-split into binary minus +
+        # positive literal when the previous token ends an operand
+        if (
+            kind in ("int", "float")
+            and val.startswith("-")
+            and out
+            and (
+                out[-1][0] in _OPERAND_END
+                or (out[-1][0] == "ident" and out[-1][1] not in _KEYWORDS)
+            )
+        ):
+            out.append(("op", "-"))
+            val = val[1:]
+        out.append((kind, val))
     out.append(("eof", ""))
     return out
 
@@ -128,7 +152,6 @@ def _converters():
             F.lit(a[0]) if isinstance(a[0], str) else a[0], _lit_str(a[1])
         ),
         "FNV": lambda a: ottl.fnv1a64(a[0]),
-        "Murmur3Hash": lambda a: ottl.murmur3_hash(a[0]),
         "XXH64": lambda a: ottl.xxh64(a[0]),
         "GetXML": lambda a: _xml().get_xml(a[0], _lit_str(a[1])),
         "RemoveXML": lambda a: _xml().remove_xml(a[0], _lit_str(a[1])),
@@ -171,7 +194,16 @@ def _converters():
         "Hour": lambda a: ottl.hour_(a[0]),
         "Minute": lambda a: ottl.minute_(a[0]),
         "Second": lambda a: ottl.second_(a[0]),
-        "UUIDv7": lambda a: ottl.uuid_v7(_to_col(a[0]), _to_col(a[1])),
+        # reference arity is ZERO args (random v7 from the wall clock);
+        # the 2-arg (ts, entropy) form is this engine's reproducible
+        # variant — support both so verbatim configs compile
+        "UUIDv7": lambda a: (
+            ottl.uuid_v7(
+                F.unix_millis(F.current_timestamp()), F.expr("uuid()")
+            )
+            if not a
+            else ottl.uuid_v7(_to_col(a[0]), _to_col(a[1]))
+        ),
         # type / collection family
         "IsString": lambda a: ottl.is_string(a[0]),
         "ContainsValue": lambda a: ottl.contains_value(a[0], _to_col(a[1])),
@@ -425,15 +457,25 @@ class _Parser:
                     return self.comparison()
             return self.comparison()
 
-        left = unit()
+        # OTTL precedence (grammar.go): 'and' binds tighter than 'or' —
+        # `a or b and c` is `a or (b and c)`; a flat left-to-right fold
+        # would build `(a or b) and c` and silently select the wrong rows
+        def and_expr():
+            left = unit()
+            while True:
+                kind, val = self.peek()
+                if kind == "ident" and val == "and":
+                    self.next()
+                    left = left & unit()
+                else:
+                    return left
+
+        left = and_expr()
         while True:
             kind, val = self.peek()
-            if kind == "ident" and val == "and":
+            if kind == "ident" and val == "or":
                 self.next()
-                left = left & unit()
-            elif kind == "ident" and val == "or":
-                self.next()
-                left = left | unit()
+                left = left | and_expr()
             else:
                 return left
 

@@ -17,11 +17,24 @@ from pyspark.sql import functions as F
 
 
 def convert_sum_to_gauge(df: DataFrame, type_col: str = "metric_type") -> DataFrame:
-    """func_convert_sum_to_gauge.go: retype sum datapoints as gauge
-    (temporality/monotonicity metadata dropped)."""
-    return df.withColumn(
-        type_col, F.when(F.col(type_col) == "sum", "gauge").otherwise(F.col(type_col))
+    """func_convert_sum_to_gauge.go: retype sum datapoints as gauge.
+    The Go version's Gauge struct simply has no temporality/monotonicity
+    fields; in the flat row model the equivalents must be NULLed on the
+    retyped rows, or a downstream filter keyed on is_monotonic /
+    aggregation_temporality would still match the now-gauge rows."""
+    # tag first: later withColumns rewrite type_col, so the predicate
+    # must be materialized before the retype (same trap as gauge_to_sum)
+    out = df.withColumn("__was_sum", F.col(type_col) == "sum")
+    was = F.col("__was_sum")
+    out = out.withColumn(
+        type_col, F.when(was, "gauge").otherwise(F.col(type_col))
     )
+    for meta in ("aggregation_temporality", "is_monotonic"):
+        if meta in df.columns:
+            out = out.withColumn(
+                meta, F.when(was, F.lit(None)).otherwise(F.col(meta))
+            )
+    return out.drop("__was_sum")
 
 
 def convert_gauge_to_sum(

@@ -564,20 +564,21 @@ WITH b AS (
          list_filter(string_split(text,' '), x -> x <> '') AS wn
   FROM documents
 ), m AS (
-  -- language/quality/ws_tokens/fp keep whitespace-split semantics; the
-  -- Gopher shape signals use the non-empty word array wn (empty tokens
-  -- from doubled spaces must not read as repeated-word runs)
-  SELECT doc_id, text, w, len(w)::DOUBLE AS n,
-         len(list_distinct(w))::DOUBLE AS nd,
-         list_sum(list_transform(w,
+  -- every signal uses the non-empty word array wn: empty tokens from
+  -- doubled spaces must not deflate ratios, pad token counts, shift the
+  -- fingerprint, or read as repeated-word runs
+  SELECT doc_id, text, wn, len(wn)::DOUBLE AS n,
+         len(list_distinct(wn))::DOUBLE AS nd,
+         list_sum(list_transform(wn,
            x -> CASE WHEN list_contains({stoplist}, x) THEN 1 ELSE 0 END))::DOUBLE AS hits,
          ROUND(len(list_distinct(list_transform(
                  range(1, greatest(len(wn)-1,1)+1),
                  i -> array_to_string(wn[i:i+1], ' '))))::DOUBLE
                / greatest(len(wn)-1, 1), 4) AS d2g_frac,
-         ROUND(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
+         -- Gopher's actual symbol targets: '#' and ellipsis
+         ROUND(len(regexp_extract_all(text, '#|…|\.\.\.'))::DOUBLE
                / greatest(len(wn), 1), 4) AS sym_ratio,
-         ROUND(list_sum(list_transform(wn, x -> length(x)))::DOUBLE
+         ROUND(COALESCE(list_sum(list_transform(wn, x -> length(x))), 0)::DOUBLE
                / greatest(len(wn), 1), 4) AS mean_wlen
   FROM b
 ), runs AS (
@@ -655,17 +656,20 @@ WITH b AS (
         FROM documents d LEFT JOIN csc USING (doc_id))
 )
 SELECT m.doc_id,
-       CASE WHEN hits / n >= 0.02 THEN 'en' ELSE 'und' END AS lang_guess,
-       ROUND(hits / n, 4) AS en_ratio,
-       ROUND(0.4 * least(n / 100.0, 1.0) + 0.3 * (nd / n)
-             + 0.3 * least((hits / n) / 0.1, 1.0), 4) AS quality,
-       len(w) AS ws_tokens,
+       CASE WHEN COALESCE(hits, 0) / greatest(n, 1) >= 0.02
+            THEN 'en' ELSE 'und' END AS lang_guess,
+       ROUND(COALESCE(hits, 0) / greatest(n, 1), 4) AS en_ratio,
+       ROUND(0.4 * least(n / 100.0, 1.0) + 0.3 * (nd / greatest(n, 1))
+             + 0.3 * least((COALESCE(hits, 0) / greatest(n, 1)) / 0.1, 1.0), 4)
+         AS quality,
+       len(wn) AS ws_tokens,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens,
-       list_reduce(list_transform(w, x -> ('0x'||substr(md5(x),1,8))::BIGINT),
-                   (a, b) -> (a * 31 + b) % 2147483647) AS fp,
+       CASE WHEN len(wn) = 0 THEN NULL
+            ELSE list_reduce(list_transform(wn, x -> ('0x'||substr(md5(x),1,8))::BIGINT),
+                             (a, b) -> (a * 31 + b) % 2147483647) END AS fp,
        m.d2g_frac, CAST(COALESCE(r.max_run, 0) AS INT) AS max_run,
        m.sym_ratio, m.mean_wlen,
-       (len(w) >= 50 AND len(w) <= 100000
+       (len(wn) >= 50 AND len(wn) <= 100000
         AND m.mean_wlen BETWEEN 3.0 AND 10.0
         AND m.sym_ratio <= 0.1
         AND m.d2g_frac >= 0.2

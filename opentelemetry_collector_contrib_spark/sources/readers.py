@@ -43,8 +43,6 @@ def table(spark: SparkSession, path_or_name: str, fmt: str = "parquet") -> DataF
     """Primary scan: the Iceberg tokenized-sequence table at production
     (`spark.read.format('iceberg').load(name)`), parquet in this sandbox.
     Catalyst pushes filters/column pruning into the scan either way."""
-    if fmt == "iceberg":
-        return spark.read.format("iceberg").load(path_or_name)
     return spark.read.format(fmt).load(path_or_name)
 
 

@@ -148,9 +148,12 @@ def stateful_delta_to_cumulative(
                 state = state.filter(
                     F.col("last_seen") >= F.lit(horizon - max_stale)
                 )
-        w = Window.partitionBy(*stream_cols).orderBy(ts_col).rowsBetween(
-            Window.unboundedPreceding, 0
-        )
+        # value tie-break: duplicate timestamps within a stream would
+        # otherwise order arbitrarily and make per-row cumulative values
+        # replay-nondeterministic
+        w = Window.partitionBy(*stream_cols).orderBy(
+            ts_col, value_col
+        ).rowsBetween(Window.unboundedPreceding, 0)
         scored = batch_df.withColumn("__csum", F.sum(value_col).over(w))
         joined = scored.join(
             F.broadcast(state.select(*stream_cols, F.col("running").alias("__run"))),
@@ -159,10 +162,15 @@ def stateful_delta_to_cumulative(
         ).withColumn("cumulative", F.coalesce(F.col("__run"), F.lit(0.0)) + F.col("__csum"))
         out = joined.select(*stream_cols, ts_col, value_col, "cumulative")
         out.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
-        # next state: streams seen this batch take their last cumulative;
-        # unseen streams carry forward
+        # next state: prior running + the batch's TOTAL per stream —
+        # never max_by(cumulative, ts), which on duplicate timestamps can
+        # pick a tied row whose running sum excludes its siblings and
+        # permanently undercount the carry
         upd = joined.groupBy(*stream_cols).agg(
-            F.max_by("cumulative", F.col(ts_col)).alias("running"),
+            (
+                F.coalesce(F.max("__run"), F.lit(0.0))
+                + F.sum(value_col).cast("double")
+            ).alias("running"),
             F.max(F.col(ts_col).cast("double")).alias("last_seen"),
         )
         carried = state.join(upd.select(*stream_cols), stream_cols, "left_anti")
@@ -177,6 +185,18 @@ def stateful_delta_to_cumulative(
                 .drop("__r")
             )
         nxt.write.mode("overwrite").parquet(f"{state_path}/v={batch_id}")
+        # retention: one predecessor version is enough for replay
+        # idempotency (a replayed batch N re-reads v<N); without cleanup
+        # the state dir accumulates a full snapshot per micro-batch
+        import shutil
+
+        for d in os.listdir(state_path):
+            if (
+                d.startswith("v=")
+                and d.split("=", 1)[1].isdigit()
+                and int(d.split("=", 1)[1]) < batch_id - 1
+            ):
+                shutil.rmtree(os.path.join(state_path, d), ignore_errors=True)
 
     return (
         stream_df.writeStream.foreachBatch(_process)

@@ -639,3 +639,170 @@ def test_duplicate_clusters_long_chain_converges_logarithmically(spark):
     labels = dedup.duplicate_clusters(pairs).collect()
     assert len(labels) == 201
     assert all(r["cluster"] == 0 for r in labels)
+
+
+def test_ottl_and_binds_tighter_than_or(spark):
+    """OTTL grammar: `a or b and c` is `a or (b and c)` — a flat
+    left-to-right fold would build `(a or b) and c` and silently drop
+    ERROR rows without env=prod."""
+    from opentelemetry_collector_contrib_spark.functions.ottl_parser import (
+        parse_condition,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("ERROR", "dev"),
+            ("WARN", "prod"),
+            ("WARN", "dev"),
+            ("INFO", "prod"),
+        ],
+        "severity_text string, env string",
+    )
+    cond = parse_condition(
+        'severity_text == "ERROR" or severity_text == "WARN" and env == "prod"'
+    )
+    got = {(r["severity_text"], r["env"]) for r in df.filter(cond).collect()}
+    assert got == {("ERROR", "dev"), ("WARN", "prod")}
+
+
+def test_ottl_binary_minus_without_spaces(spark):
+    from opentelemetry_collector_contrib_spark.functions.ottl_parser import (
+        parse_condition,
+        parse_statement,
+    )
+
+    df = spark.createDataFrame([("abc", 3), ("x", 1)], "body string, n int")
+    # `Len(body)-1` must lex as binary minus, not the literal -1
+    cond = parse_condition("Len(body)-1 == 2")
+    assert [r["body"] for r in df.filter(cond).collect()] == ["abc"]
+    # signed literals still work after commas/operators/parens
+    st = parse_statement('set(attributes["k"], -1) where n > -2')
+    assert st is not None
+
+
+def test_ottl_uuidv7_zero_args(spark):
+    from opentelemetry_collector_contrib_spark.functions.ottl_parser import (
+        parse_statement,
+    )
+
+    df = spark.createDataFrame([("a",)], "body string").withColumn(
+        "attributes", F.create_map(F.lit("x"), F.lit("y"))
+    )
+    st = parse_statement('set(attributes["id"], UUIDv7())')
+    out = st.apply(df).first()["attributes"]["id"]
+    assert out is not None and out[14] == "7"  # version nibble
+
+
+def test_stateful_delta_tied_timestamps(spark, tmp_path):
+    """Duplicate timestamps within a stream: the carried running sum must
+    include every tied row, not whichever tied row max_by happens to pick."""
+    import json
+
+    from opentelemetry_collector_contrib_spark.streaming import stream as S
+
+    src = tmp_path / "in_tied"
+    src.mkdir()
+    rows = [
+        {"ts": "2025-10-10T13:00:01.000Z", "stream": "s1", "value": 5.0},
+        {"ts": "2025-10-10T13:00:01.000Z", "stream": "s1", "value": 7.0},
+    ]
+    (src / "b1.jsonl").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    def read_stream():
+        return (
+            spark.readStream.schema("ts string, stream string, value double")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+
+    def run():
+        q = S.stateful_delta_to_cumulative(
+            read_stream(),
+            ["stream"],
+            ts_col="ts",
+            state_path=str(tmp_path / "state_t"),
+            output_path=str(tmp_path / "out_t"),
+            checkpoint=str(tmp_path / "ck_t"),
+        ).start()
+        q.awaitTermination(120)
+
+    run()
+    (src / "b2.jsonl").write_text(
+        json.dumps(
+            {"ts": "2025-10-10T13:00:02.000Z", "stream": "s1", "value": 1.0}
+        )
+        + "\n"
+    )
+    run()
+    got = {
+        (r["value"], r["cumulative"])
+        for r in spark.read.parquet(str(tmp_path / "out_t")).collect()
+    }
+    # batch 2's cumulative must be 5 + 7 + 1 = 13, never 5 + 1
+    assert (1.0, 13.0) in got
+    # deterministic per-row csums within the tie: value orders the window
+    assert (5.0, 5.0) in got and (7.0, 12.0) in got
+    # retention: at most the current + one predecessor state version
+    import os
+
+    versions = [d for d in os.listdir(tmp_path / "state_t") if d.startswith("v=")]
+    assert len(versions) <= 2
+
+
+def test_textstats_ignore_empty_tokens(spark):
+    from opentelemetry_collector_contrib_spark.dataprep import textstats
+
+    df = spark.createDataFrame(
+        [(1, "the  cat  sat"), (2, "the cat sat")], "doc_id long, text string"
+    )
+    ws, _bpe = textstats.token_counts(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            ws.alias("ws"),
+            F.round(textstats.english_ratio(F.col("text")), 4).alias("er"),
+            textstats.fingerprint(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    # doubled spaces must not pad counts, deflate ratios, or shift the fp
+    assert out[1]["ws"] == out[2]["ws"] == 3
+    assert out[1]["er"] == out[2]["er"] == round(1 / 3, 4)
+    assert out[1]["fp"] == out[2]["fp"]
+
+
+def test_symbol_ratio_keeps_accented_text(spark):
+    from opentelemetry_collector_contrib_spark.dataprep import textstats
+
+    df = spark.createDataFrame(
+        [(1, "café déjà vu élève très tôt"), (2, "a # b # c … d ...")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", textstats.symbol_word_ratio(F.col("text")).alias("s")
+        ).collect()
+    }
+    # accented letters are letters, not Gopher symbols
+    assert out[1] == 0.0
+    # 2 hashes + 1 ellipsis char + 1 three-dot ellipsis over 8 words
+    assert out[2] == round(4 / 8, 4)
+
+
+def test_convert_sum_to_gauge_drops_sum_metadata(spark):
+    from opentelemetry_collector_contrib_spark.operators import metric_funcs as MF
+
+    df = spark.createDataFrame(
+        [
+            ("requests", "sum", "delta", True),
+            ("temp", "gauge", None, None),
+        ],
+        "metric string, metric_type string, aggregation_temporality string, "
+        "is_monotonic boolean",
+    )
+    out = {r["metric"]: r for r in MF.convert_sum_to_gauge(df).collect()}
+    assert out["requests"]["metric_type"] == "gauge"
+    assert out["requests"]["aggregation_temporality"] is None
+    assert out["requests"]["is_monotonic"] is None
