@@ -111,7 +111,13 @@ class _Expander:
     def expand(self, pattern: str, depth: int = 0) -> str:
         if depth > 20:
             raise ValueError("grok pattern recursion too deep")
-        if depth == 0 and re.search(r"\(\?P?<grok\d+>", pattern):
+        # checked at EVERY depth: a custom definition smuggling a
+        # (?P<grokN>...) group past a depth-0-only check would collide
+        # with the sentinel and the jvm impl would silently re-key the
+        # user's capture under the wrong name. Generated sentinels only
+        # appear in the RETURN value (never re-expanded), so this can't
+        # false-positive on our own groups.
+        if re.search(r"\(\?P?<grok\d+>", pattern):
             # sentinel collision would silently re-key the user's capture
             raise ValueError("inline group names matching 'grok<N>' are reserved")
 

@@ -32,7 +32,25 @@ CONTAINERD_RX = re.compile(
 )
 
 
+# auto-detect helpers shared by both dispatches; the apache detect is the
+# same cheap prefix the JVM plan uses (the full apache pattern can't run
+# as a JVM rlike — Java rejects '_' in named groups — so BOTH impls
+# prefix-detect and let the extract return NULL on a near-miss)
+_KV_DETECT_RX = re.compile(r"^\w+=\S+( \w+=\S+)*$")
+_APACHE_DETECT_RX = re.compile(r"^\S+ \S+ \S+ \[")
+
+
 def _parse_one(body: str | None, fmt: int | None) -> dict | None:
+    """Per-row reference model of the parse contract (tests compare both
+    vectorized impls against this). MALFORMED rows yield NULL, exactly
+    like the JVM expressions (from_json / extract_patterns), because the
+    parser on_error semantics key off NULL-vs-present:
+      - invalid or non-object JSON -> None (from_json map returns NULL)
+      - kv pairs without '=' keep the key with a None value (str_to_map)
+      - regex formats that do not match -> None (extract_patterns); on a
+        match, empty-string groups are dropped (reference omits absent
+        groups; containerd's `log` can match empty)
+    fmt NULL auto-detects; unknown numeric tags parse as containerd."""
     if body is None:
         return None
     # Arrow delivers a null int series as float64 NaN — normalize so the
@@ -41,37 +59,49 @@ def _parse_one(body: str | None, fmt: int | None) -> dict | None:
     if fmt is not None and pd.isna(fmt):
         fmt = None
     if fmt == 1 or (fmt is None and body.startswith("{")):
-        try:
-            return {
-                k: (v if isinstance(v, str) else _json.dumps(v, separators=(",", ":")))
-                for k, v in _json.loads(body).items()
-            }
-        except ValueError:
-            return {}
-    if fmt == 2 or (fmt is None and re.match(r"^\w+=\S+( \w+=\S+)*$", body)):
-        return dict(p.split("=", 1) for p in body.strip().split(" ") if "=" in p)
-    rx = APACHE_RX if (fmt == 0 or fmt is None) else CONTAINERD_RX
+        return _json_one(body)
+    if fmt == 2 or (fmt is None and _KV_DETECT_RX.match(body)):
+        return _kv_one(body)
+    if fmt == 0 or (fmt is None and _APACHE_DETECT_RX.match(body)):
+        rx = APACHE_RX
+    else:
+        rx = CONTAINERD_RX
     m = rx.match(body)
-    if m is None and fmt is None:
-        m = CONTAINERD_RX.match(body)
-    return {k: v for k, v in m.groupdict().items() if v is not None} if m else {}
+    return {k: v for k, v in m.groupdict().items() if v} if m else None
 
 
-_KV_DETECT_RX = re.compile(r"^\w+=\S+( \w+=\S+)*$")
-
-
-def _json_one(b: str) -> dict:
+def _json_one(b: str) -> dict | None:
+    """Mirror of from_json(body, 'map<string,string>'): None on invalid
+    OR non-object JSON ('null', 'true', '42', '[1,2]' — .items() on those
+    would otherwise raise AttributeError and kill the whole task); JSON
+    null values stay None; other non-strings stringify compactly."""
     try:
-        return {
-            k: (v if isinstance(v, str) else _json.dumps(v, separators=(",", ":")))
-            for k, v in _json.loads(b).items()
-        }
+        d = _json.loads(b)
     except ValueError:
-        return {}
+        return None
+    if not isinstance(d, dict):
+        return None
+    return {
+        k: (
+            v
+            if isinstance(v, str) or v is None
+            else _json.dumps(v, separators=(",", ":"))
+        )
+        for k, v in d.items()
+    }
 
 
 def _kv_one(b: str) -> dict:
-    return dict(p.split("=", 1) for p in b.strip().split(" ") if "=" in p)
+    """Mirror of str_to_map(trim(body), ' ', '='): a pair without '='
+    keeps the key with a NULL value (it is NOT silently dropped)."""
+    out: dict[str, str | None] = {}
+    for p in b.strip().split(" "):
+        if "=" in p:
+            k, v = p.split("=", 1)
+            out[k] = v
+        else:
+            out[p] = None
+    return out
 
 
 def _extract_records(sub: pd.Series, rx) -> pd.Series:
@@ -93,7 +123,12 @@ def _extract_records(sub: pd.Series, rx) -> pd.Series:
     except pa.ArrowInvalid:  # RE2-unsupported construct: pandas fallback
         recs = sub.str.extract(pattern).to_dict("records")
         return pd.Series(
-            [{k: v for k, v in r.items() if isinstance(v, str)} for r in recs],
+            [
+                {k: v for k, v in r.items() if isinstance(v, str) and v != ""}
+                if any(isinstance(v, str) for v in r.values())
+                else None
+                for r in recs
+            ],
             index=sub.index,
             dtype=object,
         )
@@ -101,24 +136,27 @@ def _extract_records(sub: pd.Series, rx) -> pd.Series:
     cols = [hits.field(i).to_pylist() for i in range(len(names))]
     struct_nulls = hits.null_count
     # optional groups would surface as per-field nulls on MATCHED rows;
-    # drop them like the pandas path did (our patterns have none, so this
-    # branch normally stays cold)
+    # drop them like the JVM path does (our patterns have none, so this
+    # branch normally stays cold). Non-matching rows are None (NULL map),
+    # and empty-string group matches are dropped — both mirror
+    # ottl.extract_patterns, whose NULL drives parser on_error semantics.
     field_nulls = any(hits.field(i).null_count > struct_nulls for i in range(len(names)))
+    drop_empty = field_nulls or any("" in c for c in cols)
     if struct_nulls:
         valid = pc.is_valid(hits).to_pylist()
-        if field_nulls:
+        if drop_empty:
             rows = [
-                {k: v for k, v in zip(names, vals) if v is not None} if ok else {}
+                {k: v for k, v in zip(names, vals) if v} if ok else None
                 for ok, vals in zip(valid, zip(*cols))
             ]
         else:
             rows = [
-                dict(zip(names, vals)) if ok else {}
+                dict(zip(names, vals)) if ok else None
                 for ok, vals in zip(valid, zip(*cols))
             ]
-    elif field_nulls:
+    elif drop_empty:
         rows = [
-            {k: v for k, v in zip(names, vals) if v is not None}
+            {k: v for k, v in zip(names, vals) if v}
             for vals in zip(*cols)
         ]
     else:
@@ -153,7 +191,9 @@ def parse_multiformat(body: pd.Series, fmt: pd.Series) -> pd.Series:
         kv = rem.str.match(_KV_DETECT_RX).fillna(False)
         is2.loc[kv[kv].index] = True
         rem2 = rem[~kv]
-        ap = rem2.str.match(APACHE_RX).fillna(False)
+        # same cheap prefix the JVM auto branch uses; a near-miss apache
+        # line then yields NULL from the apache extract in BOTH impls
+        ap = rem2.str.match(_APACHE_DETECT_RX).fillna(False)
         is0.loc[ap[ap].index] = True
     # everything else (fmt==3, unknown tags, auto-fallthrough) -> containerd,
     # matching _parse_one's dispatch

@@ -35,7 +35,14 @@ def k8sattributes_enrich(df: DataFrame, pod_meta: DataFrame, association_col: st
     joined by pod association. pod_meta columns: (pod_ip, pod_name,
     namespace, node_name, ...)."""
     joined = lookup_enrich(df, pod_meta, association_col, prefix="k8s_")
-    m = F.col("resource_attributes")
+    # NULL-safe base: map_filter(NULL) and map_concat(NULL, x) are both
+    # NULL, so a row with a matching pod but NULL resource_attributes
+    # would silently lose its enrichment — the reference upserts
+    # (creates) the attribute map in that case
+    m = F.coalesce(
+        F.col("resource_attributes"),
+        F.create_map().cast("map<string,string>"),
+    )
     for meta_col, attr_key in [
         ("k8s_pod_name", "k8s.pod.name"),
         ("k8s_namespace", "k8s.namespace.name"),

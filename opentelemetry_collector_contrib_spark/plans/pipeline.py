@@ -46,12 +46,18 @@ def parse_records(logs: DataFrame, impl: str = "jvm") -> DataFrame:
     for low parallelism / small batches. Both produce identical maps."""
     from ..functions.ottl import extract_patterns
 
-    body = F.col("body")
-    apache_rx = (
-        r"^(?P<client_ip>\S+) (?P<ident>\S+) (?P<user>\S+) \[(?P<ts>[^\]]+)\] "
-        r'"(?P<method>\S+) (?P<path>\S+) (?P<proto>[^"]+)" (?P<status>\d+) (?P<size>\d+)$'
+    # single source of truth for the format patterns — a drifted copy here
+    # would silently break the documented jvm/pandas parity
+    from ..functions.vparse import (
+        _APACHE_DETECT_RX,
+        _KV_DETECT_RX,
+        APACHE_RX,
+        CONTAINERD_RX,
     )
-    containerd_rx = r"^(?P<time>\S+) (?P<stream>stdout|stderr) (?P<logtag>\S+) (?P<log>.*)$"
+
+    body = F.col("body")
+    apache_rx = APACHE_RX.pattern
+    containerd_rx = CONTAINERD_RX.pattern
 
     if impl == "pandas":
         from ..functions.vparse import parse_multiformat_col
@@ -59,17 +65,34 @@ def parse_records(logs: DataFrame, impl: str = "jvm") -> DataFrame:
         fmt = F.col("fmt") if "fmt" in logs.columns else F.lit(None).cast("int")
         parsed = parse_multiformat_col(body, fmt)
     else:
-        parsed = (
-            F.when(F.col("fmt") == 1, F.from_json(body, "map<string,string>"))
-            .when(F.col("fmt") == 2, F.str_to_map(F.trim(body), F.lit(" "), F.lit("=")))
-            .when(F.col("fmt") == 0, extract_patterns(body, apache_rx))
-            .otherwise(extract_patterns(body, containerd_rx))
-            if "fmt" in logs.columns
-            else F.when(body.startswith("{"), F.from_json(body, "map<string,string>"))
-            .when(body.rlike(r"^\w+=\S+( \w+=\S+)*$"), F.str_to_map(F.trim(body), F.lit(" "), F.lit("=")))
-            .when(body.rlike(r"^\S+ \S+ \S+ \["), extract_patterns(body, apache_rx))
+        # auto-detect (no fmt column, or a NULL fmt cell): same dispatch
+        # order as vparse._parse_one
+        det = (
+            F.when(body.startswith("{"), F.from_json(body, "map<string,string>"))
+            .when(
+                body.rlike(_KV_DETECT_RX.pattern),
+                F.str_to_map(F.trim(body), F.lit(" "), F.lit("=")),
+            )
+            .when(
+                body.rlike(_APACHE_DETECT_RX.pattern),
+                extract_patterns(body, apache_rx),
+            )
             .otherwise(extract_patterns(body, containerd_rx))
         )
+        if "fmt" in logs.columns:
+            fmt = F.col("fmt")
+            parsed = (
+                F.when(fmt == 1, F.from_json(body, "map<string,string>"))
+                .when(fmt == 2, F.str_to_map(F.trim(body), F.lit(" "), F.lit("=")))
+                .when(fmt == 0, extract_patterns(body, apache_rx))
+                # NULL fmt auto-detects (the pandas impl does; without
+                # this branch NULL-fmt JSON rows would silently parse as
+                # containerd); unknown tags fall through to containerd
+                .when(fmt.isNull(), det)
+                .otherwise(extract_patterns(body, containerd_rx))
+            )
+        else:
+            parsed = det
     records = logs.withColumn("attributes", parsed)
     records = _severity_from_attrs(records)
     if "ingest_ts" in logs.columns:

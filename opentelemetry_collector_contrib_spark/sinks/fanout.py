@@ -76,6 +76,14 @@ def write_fanout_with_counts(
     aggs = [
         F.sum(F.when(F.col(route_col) == n, 1).otherwise(0)).alias(n) for n in names
     ]
+    # catch-all: routes present in the data but missing from route_names
+    # (a stale list) still land on disk — they must also land in the
+    # accounting, or per-sink totals silently undercount with no error
+    aggs.append(
+        F.sum(
+            F.when(~F.col(route_col).isin(names), 1).otherwise(0)
+        ).alias("__unlisted")
+    )
     observed = routed.observe(obs, *aggs)
     (
         observed.write.mode(mode)
@@ -84,7 +92,10 @@ def write_fanout_with_counts(
         .format(fmt)
         .save(base_path)
     )
-    return {k: int(v or 0) for k, v in obs.get.items()}
+    got = {k: int(v or 0) for k, v in obs.get.items()}
+    if got.get("__unlisted", 0) == 0:
+        got.pop("__unlisted", None)
+    return got
 
 
 def read_sink(spark: SparkSession, base_path: str, sink: str, fmt: str = "parquet") -> DataFrame:
@@ -149,7 +160,16 @@ def tap_processor(
     eager (like the reference's fire-and-forget push)."""
     key_cols = id_cols or df.columns
     h = F.xxhash64(F.lit(seed), *[F.col(c).cast("string") for c in key_cols])
-    sample = df.withColumn("__h", h).orderBy("__h").limit(limit).drop("__h")
+    # key columns break hash ties: rows with equal key values tie on __h,
+    # and an order-by-hash-alone limit boundary would tap a different
+    # subset per partitioning (only byte-identical keys still tie — same
+    # content either way)
+    sample = (
+        df.withColumn("__h", h)
+        .orderBy("__h", *[F.col(c).cast("string") for c in key_cols])
+        .limit(limit)
+        .drop("__h")
+    )
     sample.selectExpr("to_json(struct(*)) AS line").coalesce(1).write.mode(
         "overwrite"
     ).text(path)

@@ -32,14 +32,21 @@ LINEAGE_SCHEMA = "slice_id string, fingerprint string, rows_in long, rows_out lo
 
 
 def slice_fingerprint(df: DataFrame, id_col: str) -> str:
-    """Deterministic fingerprint of a slice: count + xor of id hashes —
-    the fileconsumer's first-N-bytes fingerprint analog (identifies the
-    same input across runs). One aggregate pass, order-insensitive."""
+    """Deterministic fingerprint of a slice: count + xor + SUM of id
+    hashes — the fileconsumer's first-N-bytes fingerprint analog
+    (identifies the same input across runs). One aggregate pass,
+    order-insensitive. The sum component is required because xor alone
+    collapses duplicate ids (h^h = 0): [a,a,b] and [c,c,b] xor-collide at
+    equal counts, and nothing enforces id uniqueness within a slice —
+    a false fingerprint match means run_resumable silently skips changed
+    input. The sum runs in decimal(38,0) (safe to ~10^19 rows; a long sum
+    would both overflow-error under ANSI and wrap)."""
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.bit_xor(F.xxhash64(F.col(id_col))).alias("h"),
+        F.sum(F.xxhash64(F.col(id_col)).cast("decimal(38,0)")).alias("s"),
     ).collect()[0]
-    return f"{row['n']}:{row['h']}"
+    return f"{row['n']}:{row['h']}:{row['s']}"
 
 
 class LineageLog:
@@ -99,7 +106,9 @@ def run_resumable(
         t0 = time.time()
         out = process(df)
         rows_out = write(sid, out)
-        rows_in = df.count()
+        # the row count is already embedded in the fingerprint — a
+        # df.count() here would be a whole extra scan of the slice
+        rows_in = int(fp.split(":", 1)[0])
         log.commit(sid, fp, rows_in, rows_out, time.time() - t0)
         results[sid] = {"skipped": False, "rows_in": rows_in, "rows_out": rows_out}
     return results

@@ -806,3 +806,100 @@ def test_convert_sum_to_gauge_drops_sum_metadata(spark):
     assert out["requests"]["metric_type"] == "gauge"
     assert out["requests"]["aggregation_temporality"] is None
     assert out["requests"]["is_monotonic"] is None
+
+
+def test_parse_records_jvm_pandas_parity_on_malformed_rows(spark):
+    """The jvm and pandas parse impls must agree on MALFORMED and
+    NULL-fmt rows, not just happy paths: invalid/non-object JSON -> NULL
+    map, '='-less kv pairs keep the key with a NULL value, regex
+    no-match -> NULL, NULL fmt auto-detects in both."""
+    from opentelemetry_collector_contrib_spark.plans.pipeline import parse_records
+
+    rows = [
+        (1, '{"a": 1, "n": null}', 1),
+        (2, "not json {", 1),          # invalid JSON
+        (3, "null", 1),                # valid non-object JSON
+        (4, "[1,2]", 1),               # valid non-object JSON
+        (5, "k=v plain", 2),           # '='-less pair
+        (6, "garbage apache line", 0), # regex no-match
+        (7, '{"auto": "x"}', None),    # NULL fmt -> auto json
+        (8, "a=1 b=2", None),          # NULL fmt -> auto kv
+        (9, "2025-10-10T13:55:36Z stdout F ", 3),  # empty containerd log
+        (10, None, 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, body string, fmt int")
+    jvm = {
+        r["doc_id"]: r["attributes"]
+        for r in parse_records(df, impl="jvm").collect()
+    }
+    pnd = {
+        r["doc_id"]: r["attributes"]
+        for r in parse_records(df, impl="pandas").collect()
+    }
+    assert jvm == pnd
+    assert jvm[1] == {"a": "1", "n": None}
+    assert jvm[2] is None and jvm[3] is None and jvm[4] is None
+    assert jvm[5] == {"k": "v", "plain": None}
+    assert jvm[6] is None
+    assert jvm[7] == {"auto": "x"}
+    assert jvm[8] == {"a": "1", "b": "2"}
+    # empty 'log' group dropped on match (reference omits absent groups)
+    assert jvm[9] == {"time": "2025-10-10T13:55:36Z", "stream": "stdout", "logtag": "F"}
+    assert jvm[10] is None
+
+
+def test_k8sattributes_null_resource_map_still_enriches(spark):
+    from opentelemetry_collector_contrib_spark.operators.enrich import (
+        k8sattributes_enrich,
+    )
+
+    df = spark.createDataFrame(
+        [("10.0.0.1", None)],
+        "pod_ip string, resource_attributes map<string,string>",
+    )
+    meta = spark.createDataFrame(
+        [("10.0.0.1", "pod-a", "ns-a", "node-1")],
+        "pod_ip string, pod_name string, namespace string, node_name string",
+    )
+    out = k8sattributes_enrich(df, meta).first()["resource_attributes"]
+    assert out is not None
+    assert out["k8s.pod.name"] == "pod-a"
+    assert out["k8s.namespace.name"] == "ns-a"
+
+
+def test_slice_fingerprint_distinguishes_duplicate_ids(spark):
+    """xor alone collapses duplicate ids (h^h=0): [a,a,b] and [c,c,b]
+    would fingerprint identically and run_resumable would falsely skip
+    changed input."""
+    from opentelemetry_collector_contrib_spark.sinks.lineage import slice_fingerprint
+
+    d1 = spark.createDataFrame([("a",), ("a",), ("b",)], "doc_id string")
+    d2 = spark.createDataFrame([("c",), ("c",), ("b",)], "doc_id string")
+    assert slice_fingerprint(d1, "doc_id") != slice_fingerprint(d2, "doc_id")
+    # stable across partitionings
+    assert slice_fingerprint(d1.repartition(5), "doc_id") == slice_fingerprint(
+        d1, "doc_id"
+    )
+
+
+def test_fanout_counts_include_unlisted_routes(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.sinks.fanout import (
+        write_fanout_with_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "errors"), (2, "growth"), (3, "growth")], "id long, route string"
+    )
+    counts = write_fanout_with_counts(df, str(tmp_path / "s"), ["errors"])
+    assert counts["errors"] == 1
+    assert counts["__unlisted"] == 2
+    assert sum(counts.values()) == 3
+
+
+def test_grok_sentinel_reserved_in_custom_definitions(spark):
+    import pytest as _pytest
+
+    from opentelemetry_collector_contrib_spark.functions import grok
+
+    with _pytest.raises(ValueError, match="reserved"):
+        grok.expand("%{FOO:key}", custom={"FOO": r"(?P<grok0>x)"})
