@@ -146,10 +146,16 @@ def parse_json_(col: Column, schema: str | T.DataType = "map<string,string>") ->
 
 
 def parse_csv_(col: Column, header: list[str], delimiter: str = ",") -> Column:
+    # try_element_at pads short rows with NULL; a plain slice would feed
+    # map_from_arrays arrays of unequal length and ABORT THE JOB on the
+    # first row with fewer fields than the header (the stanza reference
+    # instead surfaces a per-entry error) — same guard as
+    # transformers.assign_keys
     parts = F.split(col, re.escape(delimiter))
-    return F.map_from_arrays(
-        F.array(*[F.lit(h) for h in header]), F.slice(parts, 1, len(header))
+    vals = F.array(
+        *[F.try_element_at(parts, F.lit(i + 1)) for i in range(len(header))]
     )
+    return F.map_from_arrays(F.array(*[F.lit(h) for h in header]), vals)
 
 
 def parse_key_value(col: Column, delimiter: str = "=", pair_delimiter: str = " ") -> Column:

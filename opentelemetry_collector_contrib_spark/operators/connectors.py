@@ -132,23 +132,43 @@ def spanmetrics_exponential(
     plus per-dim calls/sum and up to `max_exemplars` exemplar trace ids
     (deterministic: lowest ids kept).
 
-    Same single-shuffle shape as the explicit variant; the exemplar
-    collect is bounded by slice(sort(collect_set)), so state per group
-    stays O(max_exemplars) after the slice."""
+    Counts keep the single-shuffle shape of the explicit variant. The
+    exemplar path is a separate bounded pipeline — distinct -> ranked
+    window -> filter rn<=k -> collect — every stage spillable and the
+    final collect_list holds at most max_exemplars ids per group. (A
+    slice(sort(collect_set)) would produce the same values but its
+    aggregation state buffers EVERY distinct trace id per group before
+    the slice — a hot endpoint bucket at 100 TB holds GBs of executor
+    heap.)"""
+    from pyspark.sql import Window
+
     dur_ms = F.col(duration_col).cast("double") / 1e6
     # index = ceil(2^scale * log2(d)) - 1  (pdata mapping for positive d)
     idx = F.ceil(F.log2(dur_ms) * F.lit(2**scale)).cast("long") - 1
     bucketed = df.withColumn(
         "bucket_index", F.when(dur_ms > 0, idx).otherwise(F.lit(None))
     )
-    aggs = [F.count(F.lit(1)).alias("bucket_count")]
+    per_bucket = bucketed.groupBy(*dims, "bucket_index").agg(
+        F.count(F.lit(1)).alias("bucket_count")
+    )
     if trace_col and max_exemplars > 0:
-        aggs.append(
-            F.slice(F.sort_array(F.collect_set(F.col(trace_col))), 1, max_exemplars).alias(
-                "exemplar_traces"
-            )
+        tw = Window.partitionBy(*dims, "bucket_index").orderBy(trace_col)
+        ex = (
+            bucketed.select(*dims, "bucket_index", trace_col)
+            .distinct()
+            .withColumn("__rn", F.row_number().over(tw))
+            .filter(F.col("__rn") <= max_exemplars)
+            .groupBy(*dims, "bucket_index")
+            .agg(F.sort_array(F.collect_list(trace_col)).alias("exemplar_traces"))
         )
-    per_bucket = bucketed.groupBy(*dims, "bucket_index").agg(*aggs)
+        pl, pr = per_bucket.alias("pl"), ex.alias("pr")
+        jcond = F.col("pl.bucket_index").eqNullSafe(F.col("pr.bucket_index"))
+        for d in dims:
+            jcond = jcond & F.col(f"pl.{d}").eqNullSafe(F.col(f"pr.{d}"))
+        per_bucket = pl.join(pr, jcond, "left").select(
+            *[F.col(f"pl.{c}") for c in per_bucket.columns],
+            F.col("pr.exemplar_traces"),
+        )
     totals = bucketed.groupBy(*dims).agg(
         F.count(F.lit(1)).alias("calls"),
         F.round(F.sum(dur_ms), 4).alias("duration_sum_ms"),

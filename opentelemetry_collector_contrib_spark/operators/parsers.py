@@ -139,7 +139,7 @@ def syslog_parser(
     if protocol == "rfc5424" and parse_structured_data:
         sd = F.element_at(F.col(parse_to), "structured_data")
         elems = F.regexp_extract_all(sd, F.lit(r"\[(?:[^\]\\]|\\.)*\]"), 0)
-        def elem_map(e):
+        def elem_entries(e):
             sd_id = F.regexp_extract(e, r"^\[([^ \]]+)", 1)
             # single-pass pair extraction: key and value come from the SAME
             # 'k="v"' match, so escaped quotes (\" is legal PARAM-VALUE per
@@ -147,30 +147,38 @@ def syslog_parser(
             pairs = F.regexp_extract_all(
                 e, F.lit(r'[\w.@-]+="(?:[^"\\]|\\.)*"'), 0
             )
-            keys = F.transform(
-                pairs, lambda p: F.regexp_extract(p, r'^([\w.@-]+)=', 1)
-            )
-            vals = F.transform(
+            return F.transform(
                 pairs,
-                lambda p: F.regexp_replace(  # unescape \" \] \\ (RFC 6.3.3)
-                    F.regexp_extract(p, r'^[\w.@-]+="((?:[^"\\]|\\.)*)"$', 1),
-                    r'\\([\]"\\])',
-                    r"$1",
+                lambda p: F.struct(
+                    F.concat(
+                        F.lit("structured_data."),
+                        sd_id,
+                        F.lit("."),
+                        F.regexp_extract(p, r'^([\w.@-]+)=', 1),
+                    ).alias("k"),
+                    F.regexp_replace(  # unescape \" \] \\ (RFC 6.3.3)
+                        F.regexp_extract(p, r'^[\w.@-]+="((?:[^"\\]|\\.)*)"$', 1),
+                        r'\\([\]"\\])',
+                        r"$1",
+                    ).alias("v"),
                 ),
-            )
-            return F.map_from_arrays(
-                F.transform(
-                    keys,
-                    lambda k: F.concat(F.lit("structured_data."), sd_id, F.lit("."), k),
-                ),
-                vals,
             )
 
-        sd_map = F.aggregate(
-            F.transform(elems, elem_map),
-            F.create_map().cast("map<string,string>"),
-            lambda acc, x: F.map_concat(acc, x),
+        # LAST-wins key dedup before building the map: RFC5424 6.3.2
+        # permits repeated PARAM-NAMEs (and repeated SD-IDs occur in the
+        # wild), and map_concat/map_from_entries ABORT THE JOB on a
+        # duplicate key under Spark's default EXCEPTION dedup policy —
+        # one legal log line would kill a 100 TB batch. O(pairs^2) per
+        # row, with single-digit pair counts in practice.
+        ents = F.flatten(F.transform(elems, elem_entries))
+        deduped = F.filter(
+            ents,
+            lambda e, i: ~F.exists(
+                F.slice(ents, i + 2, F.size(ents)),
+                lambda e2: e2["k"] == e["k"],
+            ),
         )
+        sd_map = F.map_from_entries(deduped)
         merged = F.when(
             sd.isNotNull() & (sd != "-"),
             F.map_concat(F.col(parse_to), sd_map),
@@ -199,9 +207,14 @@ _CONTAINERD_RX = (
     r"^(?P<time>[^ ]+) (?P<stream>stdout|stderr) (?P<logtag>[^ ]*) ?(?P<log>.*)$"
 )
 _CRIO_RX = _CONTAINERD_RX  # cri-o differs only in time format (no 'Z')
+# the reference logpathPattern (parser.go:34): the kubelet pods layout
+# /var/log/pods/<namespace>_<pod>_<uid>/<container>/<restart>.log
+# — namespace FIRST, uid third, container as its own directory, optional
+# rotation suffix. (A pod-first single-segment pattern never matches real
+# kubelet paths and the k8s.* metadata would silently come back NULL.)
 _K8S_PATH_RX = (
-    r"^.*/(?P<pod_name>[^_]+)_(?P<namespace>[^_]+)_"
-    r"(?P<container_name>.+)-(?P<restart_count>\d+)\.log$"
+    r"^.*[/\\](?P<namespace>[^_]+)_(?P<pod_name>[^_]+)_(?P<uid>[a-f0-9\-]+)"
+    r"[/\\](?P<container_name>[^._]+)[/\\](?P<restart_count>\d+)\.log(\.\d{8}-\d{6})?$"
 )
 
 
@@ -225,20 +238,38 @@ def container_parser(
     out = set_parsed(df, parsed, parse_to)
     if add_metadata_from_filepath and filepath_col in df.columns:
         meta = extract_patterns(F.col(filepath_col), _K8S_PATH_RX)
+        keys = [
+            ("k8s.pod.name", "pod_name"),
+            ("k8s.namespace.name", "namespace"),
+            ("k8s.pod.uid", "uid"),
+            ("k8s.container.name", "container_name"),
+            ("k8s.container.restart_count", "restart_count"),
+        ]
+        key_arr = F.array(*[F.lit(k) for k, _ in keys])
+        k8s_map = F.map_from_arrays(
+            key_arr, F.array(*[F.element_at(meta, g) for _, g in keys])
+        )
+        # only on a successful path match (the reference writes nothing
+        # otherwise): an unconditional concat would pollute EVERY record's
+        # attributes with five NULL-valued k8s.* keys on non-k8s paths.
+        # Upsert semantics: pre-existing k8s.* keys are replaced, never
+        # duplicated (map_concat duplicates abort the job under the
+        # default EXCEPTION dedup policy).
         out = out.withColumn(
             parse_to,
-            F.map_concat(
-                F.col(parse_to),
-                F.map_from_arrays(
-                    F.array(F.lit("k8s.pod.name"), F.lit("k8s.namespace.name"), F.lit("k8s.container.name"), F.lit("k8s.container.restart_count")),
-                    F.array(
-                        F.element_at(meta, "pod_name"),
-                        F.element_at(meta, "namespace"),
-                        F.element_at(meta, "container_name"),
-                        F.element_at(meta, "restart_count"),
+            F.when(
+                meta.isNotNull(),
+                F.map_concat(
+                    F.map_filter(
+                        F.coalesce(
+                            F.col(parse_to),
+                            F.create_map().cast("map<string,string>"),
+                        ),
+                        lambda k, _: ~F.array_contains(key_arr, k),
                     ),
+                    k8s_map,
                 ),
-            ),
+            ).otherwise(F.col(parse_to)),
         )
     return out
 
@@ -374,17 +405,23 @@ def deframe_octet_counting(
     @pandas_udf(T.ArrayType(T.StringType()))
     def _frames(s: pd.Series) -> pd.Series:
         def one(chunk: str):
+            # RFC6587 counts OCTETS, not characters: slice on the UTF-8
+            # encoding, else any non-ASCII message desynchronizes every
+            # subsequent frame in the chunk (the multi-byte chars make
+            # the char-based jump land short, swallowing the next
+            # frame's length prefix)
+            raw = chunk.encode("utf-8")
             out = []
-            i, n = 0, len(chunk)
+            i, n = 0, len(raw)
             while i < n:
-                sp = chunk.find(" ", i)
-                if sp == -1 or not chunk[i:sp].isdigit():
+                sp = raw.find(b" ", i)
+                if sp == -1 or not raw[i:sp].isdigit():
                     # trailing garbage: emit the remainder as-is (the
                     # reference's tcp input forwards undecodable frames)
-                    out.append(chunk[i:])
+                    out.append(raw[i:].decode("utf-8", errors="replace"))
                     break
-                ln = int(chunk[i:sp])
-                out.append(chunk[sp + 1 : sp + 1 + ln])
+                ln = int(raw[i:sp])
+                out.append(raw[sp + 1 : sp + 1 + ln].decode("utf-8", errors="replace"))
                 i = sp + 1 + ln
             return out
 

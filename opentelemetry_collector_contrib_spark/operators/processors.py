@@ -43,10 +43,14 @@ def filter_processor(
 def filter_with_count(df: DataFrame, conditions: list[Column]) -> tuple[DataFrame, DataFrame]:
     """filter + the `otelcol_processor_filter_logs.filtered` telemetry count
     (generated_telemetry.go:71): returns (kept, dropped_count_df). Computed
-    in ONE pass via a boolean tag + groupBy, not two scans."""
-    drop = conditions[0]
-    for c in conditions[1:]:
-        drop = drop | c
+    in ONE pass via a boolean tag + groupBy, not two scans. An empty
+    condition list drops nothing (same tolerance as filter_processor)."""
+    if not conditions:
+        drop = F.lit(False)
+    else:
+        drop = conditions[0]
+        for c in conditions[1:]:
+            drop = drop | c
     tagged = df.withColumn("__dropped", F.coalesce(drop, F.lit(False)))
     counts = tagged.groupBy().agg(
         F.sum(F.col("__dropped").cast("long")).alias("dropped"),
@@ -955,7 +959,12 @@ def _span_name_template(rule: str) -> str:
             depth -= 1
         elif depth == 0 and ch not in "^$":
             if ch == "\\" and i + 1 < len(rule):
-                out.append(rule[i + 1])
+                nxt = rule[i + 1]
+                # Java replacement strings treat '$' and '\' specially —
+                # an unescaped literal from a rule like r'(?P<n>\d+)\$'
+                # would abort the job with INVALID_REGEXP_REPLACE
+                # ('Illegal group reference'); re-escape for Java
+                out.append("\\" + nxt if nxt in "$\\" else nxt)
                 i += 2
                 continue
             out.append(ch)

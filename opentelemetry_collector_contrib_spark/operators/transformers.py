@@ -73,7 +73,14 @@ def flatten(df: DataFrame, map_col: str, prefix: str | None = None) -> DataFrame
     inner = F.col(map_col)
     if prefix is None:
         prefix = map_col
-    return df.withColumn("attributes", flatten_map(F.col("attributes"), inner, prefix)).drop(map_col)
+    # NULL-guard: transform_keys/map_concat on a NULL nested map would
+    # NULL the ENTIRE attributes map, silently destroying existing
+    # attributes on every row where the source map is absent (e.g. an
+    # upstream parse failure with on_error='send')
+    merged = F.when(
+        inner.isNotNull(), flatten_map(F.col("attributes"), inner, prefix)
+    ).otherwise(F.col("attributes"))
+    return df.withColumn("attributes", merged).drop(map_col)
 
 
 def assign_keys(df: DataFrame, list_col: str, keys: list[str], out_col: str = "attributes") -> DataFrame:
@@ -172,6 +179,18 @@ def recombine(
         grp = F.sum(marker).over(w.rowsBetween(Window.unboundedPreceding, -1))
         grp = F.coalesce(grp, F.lit(0))
     tagged = df.withColumn("__grp", grp)
+    # size-capped flush (transformer.go:189: numEntries >= maxBatchSize
+    # splits the batch): a source whose boundary marker never fires —
+    # e.g. a broken is_first_entry regex — would otherwise collapse
+    # millions of rows into ONE group whose collect_list holds the whole
+    # partition in executor memory. Same window partitioning, no extra
+    # shuffle.
+    rn = F.row_number().over(
+        Window.partitionBy(source_identifier, "__grp").orderBy(order_by)
+    )
+    tagged = tagged.withColumn(
+        "__sub", ((rn - 1) / F.lit(max_batch_size)).cast("int")
+    )
     others = [c for c in df.columns if c not in (combine_field, source_identifier)]
     # collect_list over rows pre-sorted within the group: sort structs of
     # (order, value) then join — deterministic regardless of task order.
@@ -181,7 +200,7 @@ def recombine(
             F.transform(F.array_sort(F.collect_list(pair)), lambda s: s["v"]), combine_with
         ).alias(combine_field),
     ] + [F.min_by(c, order_by).alias(c) for c in others]
-    out = tagged.groupBy(source_identifier, "__grp").agg(*agg)
+    out = tagged.groupBy(source_identifier, "__grp", "__sub").agg(*agg)
     keep = [c for c in df.columns]
     return out.select(*keep)
 

@@ -99,14 +99,27 @@ def test_container_parser_containerd_and_docker(spark):
 
 
 def test_container_parser_k8s_path_metadata(spark):
+    # the REAL kubelet pods layout the reference logpathPattern matches:
+    # /var/log/pods/<namespace>_<pod>_<uid>/<container>/<restart>.log
     df = _one(
         spark,
         "2025-10-10T13:55:36.1Z stdout F hi",
-        log_file_path="/var/log/pods/mypod_myns_abc/container-1.log",
+        log_file_path="/var/log/pods/myns_mypod_19f651bc-73e4-410f-b3e9-f0241679d3b8/mycontainer/1.log",
     )
     attrs = parsers.container_parser(df, add_metadata_from_filepath=True).select("attributes").first()[0]
     assert attrs["k8s.pod.name"] == "mypod"
     assert attrs["k8s.namespace.name"] == "myns"
+    assert attrs["k8s.pod.uid"] == "19f651bc-73e4-410f-b3e9-f0241679d3b8"
+    assert attrs["k8s.container.name"] == "mycontainer"
+    assert attrs["k8s.container.restart_count"] == "1"
+    # non-matching path: attributes must stay UNPOLLUTED (no NULL k8s keys)
+    df2 = _one(
+        spark,
+        "2025-10-10T13:55:36.1Z stdout F hi",
+        log_file_path="/var/log/syslog",
+    )
+    attrs2 = parsers.container_parser(df2, add_metadata_from_filepath=True).select("attributes").first()[0]
+    assert not any(k.startswith("k8s.") for k in attrs2)
 
 
 def test_time_parser_strptime_and_epoch(spark):

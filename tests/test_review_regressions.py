@@ -903,3 +903,87 @@ def test_grok_sentinel_reserved_in_custom_definitions(spark):
 
     with _pytest.raises(ValueError, match="reserved"):
         grok.expand("%{FOO:key}", custom={"FOO": r"(?P<grok0>x)"})
+
+
+def test_csv_parser_short_row_pads_null(spark):
+    df = spark.createDataFrame([("a,b",), ("x,y,z",)], "body string")
+    out = parsers.csv_parser(df, header=["c1", "c2", "c3"])
+    got = {r["body"]: r["attributes"] for r in out.collect()}
+    # a short row pads with NULL instead of aborting the job on
+    # map_from_arrays' equal-length requirement
+    assert got["a,b"] == {"c1": "a", "c2": "b", "c3": None}
+    assert got["x,y,z"] == {"c1": "x", "c2": "y", "c3": "z"}
+
+
+def test_syslog_repeated_structured_data_keys_last_wins(spark):
+    # RFC5424 6.3.2 allows repeated PARAM-NAMEs; repeated SD-IDs occur in
+    # the wild — neither may abort the job with DUPLICATED_MAP_KEY
+    line = '<34>1 2003-10-11T22:14:15.003Z host app 1 ID47 [ex a="1"][ex a="2" a="3"] msg'
+    df = spark.createDataFrame([(line,)], "body string")
+    attrs = parsers.syslog_parser(df, protocol="rfc5424").select(
+        "attributes"
+    ).first()[0]
+    assert attrs["structured_data.ex.a"] == "3"  # last wins
+
+
+def test_span_to_attributes_rule_with_literal_dollar(spark):
+    from opentelemetry_collector_contrib_spark.operators.processors import (
+        span_processor,
+    )
+
+    df = spark.createDataFrame(
+        [("t", "pay 42$", {})],
+        "trace_id string, span_name string, attributes map<string,string>",
+    )
+    out = span_processor(
+        df, to_attributes_rules=[r"pay (?P<amount>\d+)\$"], name_col="span_name"
+    ).first()
+    # a literal '$' in the rule must not abort regexp_replace with
+    # 'Illegal group reference'
+    assert out["attributes"]["amount"] == "42"
+    assert out["span_name"] == "pay {amount}$"
+
+
+def test_flatten_null_nested_map_keeps_attributes(spark):
+    df = spark.createDataFrame(
+        [({"a": "1"}, None), ({"b": "2"}, {"x": "9"})],
+        "attributes map<string,string>, nested map<string,string>",
+    )
+    out = {tuple(sorted(r["attributes"])): r["attributes"] for r in transformers.flatten(df, "nested").collect()}
+    flat = list(out.values())
+    by_has_a = {("a" in m): m for m in flat}
+    assert by_has_a[True] == {"a": "1"}, "NULL nested map must not wipe attributes"
+    assert by_has_a[False] == {"b": "2", "nested.x": "9"}
+
+
+def test_deframe_octet_counting_non_ascii(spark):
+    # RFC6587 counts OCTETS: 'héllo' is 5 chars but 6 bytes
+    chunk = "6 héllo4 next"
+    df = spark.createDataFrame([(chunk,)], "body string")
+    frames = [r["body"] for r in parsers.deframe_octet_counting(df).collect()]
+    assert frames == ["héllo", "next"]
+
+
+def test_recombine_max_batch_size_splits_runaway_group(spark):
+    rows = [("s", i, f"l{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "source string, ingest_ts long, body string")
+    # boundary marker never fires -> one giant group, capped at 4 entries
+    out = transformers.recombine(
+        df, is_first_entry=F.lit(False), max_batch_size=4
+    ).collect()
+    sizes = sorted(len(r["body"].split("\n")) for r in out)
+    assert sizes == [2, 4, 4]
+    joined = "\n".join(sorted("\n".join(r["body"] for r in out).split("\n"), key=lambda x: int(x[1:])))
+    assert joined == "\n".join(f"l{i}" for i in range(10))
+
+
+def test_filter_with_count_empty_conditions(spark):
+    from opentelemetry_collector_contrib_spark.operators.processors import (
+        filter_with_count,
+    )
+
+    df = spark.createDataFrame([(1,), (2,)], "x long")
+    kept, counts = filter_with_count(df, [])
+    assert kept.count() == 2
+    c = counts.first()
+    assert c["dropped"] == 0 and c["records_in"] == 2
