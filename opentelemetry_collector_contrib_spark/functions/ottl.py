@@ -159,10 +159,26 @@ def parse_csv_(col: Column, header: list[str], delimiter: str = ",") -> Column:
 
 
 def parse_key_value(col: Column, delimiter: str = "=", pair_delimiter: str = " ") -> Column:
-    # str_to_map delimiters are regexes in Spark; escape to literal semantics
-    return F.str_to_map(
-        F.trim(col), F.lit(re.escape(pair_delimiter)), F.lit(re.escape(delimiter))
+    """ParseKeyValue with LAST-wins duplicate handling. str_to_map would
+    abort the whole job with DUPLICATED_MAP_KEY on a repeated key
+    ('a=1 a=2') or on runs of consecutive pair delimiters (two empty
+    tokens) — the stanza keyvalue parser simply overwrites. Pairs split
+    on the FIRST key/value delimiter (str_to_map semantics); a pair
+    without the delimiter keeps the key with a NULL value."""
+    pairs = F.split(F.trim(col), re.escape(pair_delimiter))
+
+    def ent(p):
+        kv = F.split(p, re.escape(delimiter), 2)
+        return F.struct(F.get(kv, 0).alias("key"), F.get(kv, 1).alias("value"))
+
+    ents = F.transform(pairs, ent)
+    deduped = F.filter(
+        ents,
+        lambda e, i: ~F.exists(
+            F.slice(ents, i + 2, F.size(ents)), lambda e2: e2["key"] == e["key"]
+        ),
     )
+    return F.map_from_entries(deduped)
 
 
 def extract_patterns(col: Column, pattern: str) -> Column:
@@ -194,17 +210,39 @@ def extract_patterns(col: Column, pattern: str) -> Column:
 
 
 def url_(col: Column) -> Column:
-    """URL converter -> map of scheme/host/port/path/query/fragment
-    (semconv url.* keys, func_url.go)."""
-    return F.map_from_arrays(
-        F.array(F.lit("url.scheme"), F.lit("url.domain"), F.lit("url.path"), F.lit("url.query"), F.lit("url.original")),
+    """URL converter -> semconv url.* map (func_url.go): scheme/domain/
+    path/original always present; port, query, and fragment only when the
+    URL has them (the reference omits absent components). Spark's
+    parse_url(..., 'PORT') returns NULL, so the port is derived from the
+    AUTHORITY instead."""
+    port = F.regexp_extract(
+        F.coalesce(F.parse_url(col, F.lit("AUTHORITY")), F.lit("")), r":(\d+)$", 1
+    )
+    full = F.map_from_arrays(
+        F.array(
+            F.lit("url.scheme"),
+            F.lit("url.domain"),
+            F.lit("url.port"),
+            F.lit("url.path"),
+            F.lit("url.query"),
+            F.lit("url.fragment"),
+            F.lit("url.original"),
+        ),
         F.array(
             F.coalesce(F.parse_url(col, F.lit("PROTOCOL")), F.lit("")),
             F.coalesce(F.parse_url(col, F.lit("HOST")), F.lit("")),
+            port,
             F.coalesce(F.parse_url(col, F.lit("PATH")), F.lit("")),
             F.coalesce(F.parse_url(col, F.lit("QUERY")), F.lit("")),
+            F.coalesce(F.parse_url(col, F.lit("REF")), F.lit("")),
             col,
         ),
+    )
+    keep_always = F.array(
+        F.lit("url.scheme"), F.lit("url.domain"), F.lit("url.path"), F.lit("url.original")
+    )
+    return F.map_filter(
+        full, lambda k, v: F.array_contains(keep_always, k) | (v != "")
     )
 
 
@@ -288,7 +326,10 @@ hex_ = F.hex
 
 
 def base64_decode(col: Column) -> Column:
-    return F.unbase64(col).cast("string")
+    # try_to_binary: unbase64 throws java.lang.IllegalArgumentException on
+    # invalid base64 and aborts the job; the converter contract is a
+    # per-record NULL
+    return F.try_to_binary(col, F.lit("base64")).cast("string")
 
 
 def xxh64(col: Column) -> Column:
@@ -332,16 +373,27 @@ def unix_nano(col: Column) -> Column:
 
 now_ = F.current_timestamp
 year_, month_, day_ = F.year, F.month, F.dayofmonth
-weekday_, hour_, minute_, second_ = F.dayofweek, F.hour, F.minute, F.second
+hour_, minute_, second_ = F.hour, F.minute, F.second
+
+
+def weekday_(col: Column) -> Column:
+    """Weekday (func_weekday.go:37): Go time.Weekday() is Sunday=0 ..
+    Saturday=6; Spark dayofweek is Sunday=1 .. Saturday=7 — off by one
+    without the correction, so Weekday(t) == N conditions would select
+    the wrong day for every row."""
+    return F.dayofweek(col) - 1
 
 
 # Type family
 def int_(col: Column) -> Column:
-    return col.cast("long")
+    # try_cast: Spark 4 ANSI mode aborts the whole job with
+    # CAST_INVALID_INPUT on the first non-numeric value; the converter
+    # contract is malformed input -> NULL (per-record on_error)
+    return col.try_cast("long")
 
 
 def double_(col: Column) -> Column:
-    return col.cast("double")
+    return col.try_cast("double")
 
 
 def string_(col: Column) -> Column:
@@ -428,13 +480,15 @@ def decode_(col: Column, encoding: str) -> Column:
     """Decode converter (func_decode.go): base64 family + hex + utf8
     passthrough -> string."""
     enc = encoding.lower().replace("-", "")
+    # try_to_binary/try-style decode: invalid input is a per-record NULL,
+    # never an executor IllegalArgumentException that kills the job
     if enc in ("base64", "base64std"):
-        return F.unbase64(col).cast("string")
+        return F.try_to_binary(col, F.lit("base64")).cast("string")
     if enc in ("base64url",):
         fixed = F.translate(col, "-_", "+/")
-        return F.unbase64(fixed).cast("string")
+        return F.try_to_binary(fixed, F.lit("base64")).cast("string")
     if enc == "hex":
-        return F.unhex(col).cast("string")
+        return F.try_to_binary(col, F.lit("hex")).cast("string")
     if enc in ("utf8", "utf8raw", "us-ascii", "usascii"):
         return col.cast("string")
     raise ValueError(f"unsupported Decode encoding {encoding!r}")
@@ -787,8 +841,17 @@ def flatten_attrs(m: Column, separator: str = ".") -> Column:
             F.concat(acc, F.array(e))
         )
 
-    return F.map_from_entries(
-        F.aggregate(
-            entries, F.array().cast("array<struct<key:string,value:string>>"), step
-        )
+    flat = F.aggregate(
+        entries, F.array().cast("array<struct<key:string,value:string>>"), step
     )
+    # LAST-wins dedup: a promoted '<key><sep><subkey>' can collide with an
+    # existing flat key ({'a.b': 'x', 'a': '{"b":"y"}'}), and
+    # map_from_entries aborts the job on duplicates — the reference
+    # flatten resolves collisions instead of crashing
+    deduped = F.filter(
+        flat,
+        lambda e, i: ~F.exists(
+            F.slice(flat, i + 2, F.size(flat)), lambda e2: e2["key"] == e["key"]
+        ),
+    )
+    return F.map_from_entries(deduped)

@@ -65,9 +65,16 @@ def _tokenize_xpath(xpath: str) -> list[tuple[bool, str, tuple[str, str] | None]
     return out
 
 
-def _parse_fragment(text: str) -> ET.Element:
-    """Parse a document OR a multi-root fragment under a synthetic root."""
-    return ET.fromstring(f"<__r__>{text}</__r__>")
+def _parse_fragment(text: str) -> ET.Element | None:
+    """Parse a document OR a multi-root fragment under a synthetic root.
+    Malformed XML (even a bare '&') returns None — a per-record NULL,
+    matching the reference's per-record OTTL error handled by error
+    mode; an uncaught ParseError inside a pandas UDF would abort the
+    WHOLE job on one bad row."""
+    try:
+        return ET.fromstring(f"<__r__>{text}</__r__>")
+    except ET.ParseError:
+        return None
 
 
 def _step_matches(el: ET.Element, name: str, pred) -> bool:
@@ -142,6 +149,8 @@ def _get_xml_one(doc: str, steps) -> str | None:
     if doc == "":
         return ""
     root = _parse_fragment(doc)
+    if root is None:
+        return None
     parts = []
     for par, node, kind in _find(root, steps):
         if kind == "elem":
@@ -157,6 +166,8 @@ def _remove_xml_one(doc: str, steps) -> str | None:
     if doc is None:
         return None
     root = _parse_fragment(doc)
+    if root is None:
+        return None
     for par, node, kind in _find(root, steps):
         if kind == "elem":
             # preserve the removed node's tail text on the previous sibling
@@ -180,10 +191,14 @@ def _insert_xml_one(doc: str, steps, sub: str) -> str | None:
     if doc is None or sub is None:
         return None
     root = _parse_fragment(doc)
+    if root is None:
+        return None
     for _, node, kind in _find(root, steps):
         if kind != "elem":
             continue
         subroot = _parse_fragment(sub)
+        if subroot is None:
+            return None
         for c in list(subroot):
             c.tail = None
             node.append(c)
@@ -244,6 +259,8 @@ def _convert_text_one(doc: str, steps, element_name: str) -> str | None:
     if doc is None:
         return None
     root = _parse_fragment(doc)
+    if root is None:
+        return None
     targets = (
         [n for _, n, k in _find(root, steps) if k == "elem"]
         if steps
@@ -276,6 +293,8 @@ def _convert_attrs_one(doc: str) -> str | None:
     if doc is None:
         return None
     root = _parse_fragment(doc)
+    if root is None:
+        return None
     for el in list(root.iter()):
         if el is root:
             continue
@@ -332,6 +351,8 @@ def parse_xml_json(col: Column) -> Column:
     def _u(s: pd.Series) -> pd.Series:
         def one(d):
             root = _parse_fragment(d)
+            if root is None:
+                return None
             kids = list(root)
             if not kids:
                 return None
@@ -350,6 +371,8 @@ def parse_simplified_xml(col: Column) -> Column:
     def _u(s: pd.Series) -> pd.Series:
         def one(d):
             root = _parse_fragment(d)
+            if root is None:
+                return None
             simp = _simplified(root) or {}
             flat: dict = {}
             _flatten("", simp, flat)

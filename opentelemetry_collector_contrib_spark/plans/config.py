@@ -278,9 +278,28 @@ def _collector_processor_stage(ptype: str, cfg: dict) -> Callable[[DataFrame], D
             cfg.get("summary_mask", cfg.get("mask", "****")),
         )
     if ptype == "probabilistic_sampler":
+        # attribute_source is the reference's ENUM ('traceID' | 'record',
+        # config.go:16-27,86-90), not a column name: 'record' hashes the
+        # from_attribute column, 'traceID' the trace id. Misreading it as
+        # the key column would hash a column literally named 'traceID'
+        # (AnalysisException) and silently drop from_attribute.
         pct = cfg["sampling_percentage"]
-        key = cfg.get("attribute_source", "event_id")
-        return lambda df: processors.probabilistic_sampler(df, pct, key_col=key)
+        source = cfg.get("attribute_source", "traceID")
+        if source == "record":
+            key = cfg.get("from_attribute") or "event_id"
+        elif source == "traceID":
+            key = cfg.get("key_col", "trace_id")
+        else:  # already a concrete column name (this engine's extension)
+            key = source
+        return lambda df: processors.probabilistic_sampler(
+            df,
+            pct,
+            key_col=key,
+            mode=cfg.get("mode", "hash_seed"),
+            th_col=cfg.get("th_col"),
+            priority_col=cfg.get("sampling_priority"),
+            precision=cfg.get("sampling_precision", 14),
+        )
     if ptype == "groupbyattrs":
         return lambda df: processors.groupbyattrs_processor(df, cfg["keys"])
     if ptype in ("span", "tail_sampling", "metricstransform", "logdedup"):
@@ -376,6 +395,11 @@ def compile_collector_config(config: dict | str):
                         part, f"{out_base}/{pname}", route_names=sel,
                         route_col="__exporter", fmt=fmt,
                     )
+                    # 'default' is write_fanout's routing catch-all, not
+                    # an exporter of this pipeline — a phantom zero entry
+                    # would corrupt per-exporter accounting consumers
+                    if "default" not in sel:
+                        got.pop("default", None)
                     counts.update(got)
                 results[pname] = counts
             return results

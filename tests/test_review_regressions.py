@@ -987,3 +987,107 @@ def test_filter_with_count_empty_conditions(spark):
     assert kept.count() == 2
     c = counts.first()
     assert c["dropped"] == 0 and c["records_in"] == 2
+
+
+def test_xml_funcs_null_on_malformed_xml(spark):
+    from opentelemetry_collector_contrib_spark.functions import xmlfuncs
+
+    df = spark.createDataFrame(
+        [("<a><b>1</b></a>",), ("a & b",), ("<a>1</a",)], "x string"
+    )
+    rows = df.select(
+        xmlfuncs.get_xml(F.col("x"), "/a/b").alias("g"),
+        xmlfuncs.parse_simplified_xml(F.col("x")).alias("p"),
+    ).collect()
+    # malformed rows yield NULL instead of aborting the whole job
+    assert rows[0]["g"] == "<b>1</b>"
+    assert rows[1]["g"] is None and rows[2]["g"] is None
+    assert rows[1]["p"] is None and rows[2]["p"] is None
+
+
+def test_parse_key_value_duplicates_last_wins(spark):
+    from opentelemetry_collector_contrib_spark.functions import ottl
+
+    df = spark.createDataFrame(
+        [("a=1 a=2",), ("k=1  b=2  c=3",), ("x=1 y=2",)], "s string"
+    )
+    got = [r["m"] for r in df.select(ottl.parse_key_value(F.col("s")).alias("m")).collect()]
+    assert got[0]["a"] == "2"
+    assert got[1]["k"] == "1" and got[1]["b"] == "2" and got[1]["c"] == "3"
+    assert got[2] == {"x": "1", "y": "2"}
+
+
+def test_flatten_attrs_collision_last_wins(spark):
+    from opentelemetry_collector_contrib_spark.functions import ottl
+
+    df = spark.createDataFrame([(1,)], "i long").select(
+        ottl.flatten_attrs(
+            F.create_map(
+                F.lit("a.b"), F.lit("x"), F.lit("a"), F.lit('{"b":"y"}')
+            )
+        ).alias("m")
+    )
+    assert df.first()["m"] == {"a.b": "y"}  # promoted key wins, no crash
+
+
+def test_type_and_decode_converters_null_on_malformed(spark):
+    from opentelemetry_collector_contrib_spark.functions import ottl
+
+    df = spark.createDataFrame([("abc", "!!!not-base64!!!")], "n string, b string")
+    row = df.select(
+        ottl.int_(F.col("n")).alias("i"),
+        ottl.double_(F.col("n")).alias("d"),
+        ottl.base64_decode(F.col("b")).alias("b64"),
+        ottl.decode_(F.col("b"), "base64").alias("dec"),
+    ).first()
+    # ANSI mode would otherwise abort the job with CAST_INVALID_INPUT /
+    # IllegalArgumentException on the first malformed row
+    assert row["i"] is None and row["d"] is None
+    assert row["b64"] is None and row["dec"] is None
+
+
+def test_weekday_matches_go_semantics(spark):
+    from opentelemetry_collector_contrib_spark.functions import ottl
+
+    df = spark.createDataFrame(
+        [("2024-06-17",), ("2024-06-16",)], "d string"  # Monday, Sunday
+    )
+    got = [r["w"] for r in df.select(ottl.weekday_(F.col("d").cast("date")).alias("w")).collect()]
+    assert got == [1, 0]  # Go time.Weekday(): Sunday=0, Monday=1
+
+
+def test_url_port_and_fragment(spark):
+    from opentelemetry_collector_contrib_spark.functions import ottl
+
+    df = spark.createDataFrame(
+        [("https://example.com:8080/p?q=1#frag",), ("https://example.com",)],
+        "u string",
+    )
+    got = [r["m"] for r in df.select(ottl.url_(F.col("u")).alias("m")).collect()]
+    assert got[0]["url.port"] == "8080" and got[0]["url.fragment"] == "frag"
+    assert got[0]["url.query"] == "q=1"
+    # absent components are omitted, not empty strings
+    assert "url.port" not in got[1] and "url.fragment" not in got[1]
+    assert "url.query" not in got[1]
+    assert got[1]["url.domain"] == "example.com"
+
+
+def test_config_sampler_attribute_source_enum(spark):
+    from opentelemetry_collector_contrib_spark.plans.config import (
+        _collector_processor_stage,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"u{i % 4}") for i in range(100)], "event_id long, uid string"
+    )
+    stage = _collector_processor_stage(
+        "probabilistic_sampler",
+        {"sampling_percentage": 50.0,
+         "attribute_source": "record", "from_attribute": "uid"},
+    )
+    out = stage(df)
+    # hashes the from_attribute column: all-or-nothing per uid value
+    per_uid = out.groupBy("uid").count().collect()
+    full = {r["uid"]: r["count"] for r in df.groupBy("uid").count().collect()}
+    for r in per_uid:
+        assert r["count"] == full[r["uid"]]
