@@ -68,10 +68,20 @@ def raw_logs(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     df = spark.range(n).withColumn("doc_id", F.format_string("doc-%012d", F.col("id")))
     df = df.withColumn("source", _source_col(_h(f"src-{seed}", "doc_id")))
     h = _h(f"body-{seed}", "doc_id")
-    status = F.element_at(F.array(F.lit(200), F.lit(404), F.lit(429), F.lit(500)), ((h % 4) + 1).cast("int"))
+    # status/level/fmt come from DISJOINT hash bits (h>>2, h>>4, h&3):
+    # deriving all three from h % 4 made body format, HTTP status, and log
+    # level perfectly correlated — every apache line was 200/INFO, every
+    # JSON line WARN — degenerating severity-routing selectivity in every
+    # fixture built on this table. shiftright keeps the arithmetic exact
+    # on the 63-bit hash (a double division would round above 2^53).
+    status = F.element_at(
+        F.array(F.lit(200), F.lit(404), F.lit(429), F.lit(500)),
+        ((F.shiftright(h, 2) % 4) + 1).cast("int"),
+    )
     size = (h % 9000) + 100
     level = F.element_at(
-        F.array(F.lit("INFO"), F.lit("WARN"), F.lit("ERROR"), F.lit("DEBUG")), ((h % 4) + 1).cast("int")
+        F.array(F.lit("INFO"), F.lit("WARN"), F.lit("ERROR"), F.lit("DEBUG")),
+        ((F.shiftright(h, 4) % 4) + 1).cast("int"),
     )
     base_ns = F.lit(1760104536_000000000)  # 2025-10-10T13:55:36Z, pinned (no wall clock)
     ts_ns = base_ns + F.col("id") * 1_000_000 + (h % 1000)

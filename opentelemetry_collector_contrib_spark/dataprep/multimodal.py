@@ -202,7 +202,10 @@ def sample_frames(
                     frames.append(b[i * frame_bytes : (i + 1) * frame_bytes])
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
+                    # nullable Int64, not int64: MEDIA_SCHEMA permits NULL
+                    # doc_ids and a non-nullable numpy dtype would raise in
+                    # the worker and abort the whole job on one such row
+                    "doc_id": pd.Series(ids, dtype="Int64"),
                     "frame_index": pd.Series(idxs, dtype="int32"),
                     "pts_ms": pd.Series(pts, dtype="int64"),
                     "frame_payload": frames,

@@ -45,9 +45,14 @@ def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _chars(word: Column) -> Column:
-    return F.transform(
-        F.sequence(F.lit(1), F.length(word)), lambda i: F.substring(word, i, 1)
+    # sequence(1, 0) DESCENDS to [1, 0] for the empty word, fabricating
+    # two '' pieces — one blank doc would then inject '' into the vocab
+    # at id 0 and silently shift every other token id
+    n = F.length(word)
+    idxs = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
     )
+    return F.transform(idxs, lambda i: F.substring(word, i, 1))
 
 
 def _merge_pair_udf(a: str, b: str):
@@ -147,7 +152,13 @@ def bpe_encode(
 
     @pandas_udf("array<string>")
     def _enc(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # the cache lives for the TASK (all Arrow batches of a partition),
+        # so it must be bounded: a high-cardinality partition (urls, ids)
+        # would otherwise grow the Python worker without limit. Cleared
+        # wholesale at the cap — natural-language word frequency is
+        # zipfian, so the hot head repopulates within one batch.
         cache: dict[str, list[str]] = {}
+        CACHE_CAP = 500_000
 
         def one(t):
             if t is None:
@@ -158,6 +169,8 @@ def bpe_encode(
                     continue
                 hit = cache.get(w)
                 if hit is None:
+                    if len(cache) >= CACHE_CAP:
+                        cache.clear()
                     hit = cache[w] = encode_word(w)
                 out.extend(hit)
             return out

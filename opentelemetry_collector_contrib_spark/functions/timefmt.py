@@ -68,7 +68,15 @@ def clickhouse_ts(ts_nanos: Column) -> Column:
     """Epoch-nanos (long) -> ClickHouse DateTime64(9) string in UTC:
     'yyyy-MM-dd HH:mm:ss.NNNNNNNNN' (9-digit zero-padded nanos), exactly
     formatTimeForClickHouse (formatter.go:599-607)."""
-    secs = F.floor(ts_nanos / F.lit(1_000_000_000)).cast("long")
-    nanos = (ts_nanos - secs * F.lit(1_000_000_000)).cast("long")
+    # exact integer split: `/` on longs is DOUBLE division, and a long
+    # near a second boundary (within ~128ns at 2025 epoch magnitudes)
+    # rounds up in the long->double cast — floor() then lands one second
+    # high and the nanos remainder goes NEGATIVE ('...37.0000000-1').
+    # pmod on longs is exact; the quotient divides an exact multiple in
+    # decimal, never double.
+    nanos = F.pmod(ts_nanos, F.lit(1_000_000_000))
+    secs = (
+        (ts_nanos - nanos).cast("decimal(38,0)") / F.lit(1_000_000_000)
+    ).cast("long")
     base = F.date_format(F.timestamp_seconds(secs), "yyyy-MM-dd HH:mm:ss")
     return F.concat(base, F.lit("."), F.lpad(nanos.cast("string"), 9, "0"))

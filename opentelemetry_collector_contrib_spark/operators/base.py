@@ -79,13 +79,25 @@ def set_parsed(
     if on_error.startswith("drop"):
         out = out.filter(F.col("__parsed").isNotNull() & (F.size("__parsed") > 0))
     if parse_to in df.columns:
+        # the EXISTING map must be NULL-safe too: map_filter(NULL) is NULL
+        # and propagates through map_concat, silently nulling a successful
+        # parse result for every row whose parse_to column is NULL
+        existing = F.coalesce(
+            F.col(parse_to), F.create_map().cast("map<string,string>")
+        )
         merged = F.map_concat(
             F.map_filter(
-                F.col(parse_to),
+                existing,
                 lambda k, _: ~F.array_contains(F.map_keys(F.coalesce(F.col("__parsed"), F.create_map())), k),
             ),
             F.coalesce(F.col("__parsed"), F.create_map().cast("map<string,string>")),
         )
+        # rows where BOTH sides were NULL keep NULL (not {}), preserving
+        # the NULL-propagating on_error contract
+        merged = F.when(
+            F.col(parse_to).isNull() & F.col("__parsed").isNull(),
+            F.lit(None).cast("map<string,string>"),
+        ).otherwise(merged)
         out = out.withColumn(parse_to, merged)
     else:
         out = out.withColumn(parse_to, F.col("__parsed"))

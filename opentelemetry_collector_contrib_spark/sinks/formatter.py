@@ -52,7 +52,9 @@ def format_log_rows(df: DataFrame) -> DataFrame:
     zero = F.lit(0).cast("long")
     time_ns = get("time_unix_nano", zero)
     obs_ns = get("observed_time_unix_nano", zero)
-    eff_ns = F.when(time_ns == 0, obs_ns).otherwise(time_ns)  # formatter.go:64-67
+    # formatter.go:64-67; NULL must fall back like 0 (when(NULL == 0) is
+    # NULL-false and would emit a NULL Timestamp instead of observed time)
+    eff_ns = F.when(time_ns.isNull() | (time_ns == 0), obs_ns).otherwise(time_ns)
     service = F.coalesce(
         F.element_at(_empty_map(get("resource_attributes", F.lit(None))), "service.name"), F.lit("")
     )  # formatter.go:286-291
@@ -60,7 +62,9 @@ def format_log_rows(df: DataFrame) -> DataFrame:
         clickhouse_ts(eff_ns).alias("Timestamp"),
         F.lower(F.coalesce(get("trace_id", F.lit("")), F.lit(""))).alias("TraceId"),
         F.lower(F.coalesce(get("span_id", F.lit("")), F.lit(""))).alias("SpanId"),
-        F.coalesce(get("flags", F.lit(0)), F.lit(0)).cast("int").alias("TraceFlags"),
+        # uint8 truncation: formatter.go casts uint8(lr.Flags()) — pdata
+        # flags are uint32, so values > 255 must wrap, not pass through
+        F.pmod(F.coalesce(get("flags", F.lit(0)), F.lit(0)).cast("int"), F.lit(256)).alias("TraceFlags"),
         F.coalesce(get("severity_text", F.lit("")), F.lit("")).alias("SeverityText"),
         F.coalesce(get("severity_number", F.lit(0)), F.lit(0)).cast("int").alias("SeverityNumber"),
         service.alias("ServiceName"),
@@ -81,11 +85,23 @@ def to_json_messages(df: DataFrame, partition_by: str = "none") -> DataFrame:
     (messenger.go Logs: key strategy none/trace_id/service_name/
     resource_hash; LogsToJSON)."""
     carry = [c for c in ("route", "tokens", "doc_id") if c in df.columns]
-    payload = F.to_json(F.struct(*[c for c in df.columns if c not in carry]))
+    # backtick-quote column references: span rows carry DOTTED names
+    # (Events.Timestamp, ...) which a bare string would resolve as nested
+    # field paths and fail analysis — alias back so the JSON keys keep
+    # the dots
+    payload = F.to_json(
+        F.struct(
+            *[F.col(f"`{c}`").alias(c) for c in df.columns if c not in carry]
+        )
+    )
     if partition_by == "none":
         key = F.lit(None).cast("binary")
     elif partition_by == "trace_id":
-        key = F.unhex(F.col("TraceId"))
+        # messenger.go:126-127: hex.Encode(buf, tid) — the key is the
+        # 32-byte ASCII hex string, NOT the 16 raw trace bytes (raw bytes
+        # would hash every span to a different partition than the
+        # collector)
+        key = F.encode(F.col("TraceId"), "UTF-8")
     elif partition_by == "service_name":
         key = F.when(F.col("ServiceName") != "", F.encode(F.col("ServiceName"), "UTF-8"))
     elif partition_by == "resource_hash":

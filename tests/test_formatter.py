@@ -98,9 +98,10 @@ def test_partition_keys(spark):
     # service_name strategy: key = utf-8 service name (messenger.go:95-99)
     msg = formatter.to_json_messages(df, partition_by="service_name").first()
     assert bytes(msg["Key"]) == b"svc"
-    # trace_id strategy: key = raw 16 trace bytes
+    # trace_id strategy: key = the 32-byte ASCII hex string
+    # (messenger.go:126-127 hex.Encode), not the 16 raw trace bytes
     msg2 = formatter.to_json_messages(df, partition_by="trace_id").first()
-    assert bytes(msg2["Key"]).hex() == "4bf92f3577b34da6a3ce929d0e0e4736"
+    assert bytes(msg2["Key"]) == b"4bf92f3577b34da6a3ce929d0e0e4736"
     # resource_hash: 16 bytes
     msg3 = formatter.to_json_messages(df, partition_by="resource_hash").first()
     assert len(bytes(msg3["Key"])) == 16

@@ -1091,3 +1091,98 @@ def test_config_sampler_attribute_source_enum(spark):
     full = {r["uid"]: r["count"] for r in df.groupBy("uid").count().collect()}
     for r in per_uid:
         assert r["count"] == full[r["uid"]]
+
+
+def test_set_parsed_null_existing_map_keeps_parse_result(spark):
+    from opentelemetry_collector_contrib_spark.operators.base import set_parsed
+
+    df = spark.createDataFrame(
+        [(1, None), (2, {"old": "x"})],
+        "id long, attributes map<string,string>",
+    )
+    parsed = F.when(F.col("id") >= 1, F.create_map(F.lit("k"), F.lit("v")))
+    out = {r["id"]: r["attributes"] for r in set_parsed(df, parsed).collect()}
+    assert out[1] == {"k": "v"}, "NULL existing map must not null the parse"
+    assert out[2] == {"old": "x", "k": "v"}
+
+
+def test_clickhouse_ts_exact_at_second_boundary(spark):
+    from opentelemetry_collector_contrib_spark.functions.timefmt import clickhouse_ts
+
+    df = spark.createDataFrame(
+        [(1760104536_999_999_999,), (1760104537_000_000_000,)], "ns long"
+    )
+    got = [r["t"] for r in df.select(clickhouse_ts(F.col("ns")).alias("t")).collect()]
+    assert got == [
+        "2025-10-10 13:55:36.999999999",
+        "2025-10-10 13:55:37.000000000",
+    ]
+
+
+def test_format_log_rows_null_time_falls_back_to_observed(spark):
+    from opentelemetry_collector_contrib_spark.sinks import formatter
+
+    df = spark.createDataFrame(
+        [(None, 2_000_000_000)],
+        "time_unix_nano long, observed_time_unix_nano long",
+    )
+    row = formatter.format_log_rows(df).first()
+    assert row["Timestamp"] == "1970-01-01 00:00:02.000000000"
+
+
+def test_to_json_messages_span_rows_and_flag_wrap(spark):
+    from opentelemetry_collector_contrib_spark.sinks import formatter
+
+    # dotted span columns must serialize (backticked refs), keeping dots
+    df = spark.createDataFrame([(1,)], "i long").select(
+        F.lit("t" * 32).alias("TraceId"),
+        F.lit("x").alias("plain"),
+        F.lit("y").alias("Events.Timestamp"),
+    )
+    msg = formatter.to_json_messages(df, partition_by="trace_id").first()
+    assert '"Events.Timestamp":"y"' in msg["Value"]
+    assert bytes(msg["Key"]) == b"t" * 32
+    # TraceFlags wraps at uint8 like formatter.go
+    lf = formatter.format_log_rows(
+        spark.createDataFrame([(256,), (1,)], "flags int")
+    ).collect()
+    assert sorted(r["TraceFlags"] for r in lf) == [0, 1]
+
+
+def test_build_vocab_ignores_blank_docs(spark):
+    from opentelemetry_collector_contrib_spark.dataprep import tokenize
+
+    docs1 = spark.createDataFrame([("ab ab",)], "text string")
+    docs2 = spark.createDataFrame([("ab ab",), ("  ",)], "text string")
+    m1 = tokenize.train_bpe(docs1, "text", num_merges=1)
+    v1 = tokenize.build_vocab(docs1, "text", m1)
+    v2 = tokenize.build_vocab(docs2, "text", m1)
+    assert v1 == v2, "a blank doc must not shift every token id"
+    assert "" not in v2
+
+
+def test_sample_frames_null_doc_id(spark):
+    from opentelemetry_collector_contrib_spark.dataprep import multimodal
+
+    df = spark.createDataFrame(
+        [(None, bytearray(b"x" * 64))],
+        "doc_id long, payload binary",
+    ).withColumn("media_type", F.lit("video/raw")).withColumn(
+        "meta", F.create_map().cast("map<string,string>")
+    )
+    rows = multimodal.sample_frames(df, frame_bytes=32, every_n=1).collect()
+    assert len(rows) == 2 and all(r["doc_id"] is None for r in rows)
+
+
+def test_datagen_fields_not_correlated_with_format(spark):
+    from opentelemetry_collector_contrib_spark import datagen
+
+    logs = datagen.raw_logs(spark, 2000).filter(F.col("fmt") == 0)
+    statuses = {
+        r["s"]
+        for r in logs.select(
+            F.regexp_extract("body", r'" (\d+) \d+$', 1).alias("s")
+        ).collect()
+    }
+    # apache-format lines must carry the full status mix, not constant 200
+    assert {"200", "404", "429", "500"} <= statuses
