@@ -133,15 +133,20 @@ def _extract_records(sub: pd.Series, rx) -> pd.Series:
             dtype=object,
         )
     names = [f.name for f in hits.type]
-    cols = [hits.field(i).to_pylist() for i in range(len(names))]
+    fields = [hits.field(i) for i in range(len(names))]
+    cols = [f.to_pylist() for f in fields]
     struct_nulls = hits.null_count
     # optional groups would surface as per-field nulls on MATCHED rows;
     # drop them like the JVM path does (our patterns have none, so this
     # branch normally stays cold). Non-matching rows are None (NULL map),
     # and empty-string group matches are dropped — both mirror
     # ottl.extract_patterns, whose NULL drives parser on_error semantics.
-    field_nulls = any(hits.field(i).null_count > struct_nulls for i in range(len(names)))
-    drop_empty = field_nulls or any("" in c for c in cols)
+    # The empty-value probe runs in Arrow C++ (one vectorized equality per
+    # column), not a Python '' in list scan over the whole batch.
+    field_nulls = any(f.null_count > struct_nulls for f in fields)
+    drop_empty = field_nulls or any(
+        bool(pc.any(pc.equal(f, "")).as_py()) for f in fields
+    )
     if struct_nulls:
         valid = pc.is_valid(hits).to_pylist()
         if drop_empty:
