@@ -20,10 +20,15 @@ Spark shapes:
   one groupBy(doc_id) shuffle. Per-bigram log-probs are rounded to a
   fixed 4-decimal grid (like dsir) so per-doc aggregates agree across
   engines and fold orders.
-- bucket: `ppl_tertiles` ranks with an unpartitioned NTILE(3) —
-  deterministic and oracle-mirrorable, but a single-partition sort; at
-  10^12 docs use `ppl_buckets(scored, lo, hi)` with cutoffs from
-  `approxQuantile` instead (same output column, no global sort).
+- bucket: the DEFAULT path is `ppl_bucket_hist` — exact tertile
+  cutoffs from the value histogram of the (4-decimal-rounded) logppl
+  grid. The groupBy(logppl) is bounded by the grid cardinality (tens of
+  thousands of distinct values at most), the cumsum window runs over
+  that small table, and the bucketing itself is a broadcast-join
+  comparison: no corpus-sized sort anywhere, same plan shape at 10^3 or
+  10^12 docs. `ppl_tertiles` (unpartitioned NTILE(3) — single-partition
+  sort of every score) is kept ONLY as a small-data exactly-equal-thirds
+  variant; never use it in a production recipe.
 
 Everything is built on the md5-prefix hash32 (dedup.hash32) so DuckDB
 mirrors the bucket assignment bit-for-bit.
@@ -140,13 +145,63 @@ def score_logppl(
     )
 
 
+def ppl_cutoffs(scored: DataFrame, ppl_col: str = "logppl") -> DataFrame:
+    """One-row (ppl_lo, ppl_hi) frame: EXACT tertile cutoffs computed
+    from the value histogram. Because score_logppl rounds to a 4-decimal
+    grid, ``groupBy(logppl)`` is bounded-cardinality no matter how big
+    the corpus is, so the cumulative-sum window here runs over a small
+    value table — never the corpus. lo = smallest value whose cumulative
+    count reaches n/3 (ties-low, integer arithmetic: cum*3 >= tot), hi
+    likewise at 2n/3. Lazy: no action, composes into one plan."""
+    hist = scored.groupBy(ppl_col).agg(F.count(F.lit(1)).alias("cnt"))
+    cum_w = Window.orderBy(F.col(ppl_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot_w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        F.col(ppl_col).alias("__v"),
+        F.sum("cnt").over(cum_w).alias("__cum"),
+        F.sum("cnt").over(tot_w).alias("__tot"),
+    )
+    return cum.agg(
+        F.min(F.when(F.col("__cum") * 3 >= F.col("__tot"), F.col("__v"))).alias("ppl_lo"),
+        F.min(F.when(F.col("__cum") * 3 >= 2 * F.col("__tot"), F.col("__v"))).alias("ppl_hi"),
+    )
+
+
+def ppl_bucket_hist(scored: DataFrame, ppl_col: str = "logppl") -> DataFrame:
+    """Scale-safe default bucketing: histogram-exact tertile cutoffs
+    (ppl_cutoffs) broadcast back onto the scored frame — head if
+    logppl <= lo, middle if <= hi, else tail. Embarrassingly parallel;
+    the only shuffle is the bounded histogram groupBy. Differs from
+    ppl_tertiles only in tie handling at the two boundary values (whole
+    value-groups stay together instead of being split mid-value), which
+    is the semantics CCNet actually needs — the buckets are quality
+    bands, not exact thirds."""
+    cuts = ppl_cutoffs(scored, ppl_col)
+    c = F.col(ppl_col)
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .withColumn(
+            "ppl_bucket",
+            F.when(c <= F.col("ppl_lo"), "head")
+            .when(c <= F.col("ppl_hi"), "middle")
+            .otherwise("tail"),
+        )
+        .drop("ppl_lo", "ppl_hi")
+    )
+
+
 def ppl_tertiles(
     scored: DataFrame, ppl_col: str = "logppl", id_col: str = "doc_id"
 ) -> DataFrame:
     """head/middle/tail by NTILE(3) over (logppl, id) — CCNet's
     equal-thirds split, deterministic under ties. Unpartitioned window =
-    single-partition sort: fine up to ~10^8 score rows; beyond that use
-    ppl_buckets with approxQuantile cutoffs."""
+    single-partition sort of EVERY score row: small-data variant only
+    (<~10^8 rows). Production recipes (curate_corpus) and the driver
+    suite use ppl_bucket_hist instead."""
     t = F.ntile(3).over(Window.orderBy(F.col(ppl_col).asc(), F.col(id_col).asc()))
     return scored.withColumn(
         "ppl_bucket",

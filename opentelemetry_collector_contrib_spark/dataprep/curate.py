@@ -94,11 +94,13 @@ def curate_corpus(
         text_col=text_col,
         buckets=ppl_buckets,
     )
-    ppl = ccnet.ppl_tertiles(
+    # histogram-exact tertile cutoffs, broadcast back — never the NTILE
+    # path (an unpartitioned window = single-partition sort of every
+    # post-filter score; a hard scale-killer at 10^12 docs)
+    ppl = ccnet.ppl_bucket_hist(
         ccnet.score_logppl(
             filtered, lm, ctx, id_col=id_col, text_col=text_col, buckets=ppl_buckets
-        ),
-        id_col=id_col,
+        )
     )
     scored = filtered.join(
         ppl.select(id_col, "logppl", "ppl_bucket"), id_col

@@ -304,9 +304,16 @@ def shuffle_sequences(
     across num_shards output shards and given a pseudorandom position
     within their shard, WITHOUT a global sort.
 
-    Adds (shuffle_shard int, shuffle_pos int): shard = hash(seed, id) %
-    num_shards, pos = rank of hash within the shard (ties broken by id,
-    so the assignment is total and reproducible across runs/partitioning).
+    Adds (shuffle_shard int, shuffle_pos int): shard = hash32(seed, id) %
+    num_shards, pos = rank of a 60-BIT hash within the shard (ties broken
+    by id, so the assignment is total and reproducible across runs/
+    partitioning). The within-shard sort key is hash60, not hash32: at
+    the design scale of 10^12 rows a 32-bit key collides for ~N/2^32
+    (hundreds of) rows per value, and the id tie-break would leave runs
+    of consecutive-id documents adjacent in the "shuffled" order; 60 bits
+    push expected collisions to ~0. hash60 is the first 15 hex chars of
+    the same md5 whose first 8 are hash32, so the shard modulus is just
+    the hash's top 32 bits — one md5 per row serves both columns.
 
     Shape at scale: ONE hash shuffle (the row_number window partitioned
     by shard) — no global ordering, no skew (the hash is uniform), and
@@ -315,13 +322,17 @@ def shuffle_sequences(
     (epoch reshuffles use seed=f"epoch-{i}")."""
     from pyspark.sql import Window
 
-    from .dedup import hash32
+    from .dedup import hash60
 
-    key = hash32(F.col(id_col).cast("string"), seed)
+    key = hash60(F.col(id_col).cast("string"), seed)
     w = Window.partitionBy("shuffle_shard").orderBy("__key", id_col)
     return (
         df.withColumn("__key", key)
-        .withColumn("shuffle_shard", (F.col("__key") % num_shards).cast("int"))
+        # top 32 of the 60 bits == hash32 of the same (seed, id)
+        .withColumn(
+            "shuffle_shard",
+            (F.shiftright(F.col("__key"), 28) % num_shards).cast("int"),
+        )
         .withColumn("shuffle_pos", (F.row_number().over(w) - 1).cast("int"))
         .drop("__key")
     )
@@ -344,8 +355,9 @@ def length_buckets(
     padded tokens regardless of bucket.
 
     Adds (bucket int, batch_id int, batch_pos int). Order within a bucket
-    is pseudorandom (same hash32 key family as shuffle_sequences, so
-    batches are length-homogeneous but content-shuffled).
+    is pseudorandom (same hash60 key family as shuffle_sequences — 60
+    bits so the id tie-break at 10^12 rows stays a tie-break, not the
+    de-facto order; batches are length-homogeneous but content-shuffled).
 
     The bucket index is integer-exact in both engines —
     length(bin(greatest(n-1, 1))) — no float log2 edge cases at exact
@@ -356,7 +368,7 @@ def length_buckets(
     writer wants one file per batch group."""
     from pyspark.sql import Window
 
-    from .dedup import hash32
+    from .dedup import hash60
 
     n = F.col(len_col)
     b = F.length(F.bin(F.greatest(n - 1, F.lit(1)))).cast("int")
@@ -368,7 +380,7 @@ def length_buckets(
     rn = F.row_number().over(w) - 1
     return (
         df.withColumn("bucket", b)
-        .withColumn("__key", hash32(F.col(id_col).cast("string"), seed))
+        .withColumn("__key", hash60(F.col(id_col).cast("string"), seed))
         .withColumn("__rn", rn)
         .withColumn("batch_id", (F.col("__rn") / batch_size).cast("int"))
         .withColumn("batch_pos", (F.col("__rn") % batch_size).cast("int"))

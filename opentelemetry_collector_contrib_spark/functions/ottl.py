@@ -174,7 +174,9 @@ def parse_key_value(col: Column, delimiter: str = "=", pair_delimiter: str = " "
     ents = F.transform(pairs, ent)
     deduped = F.filter(
         ents,
-        lambda e, i: ~F.exists(
+        lambda e, i: (e["key"] != "")  # runs of pair delimiters make empty
+        # tokens -> ''-key entries; the stanza keyvalue parser skips them
+        & ~F.exists(
             F.slice(ents, i + 2, F.size(ents)), lambda e2: e2["key"] == e["key"]
         ),
     )

@@ -97,6 +97,19 @@ def coralogix_transactions(
         F.col(start_col).alias("st"),
         F.coalesce(pre_root, F.lit(False)).alias("pre"),
     )
+    # duplicate span_ids within a trace (retried exports, bad
+    # instrumentation) must collapse to ONE state row, or the final
+    # stitch join fans out one output row per duplicate; the reference's
+    # spanMap is last-write-wins (processor.go builds map[spanID]), so
+    # keep the latest-starting duplicate, deterministic tie-break
+    dedup_rn = F.row_number().over(
+        Window.partitionBy("t", "s").orderBy(
+            F.col("st").desc(), F.col("nm").asc(), F.col("p").asc()
+        )
+    )
+    slim = slim.withColumn("__dup_rn", dedup_rn).filter(F.col("__dup_rn") == 1).drop(
+        "__dup_rn"
+    )
 
     # --- root election: earliest parentless span, else earliest span ---
     # parentless includes the all-zeros parent span id (the OTLP wire
@@ -231,5 +244,16 @@ def coralogix_transactions(
     # plan reads both — unpersisting here would recompute the whole
     # doubling cascade on the caller's first action. Both frames are slim
     # (ids + one name per span); Spark evicts them LRU when memory needs
-    # the space.
+    # the space. Callers that materialize the result and keep the session
+    # alive should release them via release_transactions(out).
+    out._coralogix_persisted = [spans, state]
     return out
+
+
+def release_transactions(result: "DataFrame") -> None:
+    """Unpersist the slim cached frames a coralogix_transactions result
+    still references. Call AFTER materializing (write/collect) the
+    result; before that, unpersisting would force the pointer-doubling
+    cascade to recompute from scratch on first action."""
+    for cached in getattr(result, "_coralogix_persisted", []):
+        cached.unpersist()

@@ -540,13 +540,15 @@ def q_text_stats_suite(spark, sf_dir):
     )
     # CCNet perplexity buckets (Wenzek et al. 2020): hashed-vocab bigram
     # LM fit on the English slice, everyone scored, head/middle/tail by
-    # deterministic NTILE(3)
+    # histogram-exact tertile cutoffs (ppl_bucket_hist — the scale-safe
+    # path curate_corpus runs; the cumsum window is over the bounded
+    # 4-decimal logppl value grid, never the corpus)
     from ..dataprep import ccnet
 
     CB = 64
     lm, ctx = ccnet.bigram_lm(corpus.filter(F.col("lang") == "en"), buckets=CB)
     scored = ccnet.score_logppl(corpus, lm, ctx, buckets=CB).persist()
-    cbuck = ccnet.ppl_tertiles(scored).select(
+    cbuck = ccnet.ppl_bucket_hist(scored).select(
         "doc_id",
         F.col("logppl").alias("ccnet_logppl"),
         F.col("ppl_bucket").alias("ccnet_bucket"),
@@ -647,13 +649,24 @@ WITH b AS (
              ROUND(ln(0.5 / (COALESCE(cctx.c1, 0) + 0.5*64)), 4))), 4) AS lp
   FROM cp LEFT JOIN clm USING (b1, b2) LEFT JOIN cctx USING (b1)
   GROUP BY 1
+), cscored AS (
+  SELECT d.doc_id, COALESCE(csc.lp, 0.0) AS ccnet_logppl
+  FROM documents d LEFT JOIN csc USING (doc_id)
+), ccut AS (
+  -- histogram-exact tertile cutoffs over the rounded logppl grid —
+  -- mirrors ccnet.ppl_cutoffs (ties-low, integer cum*3 >= tot)
+  SELECT MIN(v) FILTER (WHERE cum * 3 >= tot) AS lo,
+         MIN(v) FILTER (WHERE cum * 3 >= 2 * tot) AS hi
+  FROM (SELECT v, SUM(cnt) OVER (ORDER BY v
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(cnt) OVER () AS tot
+        FROM (SELECT ccnet_logppl AS v, COUNT(*) AS cnt FROM cscored GROUP BY 1))
 ), cbuck AS (
   SELECT doc_id, ccnet_logppl,
-         CASE NTILE(3) OVER (ORDER BY ccnet_logppl, doc_id)
-           WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
-         END AS ccnet_bucket
-  FROM (SELECT d.doc_id, COALESCE(csc.lp, 0.0) AS ccnet_logppl
-        FROM documents d LEFT JOIN csc USING (doc_id))
+         CASE WHEN ccnet_logppl <= lo THEN 'head'
+              WHEN ccnet_logppl <= hi THEN 'middle'
+              ELSE 'tail' END AS ccnet_bucket
+  FROM cscored, ccut
 )
 SELECT m.doc_id,
        CASE WHEN COALESCE(hits, 0) / greatest(n, 1) >= 0.02
@@ -1444,16 +1457,19 @@ clean AS (
   FROM c2 LEFT JOIN rem r USING (shard, seq_index)
 ),
 keyed AS (
+  -- 60-bit order key (15 hex chars); shard = its top 32 bits mod 8,
+  -- which equals hash32 mod 8 (the first 8 hex chars of the same md5) —
+  -- mirrors packing.shuffle_sequences/length_buckets hash60 ordering
   SELECT shard, seq_index, n_tok,
          shard * 1000000 + seq_index AS pid,
          ('0x' || substr(md5('sh1' || CAST(shard * 1000000 + seq_index
-                                           AS VARCHAR)), 1, 8))::BIGINT AS k
+                                           AS VARCHAR)), 1, 15))::BIGINT AS k
   FROM c2
 ),
 shuf AS (
   SELECT pid,
-         CAST(k % 8 AS INT) AS shuffle_shard,
-         CAST(ROW_NUMBER() OVER (PARTITION BY k % 8 ORDER BY k, pid) - 1
+         CAST((k >> 28) % 8 AS INT) AS shuffle_shard,
+         CAST(ROW_NUMBER() OVER (PARTITION BY (k >> 28) % 8 ORDER BY k, pid) - 1
               AS INT) AS shuffle_pos
   FROM keyed
 ),
@@ -1579,6 +1595,12 @@ def q_streaming_windowed_counts(spark, sf_dir):
     )
     q.awaitTermination(180)
     q2.awaitTermination(180)
+    # both availableNow streams have drained into the in-memory sink
+    # tables; drop the staged source copy (one full events copy per
+    # driver-gate run otherwise leaks in /tmp until reboot)
+    import shutil
+
+    shutil.rmtree(gbt_dir, ignore_errors=True)
 
     win_rows = spark.table(name).select(
         F.lit("window").alias("kind"),

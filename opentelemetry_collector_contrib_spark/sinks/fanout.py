@@ -78,10 +78,13 @@ def write_fanout_with_counts(
     ]
     # catch-all: routes present in the data but missing from route_names
     # (a stale list) still land on disk — they must also land in the
-    # accounting, or per-sink totals silently undercount with no error
+    # accounting, or per-sink totals silently undercount with no error.
+    # NULL routes must be caught explicitly: ~NULL.isin(names) is NULL,
+    # which when() treats as false — exactly the silent-undercount hole
+    # this bucket exists to close
     aggs.append(
         F.sum(
-            F.when(~F.col(route_col).isin(names), 1).otherwise(0)
+            F.when(F.col(route_col).isNull() | ~F.col(route_col).isin(names), 1).otherwise(0)
         ).alias("__unlisted")
     )
     observed = routed.observe(obs, *aggs)

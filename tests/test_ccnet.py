@@ -125,3 +125,65 @@ def test_cutoff_buckets_match_tertiles_on_exact_quantiles(spark, corpora):
             assert by_cut[d] == by_ntile[d], (d, v, by_cut[d], by_ntile[d])
             checked += 1
     assert checked >= 10
+
+
+def test_ppl_bucket_hist_matches_manual_cutoffs_and_has_no_corpus_sort(spark, corpora):
+    """The scale-safe default: histogram-exact cutoffs must equal the
+    hand-computed ties-low tertile cutoffs, bucketing must agree with the
+    explicit ppl_buckets(lo, hi) call on every row, and the physical plan
+    must not sort the scored frame into a single partition (the NTILE
+    scale-killer this path replaces)."""
+    target, raw = corpora
+    lm, ctx = ccnet.bigram_lm(target, buckets=B)
+    scored = ccnet.score_logppl(raw, lm, ctx, buckets=B)
+    ppl = {r["doc_id"]: r["logppl"] for r in scored.collect()}
+    n = len(ppl)
+    vals = sorted(ppl.values())
+
+    def ties_low_cut(frac_num: int) -> float:
+        # smallest grid value whose cumulative count reaches frac_num * n / 3
+        seen = 0
+        for v in vals:
+            seen += 1
+            if seen * 3 >= frac_num * n:
+                # advance through the rest of the tie group: cutoffs are
+                # per-value, so the first index inside the group qualifies
+                return v
+        raise AssertionError("unreachable")
+
+    lo, hi = ties_low_cut(1), ties_low_cut(2)
+    cuts = ccnet.ppl_cutoffs(scored).collect()[0]
+    assert cuts["ppl_lo"] == lo and cuts["ppl_hi"] == hi
+
+    by_hist = {
+        r["doc_id"]: r["ppl_bucket"] for r in ccnet.ppl_bucket_hist(scored).collect()
+    }
+    by_cut = {
+        r["doc_id"]: r["ppl_bucket"] for r in ccnet.ppl_buckets(scored, lo, hi).collect()
+    }
+    assert by_hist == by_cut
+    # this fixture is deliberately tie-heavy (30/43 docs share one value), so
+    # whole-group bucketing collapses it — assert the tie-group invariant here
+    for d, v in ppl.items():
+        for d2, v2 in ppl.items():
+            if v == v2:
+                assert by_hist[d] == by_hist[d2]
+
+    # on a spread distribution the histogram path yields near-thirds
+    spread = spark.createDataFrame(
+        [(i, round(i * 0.01, 4)) for i in range(90)], ["doc_id", "logppl"]
+    )
+    sb = Counter(
+        r["ppl_bucket"] for r in ccnet.ppl_bucket_hist(spread).collect()
+    )
+    assert sb == {"head": 30, "middle": 30, "tail": 30}
+
+    # plan gate: the only single-partition exchange feeds the bounded value
+    # histogram (post-groupBy), never the raw scored rows — assert the
+    # SinglePartition exchange consumes an aggregate, not the score join
+    plan = ccnet.ppl_bucket_hist(scored)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Exchange SinglePartition", plan):
+        tail = plan[m.start() : m.start() + 2000]
+        assert "HashAggregate" in tail, tail[:400]

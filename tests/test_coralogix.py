@@ -166,3 +166,40 @@ def test_traces_are_independent(spark):
     }
     assert got[("t1", "b")] == ("t1-root", None)
     assert got[("t2", "b")] == ("t2-child", True)
+
+
+def test_duplicate_span_ids_do_not_fan_out(spark):
+    """Duplicate (trace_id, span_id) rows — retried exports, bad
+    instrumentation — must collapse to one state row (reference spanMap is
+    last-write-wins): every input row annotated once, no join fan-out."""
+    rows = [
+        ("t1", "a", None, "root-op", "internal", 100),
+        ("t1", "b", "a", "child-1", "internal", 200),
+        ("t1", "b", "a", "child-retry", "internal", 300),  # dup span_id
+        ("t1", "c", "b", "grandchild", "internal", 400),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = coralogix_transactions(df).collect()
+    assert len(out) == len(rows)  # one output row per input row
+    by_name = {r["span_name"]: r for r in out}
+    # everyone reaches the root through the (deduped) chain
+    for nm in ("root-op", "child-1", "child-retry", "grandchild"):
+        assert by_name[nm]["cgx_transaction"] == "root-op", nm
+
+
+def test_release_transactions_unpersists_cached_frames(spark):
+    from opentelemetry_collector_contrib_spark.operators.coralogix import (
+        release_transactions,
+    )
+
+    df = spark.createDataFrame(
+        [("t1", "a", None, "root-op", "internal", 100),
+         ("t1", "b", "a", "child", "internal", 200)],
+        SCHEMA,
+    )
+    out = coralogix_transactions(df)
+    out.count()
+    cached = list(getattr(out, "_coralogix_persisted"))
+    assert cached and all(c.storageLevel.useMemory for c in cached)
+    release_transactions(out)
+    assert all(not c.storageLevel.useMemory for c in cached)

@@ -85,3 +85,21 @@ def test_tap_processor_passthrough_and_bounded_sample(spark, tmp_path):
         for line in f.read_text().splitlines()
     ]
     assert {x["id"] for x in lines} == {x["id"] for x in lines2}
+
+
+def test_write_fanout_null_routes_counted_as_unlisted(spark, tmp_path):
+    """NULL routes (a routing expression that itself yields NULL) must be
+    counted in the '__unlisted' catch-all — ~NULL.isin(names) is NULL,
+    which when() treats as false, the original silent-undercount hole."""
+    df = spark.range(10).select(
+        F.col("id"),
+        F.when(F.col("id") < 4, "a")
+        .when(F.col("id") < 7, F.lit(None).cast("string"))
+        .otherwise("rogue")
+        .alias("route"),
+    )
+    counts = write_fanout_with_counts(df, str(tmp_path / "sinks2"), ["a"])
+    assert counts["a"] == 4
+    assert counts["__unlisted"] == 6  # 3 NULL + 3 rogue
+    total_accounted = sum(v for k, v in counts.items())
+    assert total_accounted == 10

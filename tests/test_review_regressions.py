@@ -1013,7 +1013,9 @@ def test_parse_key_value_duplicates_last_wins(spark):
     )
     got = [r["m"] for r in df.select(ottl.parse_key_value(F.col("s")).alias("m")).collect()]
     assert got[0]["a"] == "2"
-    assert got[1]["k"] == "1" and got[1]["b"] == "2" and got[1]["c"] == "3"
+    # doubled pair delimiters make empty tokens; stanza's keyvalue parser
+    # skips them — no spurious ''-key entry may survive
+    assert got[1] == {"k": "1", "b": "2", "c": "3"}
     assert got[2] == {"x": "1", "y": "2"}
 
 
