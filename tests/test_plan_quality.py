@@ -149,7 +149,10 @@ def test_registry_wide_no_cartesian_products(spark):
     the bucketed path). Everything else must be equality joins."""
     from opentelemetry_collector_contrib_spark.plans.queries import REGISTRY
 
-    bnlj_allowed = {"ann_cosine_topk", "dedup_embedding_cosine"}
+    # text_stats_suite: ppl_bucket_hist broadcasts the ONE-row tertile
+    # cutoffs frame across the corpus (crossJoin of a 1-row aggregate) —
+    # a constant-size broadcast, the correct scale shape
+    bnlj_allowed = {"ann_cosine_topk", "dedup_embedding_cosine", "text_stats_suite"}
     skip = {"streaming_windowed_counts"}  # executes a stream on build
     offenders = []
     for name, (fn, _sql) in REGISTRY.items():
@@ -161,4 +164,33 @@ def test_registry_wide_no_cartesian_products(spark):
             offenders.append((name, "CartesianProduct"))
         if "BroadcastNestedLoopJoin" in plan and name not in bnlj_allowed:
             offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
+
+
+def test_registry_wide_no_unpartitioned_window_over_corpus(spark):
+    """Round-4 gate (VERDICT r3 #1): an unpartitioned window (NTILE / global
+    row_number) shows up physically as `Exchange SinglePartition` — moving
+    its whole input to ONE task. That is only acceptable when the input is
+    a bounded-cardinality frame (a value histogram, a per-language count
+    table, a B-row bucket frame), i.e. the subtree under the exchange is an
+    aggregate (HashAggregate/ObjectHashAggregate/SortAggregate) or a
+    literal LocalTableScan — never raw corpus rows. This is the gate that
+    keeps the CCNet-NTILE scale-killer class of bug out of the registry."""
+    from opentelemetry_collector_contrib_spark.plans.queries import REGISTRY
+
+    import re as _re
+
+    skip = {"streaming_windowed_counts"}  # executes a stream on build
+    offenders = []
+    for name, (fn, _sql) in REGISTRY.items():
+        if name in skip:
+            continue
+        plan = fn(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+        for m in _re.finditer(r"Exchange SinglePartition", plan):
+            subtree = plan[m.start() : m.start() + 4000]
+            if not _re.search(
+                r"HashAggregate|ObjectHashAggregate|SortAggregate|LocalTableScan",
+                subtree,
+            ):
+                offenders.append((name, subtree.splitlines()[:4]))
     assert not offenders, offenders
