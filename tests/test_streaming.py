@@ -332,3 +332,58 @@ def test_udp_log_datasource_end_to_end(spark, tmp_path):
         assert seen["ID7"]["remote"].startswith("127.0.0.1:")
     finally:
         stop.set()
+
+
+def test_cap_tracked_streams_matches_naive_sort_no_full_frame_sort(spark):
+    """Round-4 scale fix (VERDICT r3 #4): the max_streams cap must equal
+    the naive global (last_seen desc, key asc) top-K bit-for-bit on both
+    a distinct and a tie-heavy distribution, at ~1e5 streams, while the
+    exact ranking sort runs only over a threshold-filtered boundary
+    bucket — every Exchange SinglePartition in the plan must sit above a
+    last_seen Filter, never the raw candidate state."""
+    import re
+
+    from pyspark.sql import Window
+
+    from opentelemetry_collector_contrib_spark.streaming.stream import (
+        cap_tracked_streams,
+    )
+
+    n, k = 100_000, 1_000
+    base = spark.range(n).select(
+        F.concat(F.lit("svc-"), F.col("id")).alias("name"),
+        F.lit(0.0).alias("running"),
+    )
+    cases = {
+        # distinct last_seen: threshold carves out almost everything
+        "distinct": base.withColumn(
+            "last_seen", (F.crc32(F.col("name")) % 1_000_000).cast("double")
+        ),
+        # heavy ties: 50 distinct values, boundary bucket = one tie group
+        "ties": base.withColumn(
+            "last_seen", (F.crc32(F.col("name")) % 50).cast("double")
+        ),
+    }
+    for label, cand in cases.items():
+        cand = cand.persist()
+        try:
+            capped = cap_tracked_streams(cand, ["name"], k)
+            naive = (
+                cand.withColumn(
+                    "__r",
+                    F.row_number().over(
+                        Window.orderBy(F.col("last_seen").desc(), F.col("name").asc())
+                    ),
+                )
+                .filter(F.col("__r") <= k)
+                .drop("__r")
+            )
+            got = sorted((r["name"], r["last_seen"]) for r in capped.collect())
+            want = sorted((r["name"], r["last_seen"]) for r in naive.collect())
+            assert got == want, label
+            plan = capped._jdf.queryExecution().executedPlan().toString()
+            for m in re.finditer(r"Exchange SinglePartition", plan):
+                subtree = plan[m.start() : m.start() + 3000]
+                assert re.search(r"Filter .*last_seen", subtree), (label, subtree[:500])
+        finally:
+            cand.unpersist()
