@@ -54,6 +54,7 @@ def curate_corpus(
     span_len: int = 16,
     max_len: int = 1024,
     num_shards: int = 8,
+    minhash_kw: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Run the curation recipe; returns the named stages:
 
@@ -79,8 +80,12 @@ def curate_corpus(
         F.col("keeper_id").alias(id_col)
     )
     exact_kept = docs.join(keepers, id_col)
+    # minhash_kw passes through to dedupe_corpus/minhash_lsh_pairs
+    # (e.g. hash_impl='md5' for the DuckDB-mirrorable oracle path;
+    # production default stays the ~10x-cheaper xxhash)
     deduped = dedup.dedupe_corpus(
-        exact_kept, text_col, id_col, threshold=neardup_threshold
+        exact_kept, text_col, id_col, threshold=neardup_threshold,
+        **(minhash_kw or {}),
     )
 
     # 2. heuristic quality filter

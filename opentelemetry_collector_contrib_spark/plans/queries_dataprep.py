@@ -652,16 +652,81 @@ def q_dataset_split(spark, sf_dir):
         .groupBy("split", "source")
         .agg(F.count(F.lit(1)).alias("n_mix"))
     )
-    return (
+    base = (
         full.join(samp, ["split", "source"], "left")
         .join(mixc, ["split", "source"], "left")
         .withColumn("n_sampled", F.coalesce("n_sampled", F.lit(0).cast("long")))
         .withColumn("n_mix", F.coalesce("n_mix", F.lit(0).cast("long")))
     )
+    # --- curate_corpus COMPOSITION invariants under the same oracle row
+    # (round-4, VERDICT r3 #3): the end-to-end recipe a user actually
+    # runs — exact dedup -> MinHash near-dup removal -> Gopher filter ->
+    # CCNet bucket filter -> split -> tokenize -> ExactSubstr -> pack —
+    # emitted as per-stage (row count, checksum) rows so a regression in
+    # the COMPOSITION (stage wiring, filter order, join keys) flips this
+    # CORRECTNESS row, not just pytest. hash_impl='md5' selects the
+    # DuckDB-mirrorable minhash path; the token checksum of the packed
+    # output is the conserved-token invariant (sum over every token of
+    # every packed sequence).
+    from ..dataprep.curate import curate_corpus
+
+    stages = curate_corpus(
+        spark,
+        docs,
+        ppl_buckets=64,
+        span_len=16,
+        max_len=64,
+        num_shards=4,
+        minhash_kw={"hash_impl": "md5"},
+    )
+
+    def srow(frame, label, cks):
+        return frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(cks, F.lit(0)).cast("long").alias("first_doc"),
+        ).select(
+            F.lit("curate").alias("split"),
+            F.lit(label).alias("source"),
+            "n",
+            "first_doc",
+            F.lit(0).cast("long").alias("n_sampled"),
+            F.lit(0).cast("long").alias("n_mix"),
+        )
+
+    assigned_rows = (
+        stages["assigned"]
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").cast("long").alias("first_doc"),
+        )
+        .select(
+            F.lit("curate").alias("split"),
+            F.concat(F.lit("assigned:"), F.col("split")).alias("source"),
+            "n",
+            "first_doc",
+            F.lit(0).cast("long").alias("n_sampled"),
+            F.lit(0).cast("long").alias("n_mix"),
+        )
+    )
+    token_sum = F.sum(
+        F.aggregate(
+            F.col("tokens"), F.lit(0).cast("long"), lambda a, t: a + t
+        )
+    )
+    curate_rows = (
+        srow(stages["deduped"], "deduped", F.sum("doc_id"))
+        .unionByName(srow(stages["filtered"], "filtered", F.sum("doc_id")))
+        .unionByName(srow(stages["selected"], "selected", F.sum("doc_id")))
+        .unionByName(assigned_rows)
+        .unionByName(srow(stages["tokens"], "tokens", F.sum("n_removed")))
+        .unionByName(srow(stages["packed"], "packed", token_sum))
+    )
+    return base.unionByName(curate_rows)
 
 
 SQL_DATASET_SPLIT = f"""
-WITH h AS (
+WITH RECURSIVE h AS (
   SELECT doc_id, source,
          ('0x'||substr(md5('split:' || doc_id::VARCHAR),1,8))::BIGINT AS hv,
          ('0x'||substr(md5('strata:' || doc_id::VARCHAR),1,8))::BIGINT AS sv
@@ -711,12 +776,234 @@ mixr AS (
 mix_counts AS (
   SELECT split, source, COUNT(*) AS n_mix
   FROM mixr JOIN mixq USING (lang) WHERE rn <= quota GROUP BY 1, 2
+),
+-- ======================================================================
+-- curate_corpus composition mirror (round-4): the exact same stage chain
+-- the Spark recipe composes, each fragment lifted from its independently
+-- verified per-stage oracle (minhash: SQL_DEDUP_MINHASH; gopher/ccnet:
+-- _sql_text_stats; exactsubstr/pack: SQL_SEQUENCE_PACKING)
+-- ======================================================================
+-- stage 1a: exact dedup on md5(lower(trim(text))), keeper = min doc_id
+ck AS (
+  SELECT doc_id, text, lang, md5(lower(trim(text))) AS ckey FROM documents
+),
+ckeep AS (SELECT MIN(doc_id) AS doc_id FROM ck GROUP BY ckey),
+cexact AS (SELECT ck.doc_id, ck.text, ck.lang FROM ck JOIN ckeep USING (doc_id)),
+-- stage 1b: MinHash+LSH near-dup pairs (k=3 shingles, 16 hashes,
+-- 4 bands, jaccard >= 0.8, md5 hash family) + transitive closure;
+-- survivors = docs that are their own component minimum (or unpaired)
+cmw AS (SELECT doc_id, string_split(text,' ') AS w FROM cexact),
+csh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(w)-2,1)+1),
+                       i -> array_to_string(w[i:i+2], ' '))) AS sh
+  FROM cmw
+),
+csigs AS (
+  SELECT doc_id, sh,
+         [{_MH_SIG_TERMS}] AS sig
+  FROM (SELECT doc_id, sh,
+               list_transform(sh, x ->
+                 ('0x'||substr(md5(x),1,8))::BIGINT % 2147483647) AS hs
+        FROM csh)
+),
+cbands AS (
+  SELECT doc_id, sh, t.j,
+         md5(sig[t.j*4+1]::VARCHAR||','||sig[t.j*4+2]::VARCHAR||','||
+             sig[t.j*4+3]::VARCHAR||','||sig[t.j*4+4]::VARCHAR) AS bh
+  FROM csigs, UNNEST([0,1,2,3]) AS t(j)
+),
+ccand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM cbands a JOIN cbands b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+cpairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT c.id_a, c.id_b,
+           ROUND(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                 / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+    FROM ccand c JOIN csh sa ON sa.doc_id = c.id_a
+                 JOIN csh sb ON sb.doc_id = c.id_b
+  ) WHERE jaccard >= 0.8
+),
+cedges AS (
+  SELECT id_a AS a, id_b AS b FROM cpairs
+  UNION ALL
+  SELECT id_b, id_a FROM cpairs
+),
+creach AS (
+  SELECT a AS id, b AS peer FROM cedges
+  UNION
+  SELECT r.id, e.b FROM creach r JOIN cedges e ON r.peer = e.a
+),
+closers AS (
+  SELECT id FROM (
+    SELECT id, LEAST(id, MIN(peer)) AS cluster FROM creach GROUP BY id
+  ) WHERE cluster <> id
+),
+cdeduped AS (
+  SELECT * FROM cexact WHERE doc_id NOT IN (SELECT id FROM closers)
+),
+-- stage 2: Gopher heuristic filter (same signal arithmetic as
+-- _sql_text_stats, over the dedup survivors)
+cgm AS (
+  SELECT doc_id, text, lang, wn, len(wn)::DOUBLE AS n,
+         ROUND(len(list_distinct(list_transform(
+                 range(1, greatest(len(wn)-1,1)+1),
+                 i -> array_to_string(wn[i:i+1], ' '))))::DOUBLE
+               / greatest(len(wn)-1, 1), 4) AS d2g_frac,
+         ROUND(len(regexp_extract_all(text, '#|…|\\.\\.\\.'))::DOUBLE
+               / greatest(len(wn), 1), 4) AS sym_ratio,
+         ROUND(COALESCE(list_sum(list_transform(wn, x -> length(x))), 0)::DOUBLE
+               / greatest(len(wn), 1), 4) AS mean_wlen
+  FROM (SELECT doc_id, text, lang,
+               list_filter(string_split(text,' '), x -> x <> '') AS wn
+        FROM cdeduped)
+),
+cgruns AS (
+  SELECT doc_id, MAX(cnt) AS max_run FROM (
+    SELECT doc_id, word, grp, COUNT(*) AS cnt FROM (
+      SELECT doc_id, wn[t.pos] AS word, t.pos,
+             t.pos - ROW_NUMBER() OVER (PARTITION BY doc_id, wn[t.pos]
+                                        ORDER BY t.pos) AS grp
+      FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS wn
+            FROM cdeduped), UNNEST(range(1, len(wn)+1)) AS t(pos)
+    ) GROUP BY 1, 2, 3
+  ) GROUP BY 1
+),
+cfiltered AS (
+  SELECT m.doc_id, m.text, m.lang
+  FROM cgm m LEFT JOIN cgruns r USING (doc_id)
+  WHERE len(m.wn) >= 50 AND len(m.wn) <= 100000
+    AND m.mean_wlen BETWEEN 3.0 AND 10.0
+    AND m.sym_ratio <= 0.1
+    AND m.d2g_frac >= 0.2
+    AND COALESCE(r.max_run, 0) <= 6
+),
+-- stage 3: CCNet bigram LM (64 buckets) fit on the FILTERED English
+-- slice, scored over the filtered corpus, histogram-exact tertile
+-- cutoffs, keep head+middle
+ucw AS (
+  SELECT doc_id, lang,
+         list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+                        x -> ('0x'||substr(md5(x),1,8))::BIGINT % 64) AS wb
+  FROM cfiltered
+),
+ucp AS (
+  SELECT doc_id, lang, wb[t.i] AS b1, wb[t.i+1] AS b2
+  FROM ucw, UNNEST(range(1, len(wb))) AS t(i)
+),
+ucc AS (SELECT b1, b2, COUNT(*) AS c12 FROM ucp WHERE lang = 'en' GROUP BY 1, 2),
+uclm AS (
+  SELECT b1, b2,
+         ROUND(ln((c12 + 0.5) / (SUM(c12) OVER (PARTITION BY b1) + 0.5*64)), 4) AS logp
+  FROM ucc
+),
+ucctx AS (SELECT b1, SUM(c12) AS c1 FROM ucc GROUP BY 1),
+usc AS (
+  SELECT ucp.doc_id,
+         ROUND(-AVG(COALESCE(uclm.logp,
+             ROUND(ln(0.5 / (COALESCE(ucctx.c1, 0) + 0.5*64)), 4))), 4) AS lp
+  FROM ucp LEFT JOIN uclm USING (b1, b2) LEFT JOIN ucctx USING (b1)
+  GROUP BY 1
+),
+uscored AS (
+  SELECT d.doc_id, COALESCE(usc.lp, 0.0) AS logppl
+  FROM cfiltered d LEFT JOIN usc USING (doc_id)
+),
+ucut AS (
+  SELECT MIN(v) FILTER (WHERE cum * 3 >= tot) AS lo,
+         MIN(v) FILTER (WHERE cum * 3 >= 2 * tot) AS hi
+  FROM (SELECT v, SUM(cnt) OVER (ORDER BY v
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(cnt) OVER () AS tot
+        FROM (SELECT logppl AS v, COUNT(*) AS cnt FROM uscored GROUP BY 1))
+),
+uselected AS (
+  SELECT s.doc_id FROM uscored s, ucut WHERE s.logppl <= ucut.hi
+),
+-- stage 4: deterministic split over the selected docs (0.9/0.05/0.05)
+uassigned AS (
+  SELECT u.doc_id,
+         CASE WHEN hv < {int((1 << 32) * 0.9)} THEN 'train'
+              WHEN hv < {int((1 << 32) * 0.95)} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               ('0x'||substr(md5('split:' || doc_id::VARCHAR),1,8))::BIGINT AS hv
+        FROM uselected) u
+),
+-- stage 5: hashed-vocab tokenize + ExactSubstr duplicate-span removal
+-- (16-token windows, corpus-first occurrence kept) over ALL splits
+utok AS (
+  SELECT a.doc_id, a.split,
+         list_transform(string_split(d.text,' '),
+                        w -> ('0x'||substr(md5(w),1,8))::BIGINT % 50257) AS t
+  FROM uassigned a JOIN documents d USING (doc_id)
+),
+uwins AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+15], ',') AS wi
+  FROM utok, UNNEST(range(1, len(t)-16+2)) AS u(i)
+  WHERE len(t) >= 16
+),
+uocc AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY wi) AS c,
+         ROW_NUMBER() OVER (PARTITION BY wi ORDER BY doc_id, pos) AS rn
+  FROM uwins
+),
+urem AS (
+  SELECT doc_id, list_sort(list(pos)) AS starts
+  FROM uocc WHERE c >= 2 AND rn > 1 GROUP BY doc_id
+),
+uclean AS (
+  SELECT u.doc_id, u.split,
+         CASE WHEN r.starts IS NULL THEN u.t
+              ELSE list_filter(u.t, (x, i) ->
+                     len(list_filter(r.starts,
+                         s -> i >= s AND i < s + 16)) = 0)
+         END AS ct,
+         len(u.t) AS n0
+  FROM utok u LEFT JOIN urem r USING (doc_id)
+),
+-- stage 6: concat-and-chunk pack of the train split (max_len=64,
+-- 4 shards, shard = doc_id % 4, docs ordered by id within shard)
+ustreams AS (
+  SELECT doc_id % 4 AS shard, flatten(list(ct ORDER BY doc_id)) AS stream
+  FROM uclean WHERE split = 'train' GROUP BY 1
+),
+upacked AS (
+  SELECT shard, i AS seq_index,
+         stream[(i*64+1)::BIGINT : (i*64+64)::BIGINT] AS tokens
+  FROM (SELECT * FROM ustreams WHERE len(stream) > 0),
+       UNNEST(range(0, ceil(len(stream)/64.0)::BIGINT)) AS u(i)
 )
 SELECT f.split, f.source, f.n, f.first_doc,
        CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled,
        CAST(COALESCE(m.n_mix, 0) AS BIGINT) AS n_mix
 FROM full_counts f LEFT JOIN samp_counts s USING (split, source)
 LEFT JOIN mix_counts m USING (split, source)
+UNION ALL
+SELECT 'curate', 'deduped', COUNT(*), COALESCE(SUM(doc_id), 0)::BIGINT,
+       0::BIGINT, 0::BIGINT FROM cdeduped
+UNION ALL
+SELECT 'curate', 'filtered', COUNT(*), COALESCE(SUM(doc_id), 0)::BIGINT,
+       0::BIGINT, 0::BIGINT FROM cfiltered
+UNION ALL
+SELECT 'curate', 'selected', COUNT(*), COALESCE(SUM(doc_id), 0)::BIGINT,
+       0::BIGINT, 0::BIGINT FROM uselected
+UNION ALL
+SELECT 'curate', 'assigned:' || split, COUNT(*),
+       COALESCE(SUM(doc_id), 0)::BIGINT, 0::BIGINT, 0::BIGINT
+FROM uassigned GROUP BY 2
+UNION ALL
+SELECT 'curate', 'tokens', COUNT(*),
+       COALESCE(SUM(n0 - len(ct)), 0)::BIGINT, 0::BIGINT, 0::BIGINT
+FROM uclean
+UNION ALL
+SELECT 'curate', 'packed', COUNT(*),
+       COALESCE(SUM(COALESCE(list_sum(tokens), 0)), 0)::BIGINT,
+       0::BIGINT, 0::BIGINT
+FROM upacked
 """
 
 

@@ -149,10 +149,16 @@ def test_registry_wide_no_cartesian_products(spark):
     the bucketed path). Everything else must be equality joins."""
     from opentelemetry_collector_contrib_spark.plans.queries import REGISTRY
 
-    # text_stats_suite: ppl_bucket_hist broadcasts the ONE-row tertile
-    # cutoffs frame across the corpus (crossJoin of a 1-row aggregate) —
-    # a constant-size broadcast, the correct scale shape
-    bnlj_allowed = {"ann_cosine_topk", "dedup_embedding_cosine", "text_stats_suite"}
+    # text_stats_suite + dataset_split (via curate_corpus): ppl_bucket_hist
+    # broadcasts the ONE-row tertile cutoffs frame across the corpus
+    # (crossJoin of a 1-row aggregate) — a constant-size broadcast, the
+    # correct scale shape
+    bnlj_allowed = {
+        "ann_cosine_topk",
+        "dedup_embedding_cosine",
+        "text_stats_suite",
+        "dataset_split",
+    }
     skip = {"streaming_windowed_counts"}  # executes a stream on build
     offenders = []
     for name, (fn, _sql) in REGISTRY.items():
