@@ -470,6 +470,27 @@ FROM w JOIN mst USING (event_id)
 # ---------------------------------------------------------------------------
 
 
+# Fixed BPE merge table + vocab for the oracle-checked encode path:
+# chosen so the corpus vocabulary exercises chained merges ('j','o' ->
+# 'jo','i' -> 'joi','n' collapses 'join' to one piece), rank priority
+# ('e','r' outranks 'o','r' inside 'order'), and untouched words. The
+# vocab is the GPT-2 convention: alphabet first, then merge products in
+# merge order.
+BPE_TEST_MERGES = [
+    ("a", "t"), ("h", "a"), ("at", "c"), ("s", "t"), ("e", "r"),
+    ("er", "g"), ("o", "r"), ("r", "o"), ("l", "e"), ("q", "u"),
+    ("j", "o"), ("jo", "i"), ("joi", "n"),
+]
+BPE_TEST_VOCAB: dict[str, int] = {
+    c: i for i, c in enumerate("abcdefghijklmnopqrstuvwxyz")
+}
+for _a, _b in BPE_TEST_MERGES:
+    BPE_TEST_VOCAB.setdefault(_a + _b, len(BPE_TEST_VOCAB))
+
+_BPE_MERGES_SQL = "[" + ", ".join(f"'{a}|{b}'" for a, b in BPE_TEST_MERGES) + "]"
+_BPE_VOCAB_SQL = "[" + ", ".join(f"'{p}'" for p in BPE_TEST_VOCAB) + "]"
+
+
 def q_text_stats_suite(spark, sf_dir):
     """language_id + quality + token counts + fingerprint PLUS the
     Gopher-style repetition/shape filters (Rae et al. 2021): distinct
@@ -553,7 +574,29 @@ def q_text_stats_suite(spark, sf_dir):
         F.col("logppl").alias("ccnet_logppl"),
         F.col("ppl_bucket").alias("ccnet_bucket"),
     )
-    return gopher.join(sel, "doc_id").join(cbuck, "doc_id")
+    # BPE encode/decode under the oracle (round-4, VERDICT r3 #6): the
+    # real tokenize.encode_ids path (Arrow-batched merge-rank encoder)
+    # with a FIXED merge table + vocab (literals shared with the DuckDB
+    # mirror, which replays the merge loop as a recursive CTE over the
+    # distinct-word table). Covers chained merges (j-o -> jo-i -> joi-n),
+    # rank priority, and the id roundtrip; train_bpe itself is
+    # pytest-covered (the learned merges are corpus-dependent, so a
+    # static oracle can't pin them).
+    from ..dataprep import tokenize
+
+    ids = tokenize.encode_ids(F.col("text"), BPE_TEST_MERGES, BPE_TEST_VOCAB)
+    decoded = F.concat_ws("", tokenize.decode_ids(ids, BPE_TEST_VOCAB))
+    bpe = docs.select(
+        "doc_id",
+        F.size(ids).alias("bpe_n_ids"),
+        F.md5(
+            F.concat_ws(",", F.transform(ids, lambda i: i.cast("string")))
+        ).alias("bpe_ids_md5"),
+        (decoded == F.regexp_replace(F.col("text"), " ", "")).alias(
+            "bpe_roundtrip"
+        ),
+    )
+    return gopher.join(sel, "doc_id").join(cbuck, "doc_id").join(bpe, "doc_id")
 
 
 def _sql_text_stats() -> str:
@@ -561,7 +604,7 @@ def _sql_text_stats() -> str:
 
     stoplist = "[" + ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS) + "]"
     return rf"""
-WITH b AS (
+WITH RECURSIVE b AS (
   SELECT doc_id, text, string_split(text,' ') AS w,
          list_filter(string_split(text,' '), x -> x <> '') AS wn
   FROM documents
@@ -667,6 +710,48 @@ WITH b AS (
               WHEN ccnet_logppl <= hi THEN 'middle'
               ELSE 'tail' END AS ccnet_bucket
   FROM cscored, ccut
+), bpe_rec AS (
+  -- BPE merge loop over the DISTINCT word table (the classic BPE
+  -- optimization — the corpus vocabulary is tiny vs the corpus): each
+  -- recursive step merges the lowest-rank adjacent pair, exactly the
+  -- loop tokenize.bpe_encode runs per word
+  SELECT word,
+         list_transform(range(1, length(word)+1),
+                        i -> substr(word, i::INT, 1)) AS toks
+  FROM (SELECT DISTINCT unnest(wn) AS word FROM b)
+  UNION ALL
+  SELECT word,
+         list_concat(list_concat(toks[1:bi-1], [toks[bi] || toks[bi+1]]),
+                     toks[bi+2:])
+  FROM (
+    SELECT word, toks,
+           list_position(rk, list_min(list_filter(rk, r -> r > 0))) AS bi
+    FROM (
+      SELECT word, toks,
+             list_transform(range(1, len(toks)),
+               i -> list_position({_BPE_MERGES_SQL},
+                                  toks[i] || '|' || toks[i+1])) AS rk
+      FROM bpe_rec WHERE len(toks) > 1
+    )
+    WHERE len(list_filter(rk, r -> r > 0)) > 0
+  )
+), bpe_ids AS (
+  -- final state per word = the row with no applicable merge left;
+  -- piece -> id via the fixed vocab (1-based list_position - 1)
+  SELECT word,
+         list_transform(toks,
+           t -> nullif(list_position({_BPE_VOCAB_SQL}, t), 0) - 1) AS ids
+  FROM bpe_rec
+  WHERE len(toks) = 1
+     OR len(list_filter(list_transform(range(1, len(toks)),
+          i -> list_position({_BPE_MERGES_SQL}, toks[i] || '|' || toks[i+1])),
+          r -> r > 0)) = 0
+), bwords AS (
+  SELECT doc_id, t.i AS pos, wn[t.i] AS word
+  FROM b, UNNEST(range(1, len(wn)+1)) AS t(i)
+), bdoc AS (
+  SELECT w.doc_id, flatten(list(bi.ids ORDER BY w.pos)) AS ids
+  FROM bwords w JOIN bpe_ids bi USING (word) GROUP BY w.doc_id
 )
 SELECT m.doc_id,
        CASE WHEN COALESCE(hits, 0) / greatest(n, 1) >= 0.02
@@ -689,11 +774,17 @@ SELECT m.doc_id,
         AND COALESCE(r.max_run, 0) <= 6) AS gopher_keep,
        dw.dsir_logw,
        (sd.doc_id IS NOT NULL) AS dsir_selected,
-       cb.ccnet_logppl, cb.ccnet_bucket
+       cb.ccnet_logppl, cb.ccnet_bucket,
+       CAST(COALESCE(len(bd.ids), 0) AS INT) AS bpe_n_ids,
+       md5(COALESCE(array_to_string(bd.ids, ','), '')) AS bpe_ids_md5,
+       COALESCE(array_to_string(list_transform(bd.ids,
+                  i -> list_extract({_BPE_VOCAB_SQL}, (i+1)::INT)), ''), '')
+         = replace(m.text, ' ', '') AS bpe_roundtrip
 FROM m LEFT JOIN runs r USING (doc_id)
 JOIN dw USING (doc_id)
 LEFT JOIN dsel sd USING (doc_id)
 JOIN cbuck cb USING (doc_id)
+LEFT JOIN bdoc bd USING (doc_id)
 """
 
 
