@@ -308,18 +308,24 @@ def main() -> None:
                 queries[name] = round(t, 3)
 
             # MinHash production path (xxhash64 signatures + slim candidate
-            # join) benchmarked against the md5 oracle path above
+            # join) vs the md5 oracle path: INTERLEAVED trials (md5, xx,
+            # md5, xx, ...) so a co-tenant contention spike hits both paths
+            # alike — min-of-trials per path is then comparable within one
+            # run, and a real xxhash regression can't hide behind "host
+            # noise" (round-3's dedup_minhash_xxhash 0.67->1.30s question)
             from opentelemetry_collector_contrib_spark.dataprep import dedup as _dedup
 
             docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
-            t0 = time.perf_counter()
-            _force(_dedup.minhash_lsh_pairs(docs, hash_impl="xxhash"))
-            t = time.perf_counter() - t0
-            if t > 5.0:
+            best_md5, best_xx = float("inf"), float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _force(_dedup.minhash_lsh_pairs(docs, hash_impl="md5"))
+                best_md5 = min(best_md5, time.perf_counter() - t0)
                 t0 = time.perf_counter()
                 _force(_dedup.minhash_lsh_pairs(docs, hash_impl="xxhash"))
-                t = min(t, time.perf_counter() - t0)
-            queries["dedup_minhash_xxhash"] = round(t, 3)
+                best_xx = min(best_xx, time.perf_counter() - t0)
+            queries["dedup_minhash_xxhash"] = round(best_xx, 3)
+            queries["dedup_minhash_md5_interleaved"] = round(best_md5, 3)
 
         total = round(sum(queries.values()), 3)
         print(
