@@ -63,6 +63,10 @@ def build_spark(cpus: int) -> SparkSession:
             os.environ.get("SPARK_GRAFT_MAX_PART_BYTES", "33554432"),
         )
         .config("spark.sql.session.timeZone", "UTC")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # ParallelGC: the pipeline churns humongous allocations (token

@@ -169,6 +169,139 @@ def _extract_records(sub: pd.Series, rx) -> pd.Series:
     return pd.Series(rows, index=sub.index, dtype=object)
 
 
+def _extract_map_arrow(sub: "pa.Array", rx) -> "pa.Array":
+    """String subset -> MapArray in ONE RE2 pass + columnar assembly —
+    zero per-row Python. extract_regex yields a StructArray; the map
+    children are built by a vectorized transpose (concat fields + one
+    take with row-major indices), empty/absent groups are dropped with a
+    boolean filter, and per-row offsets come from a numpy cumsum. Null
+    offsets mark non-matching rows as NULL maps (parser on_error
+    semantics downstream). The body bytes are touched exactly once (the
+    regex); everything after operates on the extracted field buffers."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    pattern = rx.pattern if hasattr(rx, "pattern") else rx
+    n = len(sub)
+    hits = pc.extract_regex(sub, pattern=pattern)
+    names = [f.name for f in hits.type]
+    k = len(names)
+    valid_np = pc.is_valid(hits).to_numpy(zero_copy_only=False)
+    cols = [hits.field(i) for i in range(k)]
+    keep = (
+        np.stack(
+            [
+                pc.fill_null(pc.not_equal(c, ""), False).to_numpy(
+                    zero_copy_only=False
+                )
+                for c in cols
+            ]
+        )
+        & valid_np
+    )  # (k, n); nulls, empty-string groups, and non-matching rows all drop
+    concat = pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols])
+    idx = (np.arange(n)[:, None] + np.arange(k)[None, :] * n).ravel()
+    inter_vals = pc.take(concat, pa.array(idx, type=pa.int64()))
+    inter_keys = pc.take(
+        pa.array(names), pa.array(np.tile(np.arange(k), n), type=pa.int64())
+    )
+    mask = pa.array(keep.T.ravel())
+    items = pc.filter(inter_vals, mask)
+    keys = pc.filter(inter_keys, mask)
+    row_lens = keep.sum(axis=0)
+    offs = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(row_lens, out=offs[1:])
+    off_arr = pa.array(
+        offs, type=pa.int32(), mask=np.concatenate([~valid_np, [False]])
+    )
+    return pa.MapArray.from_arrays(off_arr, keys, items)
+
+
+def _parse_multiformat_arrow_batch(body: "pa.Array", fmt: "pa.Array") -> "pa.Array":
+    """One Arrow batch of (body, fmt) -> MapArray. Format dispatch,
+    detection regexes, apache/containerd extraction, and the output map
+    assembly all run in Arrow C++; only JSON (json.loads is dict-shaped
+    by nature) and key=value (last-wins duplicate-key semantics match
+    str_to_map, which a raw MapArray would not honor) remain per-row —
+    over their subsets only. Subset results merge back into row order
+    with one inverse-permutation take."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    map_type = pa.map_(pa.string(), pa.string())
+    if isinstance(body, pa.ChunkedArray):
+        body = body.combine_chunks()
+    if isinstance(fmt, pa.ChunkedArray):
+        fmt = fmt.combine_chunks()
+    n = len(body)
+    if n == 0:
+        return pa.array([], type=map_type)
+
+    def np_mask(arr) -> "np.ndarray":
+        return pc.fill_null(arr, False).to_numpy(zero_copy_only=False)
+
+    bn = np_mask(pc.is_valid(body))
+    is0 = np_mask(pc.equal(fmt, 0)) & bn
+    is1 = np_mask(pc.equal(fmt, 1)) & bn
+    is2 = np_mask(pc.equal(fmt, 2)) & bn
+    auto = np_mask(pc.is_null(fmt)) & bn
+    if auto.any():
+        j = np_mask(pc.starts_with(body, "{")) & auto
+        rem = auto & ~j
+        kv = np_mask(pc.match_substring_regex(body, _KV_DETECT_RX.pattern)) & rem
+        ap = (
+            np_mask(pc.match_substring_regex(body, _APACHE_DETECT_RX.pattern))
+            & rem
+            & ~kv
+        )
+        is1 |= j
+        is2 |= kv
+        is0 |= ap
+    is3 = bn & ~(is0 | is1 | is2)
+
+    parts: list[pa.Array] = []
+    idxs: list[np.ndarray] = []
+
+    def subset(mask: "np.ndarray") -> "pa.Array":
+        ix = np.nonzero(mask)[0]
+        idxs.append(ix)
+        return pc.take(body, pa.array(ix, type=pa.int64()))
+
+    if is1.any():
+        sub = subset(is1)
+        parts.append(pa.array([_json_one(x) for x in sub.to_pylist()], type=map_type))
+    if is2.any():
+        sub = subset(is2)
+        parts.append(pa.array([_kv_one(x) for x in sub.to_pylist()], type=map_type))
+    if is0.any():
+        parts.append(_extract_map_arrow(subset(is0), APACHE_RX))
+    if is3.any():
+        parts.append(_extract_map_arrow(subset(is3), CONTAINERD_RX))
+    if not bn.all():
+        ix = np.nonzero(~bn)[0]
+        idxs.append(ix)
+        parts.append(pa.nulls(len(ix), type=map_type))
+
+    perm = np.concatenate(idxs) if idxs else np.array([], dtype=np.int64)
+    inv = np.empty(n, dtype=np.int64)
+    inv[perm] = np.arange(n)
+    merged = pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts])
+    return pc.take(merged, pa.array(inv, type=pa.int64()))
+
+
+try:  # pyspark >= 4.1: pyarrow-native UDF — the lowest-byte-churn path
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf(T.MapType(T.StringType(), T.StringType()))
+    def parse_multiformat_arrow(body, fmt):
+        return _parse_multiformat_arrow_batch(body, fmt)
+
+except ImportError:  # pragma: no cover - older pyspark
+    parse_multiformat_arrow = None
+
+
 @pandas_udf(T.MapType(T.StringType(), T.StringType()))
 def parse_multiformat(body: pd.Series, fmt: pd.Series) -> pd.Series:
     """body + fmt tag -> map<string,string> of extracted attributes.

@@ -13,6 +13,8 @@ the token arrays carried through untouched (per-row invariant).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -38,12 +40,16 @@ def parse_records(logs: DataFrame, impl: str = "jvm") -> DataFrame:
     """Vectorized parse of the 4 payload shapes (apache common-log / JSON /
     key=value / containerd) + severity + observed-timestamp fallback.
 
-    impl="pandas" (north-rule path): one Arrow-batched pandas UDF —
-    Python workers are separate processes, so the parse scales past the
-    single-JVM contention ceiling (~2x at 32 local cores; BASELINE.md).
+    impl="arrow" (north-rule default): one pyarrow-native UDF (pyspark
+    4.1 arrow_udf) — format dispatch, RE2 extraction, and the output
+    MapArray assembly all in Arrow C++; only JSON/key=value rows touch
+    per-row Python. ~1.6x the pandas path at local[8] and the
+    lowest bytes/row through the Python workers (no pandas object
+    churn), which is what the 8->32 scaling pair is bound by.
+    impl="pandas": the Arrow-batched pandas UDF (pre-4.1 path).
     impl="jvm": pure column expressions (from_json / str_to_map /
     regexp_extract chain) inside whole-stage codegen — zero Python, best
-    for low parallelism / small batches. Both produce identical maps."""
+    for low parallelism / small batches. All produce identical maps."""
     from ..functions.ottl import extract_patterns
 
     # single source of truth for the format patterns — a drifted copy here
@@ -59,11 +65,42 @@ def parse_records(logs: DataFrame, impl: str = "jvm") -> DataFrame:
     apache_rx = APACHE_RX.pattern
     containerd_rx = CONTAINERD_RX.pattern
 
-    if impl == "pandas":
-        from ..functions.vparse import parse_multiformat_col
+    if impl in ("hybrid", "arrow"):
+        from ..functions.vparse import parse_multiformat_arrow as _pma
+
+        if _pma is None:
+            impl = "pandas"  # pyspark < 4.1 fallback
+    if impl == "hybrid":
+        # split the work by where each format parses cheapest: JSON and
+        # key=value go to the JVM expressions (from_json/str_to_map —
+        # Jackson + codegen, parity-tested against the Python models),
+        # and the Python workers receive body BYTES only for the two
+        # regex formats (the masked column ships as Arrow nulls for
+        # everything else). Halves the bytes/row through the Python
+        # workers — the resource the 8->32 scaling pair is bound by.
+        from ..functions.vparse import parse_multiformat_arrow
 
         fmt = F.col("fmt") if "fmt" in logs.columns else F.lit(None).cast("int")
-        parsed = parse_multiformat_col(body, fmt)
+        is_json = (fmt == 1) | (fmt.isNull() & body.startswith("{"))
+        is_kv = (fmt == 2) | (
+            fmt.isNull()
+            & ~body.startswith("{")
+            & body.rlike(_KV_DETECT_RX.pattern)
+        )
+        masked = F.when(~(is_json | is_kv), body)
+        parsed = (
+            F.when(is_json, F.from_json(body, "map<string,string>"))
+            .when(is_kv, F.str_to_map(F.trim(body), F.lit(" "), F.lit("=")))
+            .otherwise(parse_multiformat_arrow(masked, fmt))
+        )
+    elif impl in ("pandas", "arrow"):
+        from ..functions.vparse import parse_multiformat, parse_multiformat_arrow
+
+        fmt = F.col("fmt") if "fmt" in logs.columns else F.lit(None).cast("int")
+        if impl == "arrow" and parse_multiformat_arrow is None:
+            impl = "pandas"  # pyspark < 4.1 fallback
+        udf = parse_multiformat_arrow if impl == "arrow" else parse_multiformat
+        parsed = udf(body, fmt)
     else:
         # auto-detect (no fmt column, or a NULL fmt cell): same dispatch
         # order as vparse._parse_one
@@ -145,7 +182,7 @@ def log_pipeline_fused(
     fused: DataFrame,
     meta: DataFrame,
     routes: list[tuple[str, F.Column]] | None = None,
-    parse_impl: str = "pandas",
+    parse_impl: str = os.environ.get("SPARK_GRAFT_PARSE_IMPL", "arrow"),
 ) -> dict[str, DataFrame]:
     """North-rule pipeline over the FUSED input table
     (doc_id, tokens, n_tok, source, body, ingest_ts, fmt) — the

@@ -28,16 +28,65 @@ def test_fused_matches_join_variant(spark):
 
 
 def test_parse_impls_agree(spark):
-    """pandas-UDF parse and JVM-expression parse produce identical
-    attribute maps on all four payload formats."""
+    """pandas-UDF, pyarrow-native (arrow_udf), and JVM-expression parse
+    produce identical attribute maps on all four payload formats."""
     from opentelemetry_collector_contrib_spark.plans.pipeline import parse_records
 
     logs = datagen.raw_logs(spark, 500)
     a = parse_records(logs, impl="jvm").select("doc_id", "attributes")
     b = parse_records(logs, impl="pandas").select("doc_id", "attributes")
+    c = parse_records(logs, impl="arrow").select("doc_id", "attributes")
     rows_a = {r["doc_id"]: r["attributes"] for r in a.collect()}
     rows_b = {r["doc_id"]: r["attributes"] for r in b.collect()}
+    rows_c = {r["doc_id"]: r["attributes"] for r in c.collect()}
     assert rows_a == rows_b
+    assert rows_b == rows_c
+
+
+def test_arrow_parse_batch_matches_reference_model():
+    """The Arrow batch parser (C++ dispatch + RE2 extract + native
+    MapArray assembly) must match the per-row reference model _parse_one
+    on every edge case: malformed JSON/non-object JSON, kv without '=',
+    duplicate kv keys (last wins), empty containerd log group, apache
+    near-miss (prefix detects but extract returns NULL), NULL body,
+    auto-detect dispatch, leading-space kv, empty kv value."""
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_spark.functions.vparse import (
+        _parse_multiformat_arrow_batch,
+        _parse_one,
+    )
+
+    cases = [
+        ('1.2.3.4 - alice [10/Oct/2000:13:55:36 -0700] "GET /x HTTP/1.0" 200 2326', 0),
+        ('{"a": "b", "n": 5, "x": null, "o": {"i": 1}}', 1),
+        ("k=1 b=2 c=3", 2),
+        ("2023-10-10T13:55:36.993Z stdout F hello world", 3),
+        ("not an apache line", 0),
+        ("{bad json", 1),
+        ("null", 1),
+        ("[1,2]", 1),
+        ("k=1 naked b=2", 2),
+        ("k=1 k=2", 2),
+        ("2023-10-10T13:55:36.993Z stderr P ", 3),
+        (None, 1),
+        ('{"z": "1"}', None),
+        ("a=1 b=2", None),
+        ('9.9.9.9 - - [x] "POST /y HTTP/1.1" 500 10', None),
+        ("some random line here", None),
+        ("1.2.3.4 - alice [broken", None),
+        ("", 3),
+        ("", None),
+        (" x=1", 2),
+        ("weird=", 2),
+        (None, None),
+    ]
+    body = pa.array([c[0] for c in cases], type=pa.string())
+    fmt = pa.array([c[1] for c in cases], type=pa.int32())
+    got = _parse_multiformat_arrow_batch(body, fmt).to_pylist()
+    for (b, f), g in zip(cases, got):
+        want = _parse_one(b, f)
+        assert (dict(g) if g is not None else None) == want, (b, f)
 
 
 def test_fused_token_invariant_and_observed_counts(spark, tmp_path):
