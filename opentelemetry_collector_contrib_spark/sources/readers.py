@@ -58,6 +58,34 @@ def kafka_source(spark: SparkSession, bootstrap: str, topic: str, streaming: boo
     )
 
 
+def stdin_input(spark: SparkSession, stream=None) -> DataFrame:
+    """stdin input operator (pkg/stanza/operator/input/stdin/input.go:24-64:
+    a bufio.Scanner goroutine emitting one entry per line). The Spark analog
+    is host-side plumbing: drain the process's stdin (bounded — batch
+    semantics, like the reference's Stop on EOF) and parallelize the lines.
+    `stream` overrides the source for tests."""
+    import sys
+
+    src = stream if stream is not None else sys.stdin
+    lines = [ln.rstrip("\n") for ln in src]
+    return spark.createDataFrame([(ln,) for ln in lines], "body string")
+
+
+def namedpipe_input(spark: SparkSession, path: str, max_lines: int | None = None) -> DataFrame:
+    """namedpipe input operator (pkg/stanza/operator/input/namedpipe/
+    input.go:30-90: mkfifo + reopen-on-EOF read loop). Batch analog: one
+    bounded drain of the FIFO (the reference's persistent tail loop is a
+    host concern, same note as journald/windows-event — SURVEY §2.1).
+    Reads until EOF or `max_lines`, one row per line."""
+    lines: list[str] = []
+    with open(path, "r") as fh:
+        for ln in fh:
+            lines.append(ln.rstrip("\n"))
+            if max_lines is not None and len(lines) >= max_lines:
+                break
+    return spark.createDataFrame([(ln,) for ln in lines], "body string")
+
+
 def syslog_socket_source(
     spark: SparkSession,
     host: str,

@@ -171,3 +171,29 @@ def test_sampler_priority_attribute_override(spark):
         th_col="th", priority_col="prio",
     ).collect()
     assert len(out2) == 1 and out2[0]["sampling_threshold"] == "0"
+
+
+def test_stdin_and_namedpipe_inputs(spark, tmp_path):
+    import io
+    import os
+
+    from opentelemetry_collector_contrib_spark.sources.readers import (
+        namedpipe_input,
+        stdin_input,
+    )
+
+    df = stdin_input(spark, stream=io.StringIO("line one\nline two\n"))
+    assert [r.body for r in df.collect()] == ["line one", "line two"]
+
+    fifo = str(tmp_path / "pipe")
+    os.mkfifo(fifo)
+    pid = os.fork()
+    if pid == 0:  # writer child: open blocks until the reader opens
+        with open(fifo, "w") as fh:
+            fh.write("a=1\nb=2\n")
+        os._exit(0)
+    try:
+        df2 = namedpipe_input(spark, fifo)
+        assert [r.body for r in df2.collect()] == ["a=1", "b=2"]
+    finally:
+        os.waitpid(pid, 0)
