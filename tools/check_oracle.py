@@ -1,22 +1,27 @@
 """Local replica of the driver's correctness gate: run each queries() entry
-on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count, sorted
-column names, and an order-insensitive value hash.
+on Spark and its oracle_sql() on DuckDB, compare row count, sorted column
+names, and an order-insensitive value hash.
 
 Usage: python tools/check_oracle.py [name ...]
+Env:   ORACLE_SF_DIR  parquet dir (default /root/testdata/sf0.01)
+       ORACLE_CORES   spark local[N] + shuffle partitions (default 8)
+       ORACLE_JSON    write a CORRECTNESS-style JSON report here
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import math
 import os
 import sys
+import time
 
 import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
 
 
@@ -55,16 +60,20 @@ def main():
     import __spark_entry__ as entrymod
 
     only = set(sys.argv[1:])
-    spark = build_session(app_name="oracle-check", master="local[8]", shuffle_partitions=8)
+    exclude = set(filter(None, os.environ.get("ORACLE_EXCLUDE", "").split(",")))
+    cores = int(os.environ.get("ORACLE_CORES", "8"))
+    spark = build_session(app_name="oracle-check", master=f"local[{cores}]", shuffle_partitions=cores)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    report = {"sf_dir": SF_DIR, "cores": cores, "queries": {}}
     for name, fn in qs.items():
-        if only and name not in only:
+        if (only and name not in only) or name in exclude:
             continue
+        t0 = time.monotonic()
         try:
             sdf = fn(spark, SF_DIR)
             srows = [r.asDict() for r in sdf.collect()]
@@ -72,10 +81,14 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: spark error {str(e)[:200]}")
             failures.append(name)
+            report["queries"][name] = {"status": "spark_error", "err": str(e)[:300]}
             continue
+        spark_sec = round(time.monotonic() - t0, 2)
         if name not in oracles:
-            print(f"SKIP {name}: rows-only check -> {len(srows)} rows")
+            print(f"SKIP {name}: rows-only check -> {len(srows)} rows ({spark_sec}s)")
+            report["queries"][name] = {"status": "rows_only", "rows": len(srows), "spark_sec": spark_sec}
             continue
+        t1 = time.monotonic()
         try:
             rel = con.sql(oracles[name])
             # the driver fetches via pandas where HUGEINT -> float64
@@ -91,12 +104,23 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: duckdb error {str(e)[:200]}")
             failures.append(name)
+            report["queries"][name] = {"status": "duckdb_error", "err": str(e)[:300]}
             continue
+        duck_sec = round(time.monotonic() - t1, 2)
         ok_rows = len(srows) == len(drows)
         ok_cols = scols == dcols
         ok_hash = ok_rows and ok_cols and value_hash(srows) == value_hash(drows)
+        report["queries"][name] = {
+            "status": "ok" if ok_hash else "mismatch",
+            "rows": len(srows),
+            "rows_match": ok_rows,
+            "schema_match": ok_cols,
+            "hash_match": ok_hash,
+            "spark_sec": spark_sec,
+            "duckdb_sec": duck_sec,
+        }
         if ok_hash:
-            print(f"OK   {name}: {len(srows)} rows")
+            print(f"OK   {name}: {len(srows)} rows (spark {spark_sec}s, duck {duck_sec}s)")
         else:
             failures.append(name)
             print(f"FAIL {name}: rows {len(srows)}/{len(drows)} cols_match={ok_cols}")
@@ -110,6 +134,13 @@ def main():
                 for x in list(d - s)[:3]:
                     print(f"     duck-only:  {x[:160]}")
     spark.stop()
+    out = os.environ.get("ORACLE_JSON")
+    if out:
+        n_ok = sum(1 for v in report["queries"].values() if v["status"] == "ok")
+        report["summary"] = {"ok": n_ok, "total": len(report["queries"]), "failures": failures}
+        with open(out, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {out}")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)
 
