@@ -276,7 +276,10 @@ def main() -> None:
     args = ap.parse_args()
 
     try:
-        sf = float(os.path.basename(args.sf_dir.rstrip("/")).replace("sf", ""))
+        # handles both the driver's "sf0.1" dirs and the repo-local
+        # "testdata_sf1" scale-up (tools/make_sf1.py)
+        base = os.path.basename(args.sf_dir.rstrip("/"))
+        sf = float(base[base.rindex("sf") + 2:])
     except ValueError:
         sf = 0.1
     n_rows = args.seq_rows or max(int(10_000_000 * sf), 10_000)

@@ -679,6 +679,16 @@ def q_dataset_split(spark, sf_dir):
         num_shards=4,
         minhash_kw={"hash_impl": "md5"},
     )
+    # curate_corpus returns LAZY stage frames (the caller decides what to
+    # materialize — its documented contract); this query aggregates SIX of
+    # them, so without persistence each stage row would recompute its full
+    # prefix chain (6x the dedup->filter->ppl->split->tokenize work — the
+    # exact re-evaluation the oracle side needed AS MATERIALIZED for).
+    # The persisted frames are row-per-doc and bounded by the input table;
+    # they are released lazily by LRU / session teardown (gate processes
+    # are short-lived; long-lived callers should unpersist themselves).
+    for key in ("deduped", "filtered", "selected", "assigned", "tokens"):
+        stages[key] = stages[key].persist()
 
     def srow(frame, label, cks):
         return frame.agg(
@@ -784,11 +794,11 @@ mix_counts AS (
 -- _sql_text_stats; exactsubstr/pack: SQL_SEQUENCE_PACKING)
 -- ======================================================================
 -- stage 1a: exact dedup on md5(lower(trim(text))), keeper = min doc_id
-ck AS (
+ck AS MATERIALIZED (
   SELECT doc_id, text, lang, md5(lower(trim(text))) AS ckey FROM documents
 ),
 ckeep AS (SELECT MIN(doc_id) AS doc_id FROM ck GROUP BY ckey),
-cexact AS (SELECT ck.doc_id, ck.text, ck.lang FROM ck JOIN ckeep USING (doc_id)),
+cexact AS MATERIALIZED (SELECT ck.doc_id, ck.text, ck.lang FROM ck JOIN ckeep USING (doc_id)),
 -- stage 1b: MinHash+LSH near-dup pairs (k=3 shingles, 16 hashes,
 -- 4 bands, jaccard >= 0.8, md5 hash family) + transitive closure;
 -- survivors = docs that are their own component minimum (or unpaired)
@@ -841,7 +851,7 @@ closers AS (
     SELECT id, LEAST(id, MIN(peer)) AS cluster FROM creach GROUP BY id
   ) WHERE cluster <> id
 ),
-cdeduped AS (
+cdeduped AS MATERIALIZED (
   SELECT * FROM cexact WHERE doc_id NOT IN (SELECT id FROM closers)
 ),
 -- stage 2: Gopher heuristic filter (same signal arithmetic as
@@ -871,7 +881,7 @@ cgruns AS (
     ) GROUP BY 1, 2, 3
   ) GROUP BY 1
 ),
-cfiltered AS (
+cfiltered AS MATERIALIZED (
   SELECT m.doc_id, m.text, m.lang
   FROM cgm m LEFT JOIN cgruns r USING (doc_id)
   WHERE len(m.wn) >= 50 AND len(m.wn) <= 100000
@@ -907,7 +917,7 @@ usc AS (
   FROM ucp LEFT JOIN uclm USING (b1, b2) LEFT JOIN ucctx USING (b1)
   GROUP BY 1
 ),
-uscored AS (
+uscored AS MATERIALIZED (
   SELECT d.doc_id, COALESCE(usc.lp, 0.0) AS logppl
   FROM cfiltered d LEFT JOIN usc USING (doc_id)
 ),
@@ -919,11 +929,11 @@ ucut AS (
                SUM(cnt) OVER () AS tot
         FROM (SELECT logppl AS v, COUNT(*) AS cnt FROM uscored GROUP BY 1))
 ),
-uselected AS (
+uselected AS MATERIALIZED (
   SELECT s.doc_id FROM uscored s, ucut WHERE s.logppl <= ucut.hi
 ),
 -- stage 4: deterministic split over the selected docs (0.9/0.05/0.05)
-uassigned AS (
+uassigned AS MATERIALIZED (
   SELECT u.doc_id,
          CASE WHEN hv < {int((1 << 32) * 0.9)} THEN 'train'
               WHEN hv < {int((1 << 32) * 0.95)} THEN 'val'
@@ -955,7 +965,7 @@ urem AS (
   SELECT doc_id, list_sort(list(pos)) AS starts
   FROM uocc WHERE c >= 2 AND rn > 1 GROUP BY doc_id
 ),
-uclean AS (
+uclean AS MATERIALIZED (
   SELECT u.doc_id, u.split,
          CASE WHEN r.starts IS NULL THEN u.t
               ELSE list_filter(u.t, (x, i) ->
@@ -967,15 +977,15 @@ uclean AS (
 ),
 -- stage 6: concat-and-chunk pack of the train split (max_len=64,
 -- 4 shards, shard = doc_id % 4, docs ordered by id within shard)
-ustreams AS (
-  SELECT doc_id % 4 AS shard, flatten(list(ct ORDER BY doc_id)) AS stream
+-- (linear: the packed row only needs the per-shard chunk COUNT and the
+-- conserved token SUM, both derivable from shard totals — flattening the
+-- whole stream and slicing it per chunk is quadratic in stream length,
+-- the same blowup SQL_SEQUENCE_PACKING's mirror had at sf1)
+upacked AS MATERIALIZED (
+  SELECT doc_id % 4 AS shard,
+         ceil(SUM(len(ct)) / 64.0)::BIGINT AS n_seqs,
+         COALESCE(SUM(COALESCE(list_sum(ct), 0)), 0)::BIGINT AS tok_sum
   FROM uclean WHERE split = 'train' GROUP BY 1
-),
-upacked AS (
-  SELECT shard, i AS seq_index,
-         stream[(i*64+1)::BIGINT : (i*64+64)::BIGINT] AS tokens
-  FROM (SELECT * FROM ustreams WHERE len(stream) > 0),
-       UNNEST(range(0, ceil(len(stream)/64.0)::BIGINT)) AS u(i)
 )
 SELECT f.split, f.source, f.n, f.first_doc,
        CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled,
@@ -1000,8 +1010,8 @@ SELECT 'curate', 'tokens', COUNT(*),
        COALESCE(SUM(n0 - len(ct)), 0)::BIGINT, 0::BIGINT, 0::BIGINT
 FROM uclean
 UNION ALL
-SELECT 'curate', 'packed', COUNT(*),
-       COALESCE(SUM(COALESCE(list_sum(tokens), 0)), 0)::BIGINT,
+SELECT 'curate', 'packed', COALESCE(SUM(n_seqs), 0)::BIGINT,
+       COALESCE(SUM(tok_sum), 0)::BIGINT,
        0::BIGINT, 0::BIGINT
 FROM upacked
 """

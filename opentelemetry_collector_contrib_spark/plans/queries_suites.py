@@ -1503,20 +1503,28 @@ WITH tok AS (
                         w -> ('0x'||substr(md5(w),1,8))::BIGINT % 50257) AS t
   FROM documents
 ),
-streams AS (
-  SELECT shard, flatten(list(t ORDER BY doc_id)) AS stream FROM tok GROUP BY shard
+-- linear chunking: global token position via cumulative doc offsets, then
+-- GROUP BY pos // 64. The naive mirror (flatten the whole shard stream,
+-- then slice it once per chunk from an UNNEST lateral) is quadratic in
+-- stream length — DuckDB carries a copy of the multi-hundred-k-element
+-- list into every unnested row, which thrashed the sf1 run at ~10^5 docs.
+docoff AS (
+  SELECT doc_id, shard, t,
+         SUM(len(t)) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - len(t) AS off
+  FROM tok
 ),
-chunks AS (
-  SELECT shard, i AS seq_index,
-         stream[(i*64+1)::BIGINT : (i*64+64)::BIGINT] AS tokens
-  FROM streams, UNNEST(range(0, ceil(len(stream)/64.0)::BIGINT)) AS u(i)
+flat AS (
+  SELECT shard, off + i - 1 AS gpos, t[i] AS tk
+  FROM docoff, UNNEST(range(1, len(t) + 1)) AS u(i)
 ),
-c2 AS (
-  SELECT shard, CAST(seq_index AS INT) AS seq_index, tokens,
-         len(tokens) AS n_tok
-  FROM chunks
+c2 AS MATERIALIZED (
+  SELECT shard, CAST(gpos // 64 AS INT) AS seq_index,
+         list(tk ORDER BY gpos) AS tokens,
+         COUNT(*) AS n_tok
+  FROM flat GROUP BY 1, 2
 ),
-wins AS (
+wins AS MATERIALIZED (
   SELECT shard, seq_index, i AS pos,
          array_to_string(tokens[i:i+15], ',') AS w
   FROM c2, UNNEST(range(1, len(tokens)-16+2)) AS u(i)
@@ -1547,7 +1555,7 @@ clean AS (
          END AS ct
   FROM c2 LEFT JOIN rem r USING (shard, seq_index)
 ),
-keyed AS (
+keyed AS MATERIALIZED (
   -- 60-bit order key (15 hex chars); shard = its top 32 bits mod 8,
   -- which equals hash32 mod 8 (the first 8 hex chars of the same md5) —
   -- mirrors packing.shuffle_sequences/length_buckets hash60 ordering
