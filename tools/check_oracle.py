@@ -70,6 +70,16 @@ def main():
     oracles = entrymod.oracle_sql()
     failures = []
     report = {"sf_dir": SF_DIR, "cores": cores, "queries": {}}
+    out = os.environ.get("ORACLE_JSON")
+
+    def flush():
+        # incremental write so an interrupted sweep keeps its partial results
+        if out:
+            n_ok = sum(1 for v in report["queries"].values() if v["status"] == "ok")
+            report["summary"] = {"ok": n_ok, "total": len(report["queries"]), "failures": failures}
+            with open(out, "w") as f:
+                json.dump(report, f, indent=1)
+
     for name, fn in qs.items():
         if (only and name not in only) or name in exclude:
             continue
@@ -82,11 +92,13 @@ def main():
             print(f"FAIL {name}: spark error {str(e)[:200]}")
             failures.append(name)
             report["queries"][name] = {"status": "spark_error", "err": str(e)[:300]}
+            flush()
             continue
         spark_sec = round(time.monotonic() - t0, 2)
         if name not in oracles:
             print(f"SKIP {name}: rows-only check -> {len(srows)} rows ({spark_sec}s)")
             report["queries"][name] = {"status": "rows_only", "rows": len(srows), "spark_sec": spark_sec}
+            flush()
             continue
         t1 = time.monotonic()
         try:
@@ -105,6 +117,7 @@ def main():
             print(f"FAIL {name}: duckdb error {str(e)[:200]}")
             failures.append(name)
             report["queries"][name] = {"status": "duckdb_error", "err": str(e)[:300]}
+            flush()
             continue
         duck_sec = round(time.monotonic() - t1, 2)
         ok_rows = len(srows) == len(drows)
@@ -119,6 +132,7 @@ def main():
             "spark_sec": spark_sec,
             "duckdb_sec": duck_sec,
         }
+        flush()
         if ok_hash:
             print(f"OK   {name}: {len(srows)} rows (spark {spark_sec}s, duck {duck_sec}s)")
         else:
@@ -134,12 +148,8 @@ def main():
                 for x in list(d - s)[:3]:
                     print(f"     duck-only:  {x[:160]}")
     spark.stop()
-    out = os.environ.get("ORACLE_JSON")
     if out:
-        n_ok = sum(1 for v in report["queries"].values() if v["status"] == "ok")
-        report["summary"] = {"ok": n_ok, "total": len(report["queries"]), "failures": failures}
-        with open(out, "w") as f:
-            json.dump(report, f, indent=1)
+        flush()
         print(f"wrote {out}")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)
