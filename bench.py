@@ -88,30 +88,50 @@ def _force(df) -> int:
     return -1
 
 
-def _jvm_cpu_seconds() -> float:
-    """Total CPU seconds (user+sys) consumed by child java processes, from
-    /proc (no psutil in this container). Used to report cpu-work alongside
-    wall time: on a shared, memory-bandwidth-bound box, wall-clock scaling
-    understates cluster scaling, while constant cpu-per-row across
-    parallelism levels shows the work itself does not inflate."""
-    total = 0.0
+def _cpu_seconds() -> tuple[float, float]:
+    """(jvm_cpu, python_worker_cpu) seconds consumed by this driver's
+    process tree, from /proc (no psutil in this container): the child java
+    JVM, plus every live descendant of it (pyspark.daemon + the reused
+    Arrow UDF workers it forks). Splitting JVM vs Python shows WHERE
+    cpu-work inflates with parallelism (GC/scan vs the parse workers).
+    Only this driver's tree is counted — other tenants' processes coming
+    and going mid-window would corrupt the delta. Worker processes are
+    long-lived (spark.python.worker.reuse default), so sampling live
+    /proc entries right after the job captures their full burn."""
     hz = os.sysconf("SC_CLK_TCK")
     me = str(os.getpid())
+    procs: dict[str, tuple[str, str, float]] = {}  # pid -> (ppid, comm, cpu)
     for pid in os.listdir("/proc"):
         if not pid.isdigit():
             continue
         try:
             with open(f"/proc/{pid}/stat") as f:
-                parts = f.read().rsplit(")", 1)[1].split()
-            with open(f"/proc/{pid}/cmdline") as f:
-                cmd = f.read()
+                comm_part, rest = f.read().rsplit(")", 1)
+            parts = rest.split()
         except OSError:
             continue
-        # only THIS driver's JVM (ppid == us): other tenants' JVMs coming
-        # and going mid-window would corrupt the delta
-        if parts[1] == me and "java" in cmd.split("\x00")[0]:
-            total += (int(parts[11]) + int(parts[12])) / hz  # utime+stime
-    return total
+        comm = comm_part.split("(", 1)[1]
+        procs[pid] = (parts[1], comm, (int(parts[11]) + int(parts[12])) / hz)
+    kids: dict[str, list[str]] = {}
+    for pid, (ppid, _, _) in procs.items():
+        kids.setdefault(ppid, []).append(pid)
+    jvm = py = 0.0
+    stack = [(c, False) for c in kids.get(me, [])]
+    while stack:
+        pid, under_jvm = stack.pop()
+        ppid, comm, cpu = procs[pid]
+        is_java = comm.startswith("java")
+        if is_java or under_jvm:
+            if is_java:
+                jvm += cpu
+            else:
+                py += cpu
+        stack.extend((c, under_jvm or is_java) for c in kids.get(pid, []))
+    return jvm, py
+
+
+def _jvm_cpu_seconds() -> float:
+    return sum(_cpu_seconds())
 
 
 def _input_tables(spark: SparkSession, n_rows: int) -> str:
@@ -207,7 +227,7 @@ def bench_log_pipeline(
         out = log_pipeline_fused(fused, meta)
         # ONE action: fan-out write (or noop materialization) with per-sink
         # counts collected by the same job via Observation — no second scan
-        cpu0 = _jvm_cpu_seconds()
+        jvm0, py0 = _cpu_seconds()
         t0 = time.perf_counter()
         if sink == "parquet":
             counts = write_fanout_with_counts(out["routed"], out_dir, routes)
@@ -221,7 +241,8 @@ def bench_log_pipeline(
             counts = obs.get
         wall = time.perf_counter() - t0
         if wall < best:
-            best, best_cpu = wall, _jvm_cpu_seconds() - cpu0
+            jvm1, py1 = _cpu_seconds()
+            best, best_cpu = wall, (jvm1 - jvm0, py1 - py0)
         if not files_slice:
             assert sum(int(v or 0) for v in counts.values()) == n_rows
     return best, best_cpu
@@ -346,7 +367,9 @@ def main() -> None:
                     "cpus": args.cpus,
                     "pipeline_rows": n_rows,
                     "pipeline_seq_per_sec": round(seq_per_sec, 1),
-                    "pipeline_cpu_sec": round(cpu, 2),
+                    "pipeline_cpu_sec": round(sum(cpu), 2),
+                    "pipeline_cpu_jvm_sec": round(cpu[0], 2),
+                    "pipeline_cpu_py_sec": round(cpu[1], 2),
                     "ingest_lines_per_sec": round(lines_per_sec, 1),
                 }
             )

@@ -218,6 +218,55 @@ def _extract_map_arrow(sub: "pa.Array", rx) -> "pa.Array":
     return pa.MapArray.from_arrays(off_arr, keys, items)
 
 
+def _kv_subset_arrow(sub: "pa.Array") -> "pa.Array":
+    """key=value subset -> MapArray with zero per-row Python, mirroring
+    _kv_one / str_to_map(trim(body), ' ', '='): trim, split on single
+    spaces (empty tokens survive as '' keys), each token splits on the
+    FIRST '=' (no '=' -> NULL value), duplicate keys last-wins.
+
+    All string work is Arrow C++ (two split_pattern passes); the
+    last-wins dedup is a numpy lexsort over dictionary-encoded keys —
+    O(p log p) in the number of pairs, no Python loop."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(sub)
+    pairs = pc.split_pattern(pc.utf8_trim_whitespace(sub), " ")
+    row_lens = pc.list_value_length(pairs).to_numpy(zero_copy_only=False)
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), row_lens)
+    flat = pc.list_flatten(pairs)
+    kv = pc.split_pattern(flat, "=", max_splits=1)
+    klens = pc.list_value_length(kv).to_numpy(zero_copy_only=False)
+    child = pc.list_flatten(kv)
+    starts = np.zeros(len(klens), dtype=np.int64)
+    np.cumsum(klens[:-1], out=starts[1:])
+    keys = pc.take(child, pa.array(starts))
+    # value = second split element where present, NULL for naked keys
+    val_idx = pa.array(starts + 1, mask=(klens < 2))
+    vals = pc.take(child, val_idx)
+    # last-wins dedup: sort pairs by (row, key-code); keep an occurrence
+    # only if the NEXT sorted entry is a different (row, key)
+    enc = pc.dictionary_encode(keys)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    order = np.lexsort((np.arange(len(codes)), codes, row_ids))
+    rs, cs = row_ids[order], codes[order]
+    keep_sorted = np.ones(len(order), dtype=bool)
+    if len(order) > 1:
+        keep_sorted[:-1] = (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1])
+    keep = np.zeros(len(order), dtype=bool)
+    keep[order] = keep_sorted
+    mask = pa.array(keep)
+    out_lens = np.bincount(row_ids[keep], minlength=n) if len(keep) else np.zeros(n, dtype=np.int64)
+    offs = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(out_lens, out=offs[1:])
+    return pa.MapArray.from_arrays(
+        pa.array(offs, type=pa.int32()), pc.filter(keys, mask), pc.filter(vals, mask)
+    )
+
+
 def _parse_multiformat_arrow_batch(body: "pa.Array", fmt: "pa.Array") -> "pa.Array":
     """One Arrow batch of (body, fmt) -> MapArray. Format dispatch,
     detection regexes, apache/containerd extraction, and the output map
@@ -273,8 +322,7 @@ def _parse_multiformat_arrow_batch(body: "pa.Array", fmt: "pa.Array") -> "pa.Arr
         sub = subset(is1)
         parts.append(pa.array([_json_one(x) for x in sub.to_pylist()], type=map_type))
     if is2.any():
-        sub = subset(is2)
-        parts.append(pa.array([_kv_one(x) for x in sub.to_pylist()], type=map_type))
+        parts.append(_kv_subset_arrow(subset(is2)).cast(map_type))
     if is0.any():
         parts.append(_extract_map_arrow(subset(is0), APACHE_RX))
     if is3.any():

@@ -43,6 +43,29 @@ def test_parse_impls_agree(spark):
     assert rows_b == rows_c
 
 
+def test_kv_subset_arrow_matches_per_row_model():
+    """The zero-per-row-Python kv parser (split_pattern x2 + lexsort
+    last-wins dedup) must match _kv_one on every edge shape: duplicate
+    keys (incl. 3+ occurrences interleaved), '=' inside values, naked
+    keys, empty keys ('=v'), empty values, consecutive-space empty
+    tokens, leading/trailing whitespace, empty string."""
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_spark.functions.vparse import (
+        _kv_one,
+        _kv_subset_arrow,
+    )
+
+    cases = [
+        "k=1 b=2 c=3", "k=1 naked b=2", "k=1 k=2", " x=1", "weird=", "",
+        "k=1  b=2", "a=b=c d", "k=1 k=2 k=3 z=9 k=4", "dup=a dup=",
+        "=v", "= =x", "solo", "  a=1 b=2  ", "k==",
+    ]
+    got = _kv_subset_arrow(pa.array(cases, type=pa.string())).to_pylist()
+    for c, g in zip(cases, got):
+        assert dict(g) == _kv_one(c), c
+
+
 def test_arrow_parse_batch_matches_reference_model():
     """The Arrow batch parser (C++ dispatch + RE2 extract + native
     MapArray assembly) must match the per-row reference model _parse_one

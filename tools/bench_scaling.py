@@ -135,6 +135,7 @@ def main() -> None:
 
     best: dict[int, float] = {lv: float("inf") for lv in levels}
     cpu: dict[int, float] = {lv: 0.0 for lv in levels}
+    split: dict[int, tuple] = {lv: (None, None) for lv in levels}
     for i in range(args.repeats):
         for lv in levels:  # interleaved so host noise hits both levels alike
             if args.mode.startswith("executors"):
@@ -148,6 +149,10 @@ def main() -> None:
             if t < best[lv]:
                 best[lv] = t
                 cpu[lv] = r.get("pipeline_cpu_sec", 0.0)
+                split[lv] = (
+                    r.get("pipeline_cpu_jvm_sec"),
+                    r.get("pipeline_cpu_py_sec"),
+                )
             print(
                 f"trial {i} {args.mode}[{lv}]: {t:.2f}s cpu={r.get('pipeline_cpu_sec')} "
                 f"{r.get('per_executor_sec', '')}",
@@ -173,6 +178,8 @@ def main() -> None:
                 "best_sec": round(best[lv], 2),
                 "seq_per_sec": round(thr[lv], 1),
                 "cpu_sec": round(cpu[lv], 1),
+                "cpu_jvm_sec": split[lv][0],
+                "cpu_py_sec": split[lv][1],
             }
             for lv in levels
         },
