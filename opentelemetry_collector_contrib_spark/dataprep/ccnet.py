@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import hash32, words
+from .dedup import hash32, q4, scale4, words
 
 
 def word_buckets(text: Column, buckets: int) -> Column:
@@ -97,9 +97,8 @@ def bigram_lm(
     pair_logp = counts.select(
         "b1",
         "b2",
-        F.round(
-            F.log((F.col("c12") + smoothing) / (F.sum("c12").over(w) + smoothing * buckets)),
-            4,
+        q4(
+            F.log((F.col("c12") + smoothing) / (F.sum("c12").over(w) + smoothing * buckets))
         ).alias("logp"),
     )
     ctx = counts.groupBy("b1").agg(F.sum("c12").alias("c1"))
@@ -121,17 +120,28 @@ def score_logppl(
     to a/(a*B). Every doc in `raw` gets a row — docs with <2 words come
     back with n_bigrams=0 and logppl=0.0."""
     exploded = doc_bigram_buckets(raw, [id_col], text_col, buckets)
-    floor = F.round(
-        F.log(F.lit(smoothing) / (F.coalesce(F.col("c1"), F.lit(0)) + smoothing * buckets)),
-        4,
+    floor = q4(
+        F.log(F.lit(smoothing) / (F.coalesce(F.col("c1"), F.lit(0)) + smoothing * buckets))
     )
+    # AVG over grid doubles is order-dependent in the last ulp and flips
+    # the 4-decimal rounding exactly at .5 boundaries (sf1 evidence: 17
+    # logppl cells + 1 bucket flip) — sum exact scaled longs instead,
+    # then quantize one double division of identical integers
     scored = (
         exploded.join(F.broadcast(pair_logp), ["b1", "b2"], "left")
         .join(F.broadcast(ctx), ["b1"], "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(-F.avg(F.coalesce(F.col("logp"), floor)), 4).alias("logppl"),
+            F.sum(scale4(F.coalesce(F.col("logp"), floor))).alias("__s"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            q4(
+                -(F.col("__s").cast("double"))
+                / (F.col("n_bigrams") * F.lit(10000.0))
+            ).alias("logppl"),
         )
     )
     return (

@@ -48,6 +48,34 @@ def hash60(col: Column, seed: str = "") -> Column:
     return F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("long")
 
 
+def q4(x: Column) -> Column:
+    """Quantize a double onto the 4-decimal grid as floor(x*1e4 + 0.5)/1e4
+    (half-up toward +inf) in pure BINARY double arithmetic.
+
+    Why not F.round: Spark's round() re-reads the double through its
+    shortest DECIMAL representation (BigDecimal.valueOf) and rounds
+    HALF_UP there, while DuckDB's ROUND rounds the raw binary value — on
+    exact .00005 boundary hits the two disagree in the last digit, which
+    flips the oracle value hash (first observed at sf1: 324 boundary
+    cells across quality/ccnet_logppl in text_stats_suite).
+    FLOOR(x*10000 + 0.5)/10000 is the same well-defined function of the
+    same IEEE-754 input in both engines, so the outputs are bit-identical
+    whenever the inputs are. Mirror in SQL with exactly that expression."""
+    return F.floor(x * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
+
+def scale4(x: Column) -> Column:
+    """A 4-decimal-grid double as an exact scaled LONG (x*1e4 rounded to
+    the nearest integer). Use for order-insensitive SUM/AVG of grid
+    values: double addition is order-dependent in the last ulp, so two
+    engines summing the same multiset in different orders can disagree
+    exactly at a downstream rounding boundary; integer sums cannot. Safe
+    because the input is within one ulp of (integer)/1e4, so *1e4 lands
+    within one ulp of the integer in both engines. SQL mirror:
+    CAST(ROUND(x*10000) AS BIGINT)."""
+    return F.round(x * F.lit(10000.0)).cast("long")
+
+
 def words(text: Column) -> Column:
     return F.split(text, " ")
 

@@ -35,7 +35,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import hash32, words
+from .dedup import hash32, q4, scale4, words
 
 
 def doc_ngrams(text: Column) -> Column:
@@ -93,7 +93,10 @@ def dsir_log_ratios(
     for b in range(buckets):
         p = (tc.get(b, 0) + smoothing) / t_total
         q = (rc.get(b, 0) + smoothing) / r_total
-        out[b] = round(math.log(p) - math.log(q), 4)
+        # floor(x*1e4+0.5)/1e4, NOT round(x, 4): python round is
+        # banker's on the decimal repr; this matches dedup.q4 / the SQL
+        # FLOOR mirror bit-for-bit (see dedup.q4 docstring)
+        out[b] = math.floor((math.log(p) - math.log(q)) * 10000.0 + 0.5) / 10000.0
     return out
 
 
@@ -106,11 +109,15 @@ def dsir_weight(
     m = F.create_map(
         *[x for b, r in ratios.items() for x in (F.lit(b), F.lit(float(r)))]
     )
+    # fold EXACT scaled-long contributions, not doubles: the fold order
+    # is the array order here but SUM order in the dsir_weights_join /
+    # oracle mirrors — integer sums make all of them agree bit-for-bit
     contribs = F.transform(
-        gram_buckets(text, buckets), lambda b: F.element_at(m, b)
+        gram_buckets(text, buckets), lambda b: scale4(F.element_at(m, b))
     )
-    return F.round(
-        F.aggregate(contribs, F.lit(0.0), lambda acc, v: acc + v), 4
+    return (
+        F.aggregate(contribs, F.lit(0).cast("long"), lambda acc, v: acc + v)
+        / F.lit(10000.0)
     )
 
 
@@ -141,8 +148,8 @@ def dsir_log_ratio_table(
     rt = F.sum(rc).over(w) + F.lit(smoothing * buckets)
     return joined.select(
         "bucket",
-        F.round(
-            F.log((tc + smoothing) / tt) - F.log((rc + smoothing) / rt), 4
+        q4(
+            F.log((tc + smoothing) / tt) - F.log((rc + smoothing) / rt)
         ).alias("log_ratio"),
     )
 
@@ -170,7 +177,10 @@ def dsir_weights_from_exploded(
         exploded.join(F.broadcast(ratios_df), "bucket", "left")
         .groupBy(id_col)
         .agg(
-            F.round(F.sum("log_ratio"), 4).alias("__s"),
+            # exact scaled-long sum: grid doubles summed as doubles are
+            # order-dependent in the last ulp, which flips a downstream
+            # 4-decimal rounding exactly at .5 boundaries (sf1 evidence)
+            (F.sum(scale4(F.col("log_ratio"))) / F.lit(10000.0)).alias("__s"),
             F.sum(
                 F.when(F.col("log_ratio").isNull(), 1).otherwise(0)
             ).alias("__miss"),

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .dedup import MOD31, hash32, words
+from .dedup import MOD31, hash32, q4, words
 
 # Minimal function-word lists for the n-gram-free language heuristic.
 # (A real deployment swaps in per-language character-n-gram profiles; the
@@ -62,8 +62,8 @@ def quality_score(text: Column) -> Column:
         n, F.lit(1.0)
     )
     stop = F.least(english_ratio(text) / F.lit(0.1), F.lit(1.0))
-    return F.round(
-        F.lit(0.4) * length_score + F.lit(0.3) * diversity + F.lit(0.3) * stop, 4
+    return q4(
+        F.lit(0.4) * length_score + F.lit(0.3) * diversity + F.lit(0.3) * stop
     )
 
 
@@ -120,7 +120,7 @@ def distinct_ngram_fraction(text: Column, n: int = 2) -> Column:
 
     w = _nonempty_words(text)
     total = F.greatest(F.size(w) - F.lit(n - 1), F.lit(1)).cast("double")
-    return F.round(F.size(array_shingles(w, n)).cast("double") / total, 4)
+    return q4(F.size(array_shingles(w, n)).cast("double") / total)
 
 
 def max_word_run(text: Column) -> Column:
@@ -150,10 +150,9 @@ def symbol_word_ratio(text: Column) -> Column:
     a symbol and silently drop virtually all non-ASCII documents at the
     0.1 threshold."""
     symbols = F.regexp_count(text, F.lit(r"#|…|\.\.\."))
-    return F.round(
+    return q4(
         symbols.cast("double")
-        / F.greatest(F.size(_nonempty_words(text)), F.lit(1)).cast("double"),
-        4,
+        / F.greatest(F.size(_nonempty_words(text)), F.lit(1)).cast("double")
     )
 
 
@@ -161,8 +160,8 @@ def mean_word_length(text: Column) -> Column:
     """Mean characters per word (Gopher keeps 3..10)."""
     w = _nonempty_words(text)
     total_chars = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
-    return F.round(
-        total_chars.cast("double") / F.greatest(F.size(w), F.lit(1)).cast("double"), 4
+    return q4(
+        total_chars.cast("double") / F.greatest(F.size(w), F.lit(1)).cast("double")
     )
 
 

@@ -480,7 +480,7 @@ def q_text_language_id(spark, sf_dir):
     return docs.select(
         "doc_id",
         textstats.language_id(F.col("text")).alias("lang_guess"),
-        F.round(textstats.english_ratio(F.col("text")), 4).alias("en_ratio"),
+        dedup.q4(textstats.english_ratio(F.col("text"))).alias("en_ratio"),
     )
 
 
@@ -493,7 +493,7 @@ WITH r AS (
   FROM documents
 )
 SELECT doc_id, CASE WHEN ratio >= 0.02 THEN 'en' ELSE 'und' END AS lang_guess,
-       ROUND(ratio, 4) AS en_ratio
+       FLOOR(ratio * 10000 + 0.5)/10000 AS en_ratio
 FROM r
 """
 
@@ -516,8 +516,8 @@ WITH b AS (
   FROM b
 )
 SELECT doc_id,
-       ROUND(0.4 * least(n / 100.0, 1.0) + 0.3 * (nd / n)
-             + 0.3 * least((hits / n) / 0.1, 1.0), 4) AS quality
+       FLOOR((0.4 * least(n / 100.0, 1.0) + 0.3 * (nd / n)
+             + 0.3 * least((hits / n) / 0.1, 1.0)) * 10000 + 0.5)/10000 AS quality
 FROM m
 """
 
@@ -857,15 +857,18 @@ cdeduped AS MATERIALIZED (
 -- stage 2: Gopher heuristic filter (same signal arithmetic as
 -- _sql_text_stats, over the dedup survivors)
 cgm AS (
+  -- FLOOR(x*10000 + 0.5)/10000 quantizer, matching dedup.q4 /
+  -- _sql_text_stats (DuckDB ROUND vs Spark round() disagree on exact
+  -- .00005 boundaries)
   SELECT doc_id, text, lang, wn, len(wn)::DOUBLE AS n,
-         ROUND(len(list_distinct(list_transform(
+         FLOOR(len(list_distinct(list_transform(
                  range(1, greatest(len(wn)-1,1)+1),
                  i -> array_to_string(wn[i:i+1], ' '))))::DOUBLE
-               / greatest(len(wn)-1, 1), 4) AS d2g_frac,
-         ROUND(len(regexp_extract_all(text, '#|…|\\.\\.\\.'))::DOUBLE
-               / greatest(len(wn), 1), 4) AS sym_ratio,
-         ROUND(COALESCE(list_sum(list_transform(wn, x -> length(x))), 0)::DOUBLE
-               / greatest(len(wn), 1), 4) AS mean_wlen
+               / greatest(len(wn)-1, 1) * 10000 + 0.5)/10000 AS d2g_frac,
+         FLOOR(len(regexp_extract_all(text, '#|…|\\.\\.\\.'))::DOUBLE
+               / greatest(len(wn), 1) * 10000 + 0.5)/10000 AS sym_ratio,
+         FLOOR(COALESCE(list_sum(list_transform(wn, x -> length(x))), 0)::DOUBLE
+               / greatest(len(wn), 1) * 10000 + 0.5)/10000 AS mean_wlen
   FROM (SELECT doc_id, text, lang,
                list_filter(string_split(text,' '), x -> x <> '') AS wn
         FROM cdeduped)
@@ -906,14 +909,20 @@ ucp AS (
 ucc AS (SELECT b1, b2, COUNT(*) AS c12 FROM ucp WHERE lang = 'en' GROUP BY 1, 2),
 uclm AS (
   SELECT b1, b2,
-         ROUND(ln((c12 + 0.5) / (SUM(c12) OVER (PARTITION BY b1) + 0.5*64)), 4) AS logp
+         FLOOR(ln((c12 + 0.5) / (SUM(c12) OVER (PARTITION BY b1) + 0.5*64))
+               * 10000 + 0.5)/10000 AS logp
   FROM ucc
 ),
 ucctx AS (SELECT b1, SUM(c12) AS c1 FROM ucc GROUP BY 1),
 usc AS (
+  -- exact scaled-long sum + one quantized division (mirrors the new
+  -- ccnet.score_logppl): AVG over grid doubles is order-dependent in
+  -- the last ulp and flips .5 rounding boundaries
   SELECT ucp.doc_id,
-         ROUND(-AVG(COALESCE(uclm.logp,
-             ROUND(ln(0.5 / (COALESCE(ucctx.c1, 0) + 0.5*64)), 4))), 4) AS lp
+         FLOOR(-(SUM(CAST(ROUND(COALESCE(uclm.logp,
+                 FLOOR(ln(0.5 / (COALESCE(ucctx.c1, 0) + 0.5*64))
+                       * 10000 + 0.5)/10000) * 10000) AS BIGINT))::DOUBLE)
+               / (COUNT(*) * 10000.0) * 10000 + 0.5)/10000 AS lp
   FROM ucp LEFT JOIN uclm USING (b1, b2) LEFT JOIN ucctx USING (b1)
   GROUP BY 1
 ),

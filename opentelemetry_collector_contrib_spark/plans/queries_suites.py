@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from ..functions import ottl, xmlfuncs
 from ..functions.timefmt import clickhouse_ts
+from ..dataprep.dedup import q4
 from ..operators import connectors, parsers, processors
 from ..operators.enrich import geoip_enrich, k8sattributes_enrich
 
@@ -506,7 +507,7 @@ def q_text_stats_suite(spark, sf_dir):
     base = docs.select(
         "doc_id",
         textstats.language_id(F.col("text")).alias("lang_guess"),
-        F.round(textstats.english_ratio(F.col("text")), 4).alias("en_ratio"),
+        q4(textstats.english_ratio(F.col("text"))).alias("en_ratio"),
         textstats.quality_score(F.col("text")).alias("quality"),
         ws_count.alias("ws_tokens"),
         bpe_count.cast("long").alias("bpe_tokens"),
@@ -616,15 +617,18 @@ WITH RECURSIVE b AS (
          len(list_distinct(wn))::DOUBLE AS nd,
          list_sum(list_transform(wn,
            x -> CASE WHEN list_contains({stoplist}, x) THEN 1 ELSE 0 END))::DOUBLE AS hits,
-         ROUND(len(list_distinct(list_transform(
+         -- FLOOR(x*10000 + 0.5)/10000, not ROUND(x, 4): binary-exact
+         -- quantizer shared with the Spark side (dedup.q4) — DuckDB
+         -- ROUND and Spark round() disagree on exact .00005 boundaries
+         FLOOR(len(list_distinct(list_transform(
                  range(1, greatest(len(wn)-1,1)+1),
                  i -> array_to_string(wn[i:i+1], ' '))))::DOUBLE
-               / greatest(len(wn)-1, 1), 4) AS d2g_frac,
+               / greatest(len(wn)-1, 1) * 10000 + 0.5)/10000 AS d2g_frac,
          -- Gopher's actual symbol targets: '#' and ellipsis
-         ROUND(len(regexp_extract_all(text, '#|…|\.\.\.'))::DOUBLE
-               / greatest(len(wn), 1), 4) AS sym_ratio,
-         ROUND(COALESCE(list_sum(list_transform(wn, x -> length(x))), 0)::DOUBLE
-               / greatest(len(wn), 1), 4) AS mean_wlen
+         FLOOR(len(regexp_extract_all(text, '#|…|\.\.\.'))::DOUBLE
+               / greatest(len(wn), 1) * 10000 + 0.5)/10000 AS sym_ratio,
+         FLOOR(COALESCE(list_sum(list_transform(wn, x -> length(x))), 0)::DOUBLE
+               / greatest(len(wn), 1) * 10000 + 0.5)/10000 AS mean_wlen
   FROM b
 ), runs AS (
   SELECT doc_id, MAX(cnt) AS max_run FROM (
@@ -653,14 +657,16 @@ WITH RECURSIVE b AS (
          (SELECT SUM(c) FROM drc) + 0.5 * 256 AS rt
 ), drat AS (
   SELECT s.bucket,
-         ROUND(ln((COALESCE(t.c, 0) + 0.5) / tt)
-             - ln((COALESCE(r.c, 0) + 0.5) / rt), 4) AS lr
+         FLOOR((ln((COALESCE(t.c, 0) + 0.5) / tt)
+             - ln((COALESCE(r.c, 0) + 0.5) / rt)) * 10000 + 0.5)/10000 AS lr
   FROM (SELECT unnest(range(0, 256)) AS bucket) s
   LEFT JOIN dtc t USING (bucket) LEFT JOIN drc r USING (bucket), dtot
 ), dw AS (
   SELECT d.doc_id, COALESCE(w.lw, 0.0) AS dsir_logw
   FROM documents d LEFT JOIN (
-    SELECT doc_id, ROUND(SUM(lr), 4) AS lw
+    -- exact scaled-long sum (mirrors dedup.scale4): double SUM order
+    -- differs between engines and flips .5 rounding boundaries
+    SELECT doc_id, SUM(CAST(ROUND(lr * 10000) AS BIGINT)) / 10000.0 AS lw
     FROM db JOIN drat USING (bucket) GROUP BY 1
   ) w USING (doc_id)
 ), dsel AS (
@@ -682,14 +688,20 @@ WITH RECURSIVE b AS (
   SELECT b1, b2, COUNT(*) AS c12 FROM cp WHERE lang = 'en' GROUP BY 1, 2
 ), clm AS (
   SELECT b1, b2,
-         ROUND(ln((c12 + 0.5) / (SUM(c12) OVER (PARTITION BY b1) + 0.5*64)), 4) AS logp
+         FLOOR(ln((c12 + 0.5) / (SUM(c12) OVER (PARTITION BY b1) + 0.5*64))
+               * 10000 + 0.5)/10000 AS logp
   FROM cc
 ), cctx AS (
   SELECT b1, SUM(c12) AS c1 FROM cc GROUP BY 1
 ), csc AS (
+  -- exact scaled-long sum + one quantized division of identical
+  -- integers (mirrors ccnet.score_logppl): AVG over grid doubles is
+  -- order-dependent in the last ulp
   SELECT cp.doc_id,
-         ROUND(-AVG(COALESCE(clm.logp,
-             ROUND(ln(0.5 / (COALESCE(cctx.c1, 0) + 0.5*64)), 4))), 4) AS lp
+         FLOOR(-(SUM(CAST(ROUND(COALESCE(clm.logp,
+                 FLOOR(ln(0.5 / (COALESCE(cctx.c1, 0) + 0.5*64))
+                       * 10000 + 0.5)/10000) * 10000) AS BIGINT))::DOUBLE)
+               / (COUNT(*) * 10000.0) * 10000 + 0.5)/10000 AS lp
   FROM cp LEFT JOIN clm USING (b1, b2) LEFT JOIN cctx USING (b1)
   GROUP BY 1
 ), cscored AS (
@@ -756,9 +768,10 @@ WITH RECURSIVE b AS (
 SELECT m.doc_id,
        CASE WHEN COALESCE(hits, 0) / greatest(n, 1) >= 0.02
             THEN 'en' ELSE 'und' END AS lang_guess,
-       ROUND(COALESCE(hits, 0) / greatest(n, 1), 4) AS en_ratio,
-       ROUND(0.4 * least(n / 100.0, 1.0) + 0.3 * (nd / greatest(n, 1))
-             + 0.3 * least((COALESCE(hits, 0) / greatest(n, 1)) / 0.1, 1.0), 4)
+       FLOOR(COALESCE(hits, 0) / greatest(n, 1) * 10000 + 0.5)/10000 AS en_ratio,
+       FLOOR((0.4 * least(n / 100.0, 1.0) + 0.3 * (nd / greatest(n, 1))
+             + 0.3 * least((COALESCE(hits, 0) / greatest(n, 1)) / 0.1, 1.0))
+             * 10000 + 0.5)/10000
          AS quality,
        len(wn) AS ws_tokens,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens,
