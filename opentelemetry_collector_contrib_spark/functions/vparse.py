@@ -267,6 +267,154 @@ def _kv_subset_arrow(sub: "pa.Array") -> "pa.Array":
     )
 
 
+# rows the NDJSON fast path must NOT see, in one RE2 alternation:
+#   [\n\r]        raw newlines break the line framing (and are legal JSON
+#                 inter-token whitespace, so such a row can still parse)
+#   null          a present-key-with-JSON-null entry must stay in the map
+#                 (read_json cannot distinguish `"k":null` from absent k)
+#   NaN|Infinity  python json accepts them, Arrow rejects the whole block
+#   [0-9]{16,}    ints beyond ~int64 silently infer as double (precision
+#                 loss vs python's arbitrary-precision int -> str)
+_JSON_SLOW_RX = r"[\n\r]|null|NaN|Infinity|[0-9]{16,}"
+
+
+def _json_fast_table(fsub: "pa.Array") -> "pa.Array | None":
+    """Pre-screened JSON object rows -> MapArray via ONE C++ NDJSON parse
+    (pyarrow.json.read_json over the subset's own value buffer — the body
+    bytes never materialize as Python objects) + the same columnar
+    transpose _extract_map_arrow uses. Returns None when the batch is
+    outside the parity-safe envelope (mixed value types, duplicate keys,
+    timestamp/nested inference) — the caller falls back to per-row
+    json.loads for the subset. Absent keys surface as null cells and are
+    dropped per row; int64/bool cells stringify exactly like json.dumps;
+    float cells re-serialize through json.dumps (Arrow's shortest-repr
+    cast disagrees with python repr on exponent formatting)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.json as pj
+
+    n = len(fsub)
+    joined = pc.binary_join_element_wise(fsub, "\n")
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    # StringArray buffers: [validity, int32 offsets, utf8 data]; the
+    # value window accounts for a nonzero array offset after takes/slices
+    offs_np = np.frombuffer(
+        joined.buffers()[1], dtype=np.int32, count=joined.offset + n + 1
+    )[joined.offset :]
+    data = joined.buffers()[2].slice(offs_np[0], int(offs_np[-1]) - int(offs_np[0]))
+    try:
+        tbl = pj.read_json(
+            pa.BufferReader(data),
+            read_options=pj.ReadOptions(
+                use_threads=False,
+                block_size=int(min(max(data.size + 1, 1 << 16), (1 << 31) - 1)),
+            ),
+            parse_options=pj.ParseOptions(newlines_in_values=False),
+        )
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        return None
+    if tbl.num_rows != n:
+        return None
+    names: list[str] = []
+    cols: list[pa.Array] = []
+    for name, col in zip(tbl.column_names, tbl.columns):
+        c = col.combine_chunks()
+        t = c.type
+        if pa.types.is_string(t):
+            s = c
+        elif pa.types.is_large_string(t):
+            s = c.cast(pa.string())
+        elif pa.types.is_integer(t) or pa.types.is_boolean(t):
+            s = pc.cast(c, pa.string())
+        elif pa.types.is_floating(t):
+            s = pa.array(
+                [None if v is None else _json.dumps(v) for v in c.to_pylist()],
+                type=pa.string(),
+            )
+        elif pa.types.is_null(t):
+            s = pa.nulls(n, type=pa.string())
+        else:  # timestamp/date/struct/list inference: parity-unsafe
+            return None
+        names.append(name)
+        cols.append(s)
+    k = len(cols)
+    if k == 0:  # every row was '{}'
+        return pa.MapArray.from_arrays(
+            pa.array(np.zeros(n + 1, dtype=np.int32), type=pa.int32()),
+            pa.array([], type=pa.string()),
+            pa.array([], type=pa.string()),
+        )
+    keep = np.stack(
+        [pc.is_valid(c).to_numpy(zero_copy_only=False) for c in cols]
+    )  # (k, n): only absent keys drop — JSON keeps ''-valued entries
+    concat = pa.concat_arrays(cols)
+    idx = (np.arange(n)[:, None] + np.arange(k)[None, :] * n).ravel()
+    inter_vals = pc.take(concat, pa.array(idx, type=pa.int64()))
+    inter_keys = pc.take(
+        pa.array(names), pa.array(np.tile(np.arange(k), n), type=pa.int64())
+    )
+    mask = pa.array(keep.T.ravel())
+    row_lens = keep.sum(axis=0)
+    offs = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(row_lens, out=offs[1:])
+    return pa.MapArray.from_arrays(
+        pa.array(offs, type=pa.int32()),
+        pc.filter(inter_keys, mask),
+        pc.filter(inter_vals, mask),
+    )
+
+
+def _json_subset_arrow(sub: "pa.Array") -> "pa.Array":
+    """JSON subset -> MapArray. Rows inside the parity-safe envelope
+    (plain `{...}` objects, no literal null/NaN/huge-int, no raw
+    newlines) go through one C++ NDJSON parse; the rest — plus the whole
+    batch when read_json detects duplicate keys / mixed types / nested
+    values — fall back to per-row json.loads, preserving _json_one
+    semantics bit-for-bit."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    map_type = pa.map_(pa.string(), pa.string())
+    n = len(sub)
+    slow = pc.fill_null(
+        pc.match_substring_regex(sub, _JSON_SLOW_RX), True
+    ).to_numpy(zero_copy_only=False).copy()
+    slow |= ~pc.fill_null(pc.starts_with(sub, "{"), False).to_numpy(
+        zero_copy_only=False
+    )
+    fast_ix = np.nonzero(~slow)[0]
+    slow_ix = np.nonzero(slow)[0]
+    parts: list[pa.Array] = []
+    idxs: list[np.ndarray] = []
+    if len(fast_ix):
+        fsub = pc.take(sub, pa.array(fast_ix, type=pa.int64()))
+        arr = _json_fast_table(fsub)
+        if arr is None:
+            fast_ix = np.array([], dtype=np.int64)
+            slow_ix = np.arange(n)
+        else:
+            parts.append(arr.cast(map_type))
+            idxs.append(fast_ix)
+    if len(slow_ix):
+        ssub = pc.take(sub, pa.array(slow_ix, type=pa.int64()))
+        parts.append(
+            pa.array([_json_one(x) for x in ssub.to_pylist()], type=map_type)
+        )
+        idxs.append(slow_ix)
+    if len(parts) == 1:
+        return parts[0]
+    perm = np.concatenate(idxs)
+    inv = np.empty(n, dtype=np.int64)
+    inv[perm] = np.arange(n)
+    merged = pa.concat_arrays(
+        [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts]
+    )
+    return pc.take(merged, pa.array(inv, type=pa.int64()))
+
+
 def _parse_multiformat_arrow_batch(body: "pa.Array", fmt: "pa.Array") -> "pa.Array":
     """One Arrow batch of (body, fmt) -> MapArray. Format dispatch,
     detection regexes, apache/containerd extraction, and the output map
@@ -319,8 +467,7 @@ def _parse_multiformat_arrow_batch(body: "pa.Array", fmt: "pa.Array") -> "pa.Arr
         return pc.take(body, pa.array(ix, type=pa.int64()))
 
     if is1.any():
-        sub = subset(is1)
-        parts.append(pa.array([_json_one(x) for x in sub.to_pylist()], type=map_type))
+        parts.append(_json_subset_arrow(subset(is1)).cast(map_type))
     if is2.any():
         parts.append(_kv_subset_arrow(subset(is2)).cast(map_type))
     if is0.any():

@@ -43,6 +43,65 @@ def test_parse_impls_agree(spark):
     assert rows_b == rows_c
 
 
+def test_json_subset_arrow_matches_per_row_model():
+    """The NDJSON fast path (one C++ read_json + columnar map assembly)
+    must match _json_one on every parity hazard it guards against:
+    JSON-null values (present key, NULL value), duplicate keys
+    (last-wins), huge ints (arbitrary precision), float formatting
+    (python repr vs Arrow shortest-repr), timestamp-shaped strings,
+    per-key mixed value types across rows, nested objects/arrays,
+    NaN/Infinity (python-only JSON), raw newlines inside the object,
+    leading whitespace, non-object/invalid bodies, escapes, and the
+    happy path itself (incl. empty objects and ''-valued keys)."""
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_spark.functions.vparse import (
+        _json_one,
+        _json_subset_arrow,
+    )
+
+    cases = [
+        '{"ts":"2025-10-10T13:55:36.123456789Z","level":"ERROR","msg":"ok","svc":"a","attempt":3}',
+        '{"a": "b", "n": 5, "x": null, "o": {"i": 1}}',
+        '{"a":1,"a":2}',
+        '{"big":123456789012345678901234567890}',
+        '{"f":3.14,"g":1e16,"h":-2.5e-8,"i":123456789012345.6}',
+        '{"t":"2025-10-10T13:55:36Z"}',
+        '{"mix":1}',
+        '{"mix":"x"}',
+        "{}",
+        '{"empty":""}',
+        '{"esc":"\\u00e9\\tx"}',
+        '  {"lead": "ws"}',
+        '{"a":\n1}',
+        "null",
+        "true",
+        "42",
+        "[1,2]",
+        "{bad",
+        "",
+        "NaN",
+        '{"nan":NaN}',
+        '{"k":"has null inside string"}',
+        '{"u":"\\u0000zero"}',
+        '{"neg":-7,"zero":0,"b1":true,"b2":false}',
+        '{"s":"1e16"}',
+        '{"dup":"a","dup":"b"}',
+        '{"a":{"deep":{"x":[1,2]}}}',
+        '{"weird key \\"q\\"":"v"}',
+        '{"a":1}extra',
+        '{"a":1} ',
+    ]
+    got = _json_subset_arrow(pa.array(cases, type=pa.string())).to_pylist()
+    for b, g in zip(cases, got):
+        assert (dict(g) if g is not None else None) == _json_one(b), b
+    # sliced input (nonzero array offset) must window the value buffer
+    sl = pa.array(cases, type=pa.string()).slice(3, 20)
+    got2 = _json_subset_arrow(sl).to_pylist()
+    for b, g in zip(cases[3:23], got2):
+        assert (dict(g) if g is not None else None) == _json_one(b), b
+
+
 def test_kv_subset_arrow_matches_per_row_model():
     """The zero-per-row-Python kv parser (split_pattern x2 + lexsort
     last-wins dedup) must match _kv_one on every edge shape: duplicate
