@@ -304,15 +304,38 @@ def _json_fast_table(fsub: "pa.Array") -> "pa.Array | None":
         joined.buffers()[1], dtype=np.int32, count=joined.offset + n + 1
     )[joined.offset :]
     data = joined.buffers()[2].slice(offs_np[0], int(offs_np[-1]) - int(offs_np[0]))
+    ropts = pj.ReadOptions(
+        use_threads=False,
+        block_size=int(min(max(data.size + 1, 1 << 16), (1 << 31) - 1)),
+    )
     try:
         tbl = pj.read_json(
             pa.BufferReader(data),
-            read_options=pj.ReadOptions(
-                use_threads=False,
-                block_size=int(min(max(data.size + 1, 1 << 16), (1 << 31) - 1)),
-            ),
+            read_options=ropts,
             parse_options=pj.ParseOptions(newlines_in_values=False),
         )
+        # timestamp/date-SHAPED strings get type-inferred; the original
+        # token is a JSON string and must stay one (a timestamp->string
+        # cast reformats it). Re-parse with exactly those columns pinned
+        # to string — the reader then returns the raw token verbatim.
+        pinned = [
+            f.name
+            for f in tbl.schema
+            if pa.types.is_temporal(f.type)
+            or (pa.types.is_dictionary(f.type) and pa.types.is_temporal(f.type.value_type))
+        ]
+        if pinned:
+            tbl = pj.read_json(
+                pa.BufferReader(data),
+                read_options=ropts,
+                parse_options=pj.ParseOptions(
+                    newlines_in_values=False,
+                    explicit_schema=pa.schema(
+                        [pa.field(c, pa.string()) for c in pinned]
+                    ),
+                    unexpected_field_behavior="infer",
+                ),
+            )
     except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
         return None
     if tbl.num_rows != n:
