@@ -1355,7 +1355,15 @@ def q_ottl_converters_misc(spark, sf_dir):
     u7 = ottl.uuid_v7(
         _us("ts") / F.lit(1000), F.col("event_id").cast("string")
     )
-    return ev.select(
+    # OTTL profile context (ctxprofile/profile.go:22-72): recast the
+    # events as flat pprofile rows (keep= passes the derived columns
+    # through — narrow plan, no re-join) and read them back through the
+    # path accessors next to the converter columns
+    from ..operators import profiles as prof
+
+    d = prof.EVENTS_DICT
+    p = prof.events_as_profiles(ev, keep=("ua", "card", "event_type", "ts"))
+    return p.select(
         "event_id",
         F.element_at(ua, "user_agent.name").alias("ua_name"),
         F.element_at(ua, "user_agent.version").alias("ua_version"),
@@ -1365,6 +1373,12 @@ def q_ottl_converters_misc(spark, sf_dir):
         F.substring(u7, 20, 1).rlike("[89ab]").alias("uuid_variant_ok"),
         F.length(u7).alias("uuid_len"),
         ottl.decode_(F.base64(F.col("event_type").cast("binary")), "base64").alias("decoded"),
+        prof.profile_path("profile_id.string", d).alias("prof_id_hex"),
+        prof.profile_path("sample_type.type", d).alias("prof_type"),
+        prof.profile_path("sample_type.unit", d).alias("prof_unit"),
+        prof.profile_path("attributes[host.name]", d).alias("prof_host"),
+        prof.profile_path("period", d).alias("prof_period"),
+        prof.sample_total().alias("prof_sample_total"),
     )
 
 
@@ -1375,7 +1389,14 @@ SELECT event_id,
        CASE user_id % 3 WHEN 0 THEN 'Windows' ELSE 'Other' END AS os_name,
        event_id % 2 = 0 AS luhn_ok,
        '7' AS uuid_ver, TRUE AS uuid_variant_ok, 36 AS uuid_len,
-       event_type AS decoded
+       event_type AS decoded,
+       md5('prof-' || CAST(event_id AS VARCHAR)) AS prof_id_hex,
+       CASE WHEN event_id % 2 = 0 THEN 'cpu' ELSE 'alloc_space' END AS prof_type,
+       CASE WHEN event_id % 2 = 0 THEN 'nanoseconds' ELSE 'bytes' END AS prof_unit,
+       'host-' || CAST(user_id % 3 AS VARCHAR) AS prof_host,
+       CAST(10000000 + (event_id % 3) * 1000000 AS BIGINT) AS prof_period,
+       CAST(FLOOR(value * 100) + 1 + FLOOR(FLOOR(value * 100) / 2) AS BIGINT)
+         AS prof_sample_total
 FROM events
 """
 
