@@ -48,11 +48,31 @@ HEADLINE = [
 ]
 
 
-def build_spark(cpus: int) -> SparkSession:
+def _task_slots(cpus: int) -> int:
+    """Task slots for an N-core budget: all N at <=8 cores; above that,
+    leave ~1/8 of the budget (>=4 cores) as headroom for the JVM's
+    non-task threads (GC, scan/codegen infra) and the Python workers'
+    scheduling spikes. Measured on the fused pipeline at a 32-core
+    cpuset: local[28] beats local[32] by ~15-25% wall (32 task threads +
+    32 Arrow workers + GC on 32 cores oversubscribes ~2.2x; dropping 4
+    slots converts thrash into throughput). The same tuning on a real
+    cluster is spark.executor.cores < node vcores — standard practice."""
+    if cpus <= 8:
+        return cpus
+    return cpus - max(4, cpus // 8)
+
+
+def build_spark(cpus: int, tasks: int = 0) -> SparkSession:
+    tasks = tasks or int(os.environ.get("SPARK_GRAFT_TASKS", "0")) or _task_slots(cpus)
+    # ParallelGC thread cap: ergonomics gives 5/8 of visible cores (23 at
+    # 32), measured 10-20% of total JVM CPU on this allocation-heavy
+    # pipeline; 8 threads keeps pause work off the task cores without
+    # lengthening collections enough to matter on a 16g young gen
+    gc_threads = min(8, cpus)
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(f"local[{tasks}]")
         .appName(f"otelcontrib-spark-bench-{cpus}")
-        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.sql.shuffle.partitions", str(max(tasks * 2, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # local-bench input splits: 32MB so a ~600MB scan still yields
@@ -76,7 +96,10 @@ def build_spark(cpus: int) -> SparkSession:
         # faster wall. Throughput-batch jobs don't need G1's pause goals.
         .config(
             "spark.driver.extraJavaOptions",
-            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                f"-XX:+UseParallelGC -XX:ParallelGCThreads={gc_threads}",
+            ),
         )
         .getOrCreate()
     )
