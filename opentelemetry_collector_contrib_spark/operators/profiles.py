@@ -160,6 +160,11 @@ def profile_path(path: str, d: ProfilesDict) -> Column:
             return F.element_at(m, key)
         return m
     if c is not None:
+        if rest:
+            # scalar paths have no sub-paths — the reference's switch
+            # errors on e.g. period.bogus (ctxerror.New), so don't
+            # silently ignore the remainder
+            raise ValueError(f"unknown profile context path: {path!r}")
         return c
     raise ValueError(f"unknown profile context path: {path!r}")
 

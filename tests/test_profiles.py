@@ -141,3 +141,14 @@ def test_unknown_path_raises(spark):
         assert "no_such_field" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_scalar_subpath_rejected(spark):
+    # period.bogus must error like the reference's ctxerror, not silently
+    # return the base column
+    try:
+        P.profile_path("period.bogus", P.EVENTS_DICT)
+    except ValueError as e:
+        assert "period.bogus" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
