@@ -352,6 +352,15 @@ def _json_fast_table(fsub: "pa.Array") -> "pa.Array | None":
         elif pa.types.is_integer(t) or pa.types.is_boolean(t):
             s = pc.cast(c, pa.string())
         elif pa.types.is_floating(t):
+            # a double column holding any INTEGRAL value is parity-
+            # ambiguous: Arrow silently promotes mixed int64/double
+            # inference, so a `1` token and a `1.0` token both arrive as
+            # double 1.0 — but json.loads stringifies them "1" vs "1.0".
+            # The raw token is unrecoverable here; punt the batch to the
+            # per-row path (fractional-only columns stay fast).
+            vals = c.drop_null()
+            if len(vals) and pc.any(pc.equal(pc.floor(vals), vals)).as_py():
+                return None
             s = pa.array(
                 [None if v is None else _json.dumps(v) for v in c.to_pylist()],
                 type=pa.string(),

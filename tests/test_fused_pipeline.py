@@ -91,6 +91,14 @@ def test_json_subset_arrow_matches_per_row_model():
         '{"weird key \\"q\\"":"v"}',
         '{"a":1}extra',
         '{"a":1} ',
+        # int64/double silent promotion: a `1` token in a column that
+        # also sees `2.5` arrives as double 1.0 — must stringify "1",
+        # not "1.0" (regression: the fast path now punts any double
+        # column holding an integral value)
+        '{"p":1}',
+        '{"p":2.5}',
+        '{"q":1.0}',
+        '{"r":1e3}',
     ]
     got = _json_subset_arrow(pa.array(cases, type=pa.string())).to_pylist()
     for b, g in zip(cases, got):
