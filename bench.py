@@ -59,7 +59,10 @@ def _task_slots(cpus: int) -> int:
     cluster is spark.executor.cores < node vcores — standard practice."""
     if cpus <= 8:
         return cpus
-    return cpus - max(4, cpus // 8)
+    # headroom tapers with the budget (monotonic: 9->8, 16->14, 32->28,
+    # 64->56); a flat max(4,...) floor made a 9-core budget run FEWER
+    # slots than an 8-core one
+    return cpus - max(1, cpus // 8)
 
 
 def build_spark(cpus: int, tasks: int = 0) -> SparkSession:

@@ -131,42 +131,69 @@ def profile_path(path: str, d: ProfilesDict) -> Column:
         "profile_id",
     ) else None
 
-    if name == "time":
-        return F.timestamp_micros((F.col("time_unix_nano") / 1000).cast("long"))
-    if name == "duration":
-        return F.timestamp_micros((F.col("duration_unix_nano") / 1000).cast("long"))
+    def bad() -> Column:
+        # every branch rejects unknown remainders — the reference's
+        # switch errors on e.g. period.bogus / profile_id.sting
+        # (ctxerror.New), so don't silently return the base column
+        raise ValueError(f"unknown profile context path: {path!r}")
+
+    if name in ("time", "duration"):
+        if rest:
+            bad()
+        # integer ns->us division: a double round-trip flips the last
+        # microsecond above 2^53 ns (any current epoch time)
+        src = "time_unix_nano" if name == "time" else "duration_unix_nano"
+        return F.timestamp_micros(F.expr(f"{src} div 1000"))
     if name == "profile_id":
         if rest == "string":
             return F.lower(F.hex(F.col("profile_id")))
+        if rest:
+            bad()
         return c
     if name in ("sample_type", "period_type"):
-        base = "sample_type" if name == "sample_type" else "period_type"
         if rest == "type":
-            return d.string_at(F.col(f"{base}_strindex"))
+            return d.string_at(F.col(f"{name}_strindex"))
         if rest == "unit":
-            return d.string_at(F.col(f"{base}_unit_strindex"))
+            return d.string_at(F.col(f"{name}_unit_strindex"))
+        if rest:
+            bad()
         # bare value-type: struct of resolved (type, unit)
         return F.struct(
-            d.string_at(F.col(f"{base}_strindex")).alias("type"),
-            d.string_at(F.col(f"{base}_unit_strindex")).alias("unit"),
+            d.string_at(F.col(f"{name}_strindex")).alias("type"),
+            d.string_at(F.col(f"{name}_unit_strindex")).alias("unit"),
         )
     if name == "attributes":
+        if rest:
+            bad()
         entries = F.filter(
             F.transform(F.col("attribute_indices"), d.attr_entry),
             lambda e: e.isNotNull(),
         )
-        m = F.map_from_entries(entries)
+        # last-wins on duplicate keys like the reference's Map.Put
+        # (FromAttributeIndices overwrites); map_from_entries would
+        # otherwise ABORT the job under the default EXCEPTION dedup
+        # policy — one bad row must never kill a 100 TB batch. O(k^2)
+        # lookahead over a bounded attribute list.
+        sz = F.size(entries)
+        deduped = F.filter(
+            entries,
+            lambda e, i: F.size(
+                F.filter(
+                    F.slice(entries, i + 2, sz),
+                    lambda e2: e2["key"] == e["key"],
+                )
+            )
+            == 0,
+        )
+        m = F.map_from_entries(deduped)
         if key is not None:
             return F.element_at(m, key)
         return m
     if c is not None:
         if rest:
-            # scalar paths have no sub-paths — the reference's switch
-            # errors on e.g. period.bogus (ctxerror.New), so don't
-            # silently ignore the remainder
-            raise ValueError(f"unknown profile context path: {path!r}")
+            bad()
         return c
-    raise ValueError(f"unknown profile context path: {path!r}")
+    return bad()
 
 
 def profile_path_set(df: DataFrame, path: str, value: Column) -> DataFrame:

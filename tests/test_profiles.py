@@ -30,7 +30,13 @@ def test_scalar_and_id_paths(spark):
     row = prof.select(
         P.profile_path("profile_id.string", d).alias("pid"),
         P.profile_path("time_unix_nano", d).alias("tns"),
-        P.profile_path("time", d).alias("t"),
+        # compare the two time getters IN-PLAN: collect() renders
+        # timestamps in the driver's local tz, so a python-side
+        # comparison would only pass on a UTC machine
+        (
+            F.unix_micros(P.profile_path("time", d)) * F.lit(1000)
+            == P.profile_path("time_unix_nano", d)
+        ).alias("t_eq"),
         P.profile_path("duration_unix_nano", d).alias("dns"),
         P.profile_path("period", d).alias("period"),
         P.profile_path("original_payload_format", d).alias("fmt"),
@@ -41,7 +47,7 @@ def test_scalar_and_id_paths(spark):
     # hex-encodes, profile.go:188)
     assert row["pid"] == hashlib.md5(b"prof-0").hexdigest()
     # time getters agree: time == time_unix_nano as a timestamp (profile.go:87,101)
-    assert row["tns"] == int(row["t"].replace(tzinfo=dt.timezone.utc).timestamp() * 1e9)
+    assert row["t_eq"] is True
     assert row["dns"] == 655 * 1_000_000
     assert row["period"] == 10_000_000
     assert row["fmt"] == "synthetic.events.v1"
@@ -114,8 +120,11 @@ def test_setters_roundtrip(spark):
     prof = _fixture(spark)
     d = P.EVENTS_DICT
     out = P.profile_path_set(prof, "period", F.lit(42).cast("long"))
+    # a string literal parses in the UTC session tz JVM-side, so the
+    # expected epoch value is tz-independent (F.lit(naive datetime)
+    # would convert through the driver's local tz)
     out = P.profile_path_set(
-        out, "time", F.lit(dt.datetime(2030, 1, 2, 3, 4, 5))
+        out, "time", F.to_timestamp(F.lit("2030-01-02 03:04:05"))
     )
     row = out.select("period", "time_unix_nano").first()
     assert row["period"] == 42
@@ -152,3 +161,43 @@ def test_scalar_subpath_rejected(spark):
         assert "period.bogus" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_duplicate_attribute_keys_last_wins_not_abort(spark):
+    # indices [0, 1] both resolve key 'host.name' — the reference's
+    # FromAttributeIndices overwrites via Map.Put (last wins); default
+    # Spark map_from_entries would ABORT with DUPLICATED_MAP_KEY
+    prof = _fixture(spark).withColumn(
+        "attribute_indices", F.array(F.lit(0), F.lit(1)).cast("array<int>")
+    )
+    m = prof.select(P.profile_path("attributes", P.EVENTS_DICT).alias("m")).first()["m"]
+    assert m == {"host.name": "host-1"}
+
+
+def test_all_branches_reject_unknown_subpaths(spark):
+    for p in (
+        "time.bogus",
+        "duration.x",
+        "profile_id.sting",
+        "sample_type.bogus",
+        "period_type.bogus",
+        "attributes.bogus",
+        "period.bogus",
+    ):
+        try:
+            P.profile_path(p, P.EVENTS_DICT)
+        except ValueError:
+            pass
+        else:
+            raise AssertionError(f"expected ValueError for {p}")
+
+
+def test_time_getter_exact_above_2_53_ns(spark):
+    # double division loses the last microsecond above 2^53 ns; the
+    # getter must use integer division (reference reads exact int nanos)
+    big = 2305843009213693951  # 2^61 - 1
+    prof = _fixture(spark).withColumn("time_unix_nano", F.lit(big).cast("long"))
+    got = prof.select(
+        F.unix_micros(P.profile_path("time", P.EVENTS_DICT)).alias("us")
+    ).first()["us"]
+    assert got == big // 1000
