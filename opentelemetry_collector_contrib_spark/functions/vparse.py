@@ -22,22 +22,49 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 # the four payload shapes of the synthetic corpus (FIXTURES.md §2):
-# fmt 0 apache common-log, 1 JSON, 2 key=value, 3 containerd
-APACHE_RX = re.compile(
+# fmt 0 apache common-log, 1 JSON, 2 key=value, 3 containerd.
+#
+# The *_PAT strings are canonical and carry RE2 semantics: ASCII
+# \w/\S/\d classes and `$` = absolute end of text. The three regex
+# engines that execute them disagree on exactly two points, so the
+# derived variants pin both back to RE2:
+#   - python `re`: \w/\S/\d are UNICODE by default ('é' is a word char)
+#     and `$` also matches before one trailing newline -> compile with
+#     re.ASCII and `$` rewritten to \Z (absolute end);
+#   - Java regex (JVM rlike/regexp_extract): classes are ASCII already,
+#     but `$` is newline-lenient like python -> java_pattern() rewrites
+#     `$` to \z (absolute end);
+#   - RE2 (Arrow match_substring_regex/extract_regex): canonical as-is.
+# Without this, 'é=0' auto-detects as key=value in the python model but
+# not in the Arrow/JVM impls, and a trailing-newline body matches the
+# anchored formats in python/Java but not RE2 (hypothesis fuzz finding).
+APACHE_PAT = (
     r"^(?P<client_ip>\S+) (?P<ident>\S+) (?P<user>\S+) \[(?P<ts>[^\]]+)\] "
     r'"(?P<method>\S+) (?P<path>\S+) (?P<proto>[^"]+)" (?P<status>\d+) (?P<size>\d+)$'
 )
-CONTAINERD_RX = re.compile(
-    r"^(?P<time>\S+) (?P<stream>stdout|stderr) (?P<logtag>\S+) (?P<log>.*)$"
-)
-
-
+CONTAINERD_PAT = r"^(?P<time>\S+) (?P<stream>stdout|stderr) (?P<logtag>\S+) (?P<log>.*)$"
 # auto-detect helpers shared by both dispatches; the apache detect is the
 # same cheap prefix the JVM plan uses (the full apache pattern can't run
 # as a JVM rlike — Java rejects '_' in named groups — so BOTH impls
 # prefix-detect and let the extract return NULL on a near-miss)
-_KV_DETECT_RX = re.compile(r"^\w+=\S+( \w+=\S+)*$")
-_APACHE_DETECT_RX = re.compile(r"^\S+ \S+ \S+ \[")
+KV_DETECT_PAT = r"^\w+=\S+( \w+=\S+)*$"
+APACHE_DETECT_PAT = r"^\S+ \S+ \S+ \["
+
+
+def _py_rx(pat: str) -> "re.Pattern[str]":
+    """Compile a canonical pattern for python `re` with RE2 semantics."""
+    return re.compile(pat.replace("$", r"\Z"), re.ASCII)
+
+
+def java_pattern(pat: str) -> str:
+    """Rewrite a canonical pattern for Java regex with RE2 semantics."""
+    return pat.replace("$", r"\z")
+
+
+APACHE_RX = _py_rx(APACHE_PAT)
+CONTAINERD_RX = _py_rx(CONTAINERD_PAT)
+_KV_DETECT_RX = _py_rx(KV_DETECT_PAT)
+_APACHE_DETECT_RX = _py_rx(APACHE_DETECT_PAT)
 
 
 def _parse_one(body: str | None, fmt: int | None) -> dict | None:
@@ -93,9 +120,12 @@ def _json_one(b: str) -> dict | None:
 
 def _kv_one(b: str) -> dict:
     """Mirror of str_to_map(trim(body), ' ', '='): a pair without '='
-    keeps the key with a NULL value (it is NOT silently dropped)."""
+    keeps the key with a NULL value (it is NOT silently dropped).
+    Spark's trim strips SPACES only (not \\n/\\t), so the model strips
+    exactly ' ' — a python .strip() here would silently diverge from the
+    JVM impl on whitespace-padded bodies (cross-impl probe finding)."""
     out: dict[str, str | None] = {}
-    for p in b.strip().split(" "):
+    for p in b.strip(" ").split(" "):
         if "=" in p:
             k, v = p.split("=", 1)
             out[k] = v
@@ -232,7 +262,9 @@ def _kv_subset_arrow(sub: "pa.Array") -> "pa.Array":
     import pyarrow.compute as pc
 
     n = len(sub)
-    pairs = pc.split_pattern(pc.utf8_trim_whitespace(sub), " ")
+    # trim SPACES only: Spark's trim() (the documented mirror) does not
+    # strip \n/\t, and neither must this path
+    pairs = pc.split_pattern(pc.utf8_trim(sub, " "), " ")
     row_lens = pc.list_value_length(pairs).to_numpy(zero_copy_only=False)
     row_ids = np.repeat(np.arange(n, dtype=np.int64), row_lens)
     flat = pc.list_flatten(pairs)
@@ -479,9 +511,9 @@ def _parse_multiformat_arrow_batch(body: "pa.Array", fmt: "pa.Array") -> "pa.Arr
     if auto.any():
         j = np_mask(pc.starts_with(body, "{")) & auto
         rem = auto & ~j
-        kv = np_mask(pc.match_substring_regex(body, _KV_DETECT_RX.pattern)) & rem
+        kv = np_mask(pc.match_substring_regex(body, KV_DETECT_PAT)) & rem
         ap = (
-            np_mask(pc.match_substring_regex(body, _APACHE_DETECT_RX.pattern))
+            np_mask(pc.match_substring_regex(body, APACHE_DETECT_PAT))
             & rem
             & ~kv
         )
@@ -503,9 +535,9 @@ def _parse_multiformat_arrow_batch(body: "pa.Array", fmt: "pa.Array") -> "pa.Arr
     if is2.any():
         parts.append(_kv_subset_arrow(subset(is2)).cast(map_type))
     if is0.any():
-        parts.append(_extract_map_arrow(subset(is0), APACHE_RX))
+        parts.append(_extract_map_arrow(subset(is0), APACHE_PAT))
     if is3.any():
-        parts.append(_extract_map_arrow(subset(is3), CONTAINERD_RX))
+        parts.append(_extract_map_arrow(subset(is3), CONTAINERD_PAT))
     if not bn.all():
         ix = np.nonzero(~bn)[0]
         idxs.append(ix)
@@ -570,9 +602,9 @@ def parse_multiformat(body: pd.Series, fmt: pd.Series) -> pd.Series:
         sub = body[is2]
         out.loc[is2] = pd.Series([_kv_one(x) for x in sub], index=sub.index, dtype=object)
     if is0.any():
-        out.loc[is0] = _extract_records(body[is0], APACHE_RX)
+        out.loc[is0] = _extract_records(body[is0], APACHE_PAT)
     if is3.any():
-        out.loc[is3] = _extract_records(body[is3], CONTAINERD_RX)
+        out.loc[is3] = _extract_records(body[is3], CONTAINERD_PAT)
     return out
 
 

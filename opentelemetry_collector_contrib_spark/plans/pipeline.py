@@ -55,15 +55,20 @@ def parse_records(logs: DataFrame, impl: str = "jvm") -> DataFrame:
     # single source of truth for the format patterns — a drifted copy here
     # would silently break the documented jvm/pandas parity
     from ..functions.vparse import (
-        _APACHE_DETECT_RX,
-        _KV_DETECT_RX,
-        APACHE_RX,
-        CONTAINERD_RX,
+        APACHE_DETECT_PAT,
+        APACHE_PAT,
+        CONTAINERD_PAT,
+        KV_DETECT_PAT,
+        java_pattern,
     )
 
     body = F.col("body")
-    apache_rx = APACHE_RX.pattern
-    containerd_rx = CONTAINERD_RX.pattern
+    # Java-regex variants of the canonical RE2-semantics patterns (`$`
+    # rewritten to \z so a trailing-newline body is rejected exactly
+    # like the Arrow/python impls)
+    apache_rx = java_pattern(APACHE_PAT)
+    containerd_rx = java_pattern(CONTAINERD_PAT)
+    kv_detect_rx = java_pattern(KV_DETECT_PAT)
 
     if impl in ("hybrid", "arrow"):
         from ..functions.vparse import parse_multiformat_arrow as _pma
@@ -81,11 +86,15 @@ def parse_records(logs: DataFrame, impl: str = "jvm") -> DataFrame:
         from ..functions.vparse import parse_multiformat_arrow
 
         fmt = F.col("fmt") if "fmt" in logs.columns else F.lit(None).cast("int")
-        is_json = (fmt == 1) | (fmt.isNull() & body.startswith("{"))
-        is_kv = (fmt == 2) | (
+        # eqNullSafe, NOT ==: a NULL fmt makes `fmt == 1` NULL, the NULL
+        # propagates through ~(is_json | is_kv), and when() then masks
+        # EVERY auto-detect row to NULL — silently dropping the two
+        # regex formats whenever fmt is absent
+        is_json = fmt.eqNullSafe(1) | (fmt.isNull() & body.startswith("{"))
+        is_kv = fmt.eqNullSafe(2) | (
             fmt.isNull()
             & ~body.startswith("{")
-            & body.rlike(_KV_DETECT_RX.pattern)
+            & body.rlike(kv_detect_rx)
         )
         masked = F.when(~(is_json | is_kv), body)
         parsed = (
@@ -107,11 +116,11 @@ def parse_records(logs: DataFrame, impl: str = "jvm") -> DataFrame:
         det = (
             F.when(body.startswith("{"), F.from_json(body, "map<string,string>"))
             .when(
-                body.rlike(_KV_DETECT_RX.pattern),
+                body.rlike(kv_detect_rx),
                 F.str_to_map(F.trim(body), F.lit(" "), F.lit("=")),
             )
             .when(
-                body.rlike(_APACHE_DETECT_RX.pattern),
+                body.rlike(APACHE_DETECT_PAT),
                 extract_patterns(body, apache_rx),
             )
             .otherwise(extract_patterns(body, containerd_rx))

@@ -206,3 +206,42 @@ def test_fused_plan_has_no_shuffle(spark, tmp_path):
         if "Exchange" in ln and "BroadcastExchange" not in ln
     ]
     assert not shuffles, f"unexpected shuffle in fused plan:\n{plan}"
+
+
+def test_all_impls_agree_on_edge_shapes(spark):
+    """All FOUR impls (jvm / pandas / arrow / hybrid) against the per-row
+    model on the cross-engine hazard shapes: unicode word chars in the kv
+    auto-detect (python \\w is unicode, RE2/Java ASCII), trailing-newline
+    bodies on the anchored formats (python/Java `$` is newline-lenient,
+    RE2 strict), whitespace-padded explicit-kv (Spark trim strips spaces
+    only), NULL fmt on every format (the hybrid mask used `fmt == 2`,
+    which is NULL for NULL fmt and silently masked every auto-detect row
+    to NULL), and NULL bodies."""
+    from opentelemetry_collector_contrib_spark.functions.vparse import _parse_one
+    from opentelemetry_collector_contrib_spark.plans.pipeline import parse_records
+
+    apache = '10.0.1.2 - user1 [10/Oct/2025:13:55:36 +0000] "GET /x HTTP/1.1" 200 5'
+    ctd = "2025-10-10T13:55:36.123Z stdout F hello world"
+    rows = [
+        ("é=0", None),
+        ("k=1\n", None),
+        ("a=1 b=2", None),
+        ("k=1\n", 2),
+        ("\tk=1 b=2 ", 2),
+        (" a=1  b=2", 2),
+        ("x y=1", 2),
+        (apache + "\n", None),
+        (apache, None),
+        (ctd, None),
+        (ctd, 3),
+        ('{"a": 1}', None),
+        ('{"a": 1}', 1),
+        (None, None),
+        (None, 2),
+    ]
+    df = spark.createDataFrame(rows, "body string, fmt int")
+    model = [_parse_one(b, f) for b, f in rows]
+    for impl in ("jvm", "pandas", "arrow", "hybrid"):
+        out = parse_records(df, impl=impl).select("attributes").collect()
+        got = [None if r[0] is None else dict(r[0]) for r in out]
+        assert got == model, impl
