@@ -201,7 +201,10 @@ def grok_extract(
 
     @pandas_udf(T.MapType(T.StringType(), T.StringType()))
     def _extract(s: pd.Series) -> pd.Series:
-        crx = re.compile(compiled_src)
+        # re.ASCII: Java regex (the jvm impl) and go-grok's RE2 (the
+        # reference) both treat \w/\d/\s/\b as ASCII; python's unicode
+        # default would let %{WORD} match 'é' only in this impl
+        crx = re.compile(compiled_src, re.ASCII)
 
         def one(v):
             if v is None:

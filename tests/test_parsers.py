@@ -249,3 +249,24 @@ def test_windows_event_parser(spark):
         spark.createDataFrame([(bare,)], "body string")
     ).first()["severity_number"]
     assert sev == 17  # System Level 2 -> Error
+
+
+def test_grok_impls_agree_on_non_ascii(spark):
+    """Java regex and go-grok's RE2 treat \\w as ASCII; the pandas impl
+    compiles with re.ASCII so %{WORD} rejects 'émile' in BOTH impls
+    instead of matching only python-side."""
+    from opentelemetry_collector_contrib_spark.functions.grok import grok_extract
+
+    df = spark.createDataFrame(
+        [("user=émile id=42",), ("user=bob id=7",), ("étoile 99",)], "body string"
+    )
+    pat = "user=%{WORD:user} id=%{INT:id}"
+    a = [
+        None if r[0] is None else dict(r[0])
+        for r in df.select(grok_extract(F.col("body"), pat, impl="jvm")).collect()
+    ]
+    b = [
+        None if r[0] is None else dict(r[0])
+        for r in df.select(grok_extract(F.col("body"), pat, impl="pandas")).collect()
+    ]
+    assert a == b == [None, {"user": "bob", "id": "7"}, None]
