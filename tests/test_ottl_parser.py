@@ -313,3 +313,31 @@ def test_xxh3_converters_end_to_end(spark):
     assert out["hello world"]["x128"] == "df8d09e93f874900a99b8775cc15b6c7"
     assert out[""]["x3"] == "2d06800538d394c2"
     assert out[""]["x128"] == "99aa06d3014798d86001c324468d497f"
+
+
+def test_parser_robustness_fuzz(spark):
+    """Arbitrary statement-ish input must either parse or raise ValueError
+    — never hang, blow the stack, or leak another exception type (the
+    config compiler surfaces ValueError as a config error; anything else
+    would kill the job). 300-example slice of the 3000-example sweep run
+    in round 4 (zero escapes)."""
+    from hypothesis import given, settings, strategies as st
+
+    from opentelemetry_collector_contrib_spark.functions.ottl_parser import (
+        parse_statement,
+    )
+
+    alphabet = (
+        'set(delete_keys attributes body cache ["k"] , . == != and or not '
+        "where true false nil 0 1.5 \"s\" 'x' ( ) - + Int Concat %{} \\ \n\té"
+    )
+
+    @given(st.text(alphabet=alphabet, max_size=60))
+    @settings(max_examples=300, deadline=None)
+    def fuzz(src):
+        try:
+            parse_statement(src)
+        except ValueError:
+            pass
+
+    fuzz()
