@@ -15,9 +15,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashes import sampling_hash
 from ..functions.timefmt import clickhouse_ts
-from ..operators import connectors, parsers, processors, transformers
+from ..operators import connectors, parsers, processors
 from . import pipeline as plans
 
 
