@@ -51,14 +51,42 @@ KV_DETECT_PAT = r"^\w+=\S+( \w+=\S+)*$"
 APACHE_DETECT_PAT = r"^\S+ \S+ \S+ \["
 
 
+def _split_trailing_anchor(pat: str) -> tuple[str, bool]:
+    """Split a canonical pattern into (body, had_trailing_anchor).
+
+    Only a single UNESCAPED trailing `$` is treated as the end anchor to
+    rewrite; any other unescaped `$` (mid-pattern, or inside a character
+    class) would previously get a blanket str.replace and silently change
+    meaning — reject those loudly so the next pattern added to this
+    canonical set can't fall into the trap."""
+
+    def _unescaped(i: int) -> bool:
+        n = 0
+        while i - 1 - n >= 0 and pat[i - 1 - n] == "\\":
+            n += 1
+        return n % 2 == 0
+
+    positions = [i for i, ch in enumerate(pat) if ch == "$" and _unescaped(i)]
+    if positions == [len(pat) - 1]:
+        return pat[:-1], True
+    if positions:
+        raise ValueError(
+            f"canonical pattern has a non-trailing unescaped '$' (cannot "
+            f"safely rewrite the end anchor): {pat!r}"
+        )
+    return pat, False
+
+
 def _py_rx(pat: str) -> "re.Pattern[str]":
     """Compile a canonical pattern for python `re` with RE2 semantics."""
-    return re.compile(pat.replace("$", r"\Z"), re.ASCII)
+    body, anchored = _split_trailing_anchor(pat)
+    return re.compile(body + (r"\Z" if anchored else ""), re.ASCII)
 
 
 def java_pattern(pat: str) -> str:
     """Rewrite a canonical pattern for Java regex with RE2 semantics."""
-    return pat.replace("$", r"\z")
+    body, anchored = _split_trailing_anchor(pat)
+    return body + (r"\z" if anchored else "")
 
 
 APACHE_RX = _py_rx(APACHE_PAT)

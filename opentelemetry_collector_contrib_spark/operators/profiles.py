@@ -137,6 +137,11 @@ def profile_path(path: str, d: ProfilesDict) -> Column:
         # (ctxerror.New), so don't silently return the base column
         raise ValueError(f"unknown profile context path: {path!r}")
 
+    if key is not None and name != "attributes":
+        # bracketed keys only exist on the map path (attributes[k]); the
+        # reference errors on keyed non-map paths (ctxerror.New), so
+        # `period[x]` must not silently return the base column
+        bad()
     if name in ("time", "duration"):
         if rest:
             bad()

@@ -183,6 +183,11 @@ def test_all_branches_reject_unknown_subpaths(spark):
         "period_type.bogus",
         "attributes.bogus",
         "period.bogus",
+        # bracketed key on a non-map path — the reference's ctxerror on
+        # keyed non-map paths; must not silently return the base column
+        "period[x]",
+        "sample_type[k]",
+        "profile_id[0]",
     ):
         try:
             P.profile_path(p, P.EVENTS_DICT)

@@ -131,3 +131,22 @@ def test_multiformat_dispatch_matches_per_row_model(rows):
     got = _parse_multiformat_arrow_batch(bodies, fmts).to_pylist()
     for (b, f), g in zip(rows, got):
         assert (dict(g) if g is not None else None) == _parse_one(b, f), (b, f)
+
+
+def test_anchor_rewrite_only_touches_trailing_dollar():
+    # the canonical-pattern anchor rewrite must only rewrite a single
+    # unescaped trailing '$'; an escaped \$ or a mid-pattern '$' must
+    # raise loudly instead of silently changing meaning (ADVICE r4)
+    from opentelemetry_collector_contrib_spark.functions import vparse as V
+
+    assert V.java_pattern(r"^a\S+$") == r"^a\S+\z"
+    assert V.java_pattern(r"^a b") == r"^a b"  # unanchored: unchanged
+    assert V._py_rx(r"^cost \$5$").match("cost $5\n") is None
+    assert V._py_rx(r"^cost \$5$").match("cost $5") is not None
+    for bad in (r"^a$ b$", r"price [$] end$", r"mid$dle"):
+        try:
+            V.java_pattern(bad)
+        except ValueError:
+            pass
+        else:
+            raise AssertionError(f"expected ValueError for {bad!r}")
