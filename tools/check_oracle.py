@@ -44,14 +44,48 @@ def norm_cell(v):
     return str(v)
 
 
-def value_hash(rows: list[dict]) -> str:
-    cols = sorted(rows[0].keys()) if rows else []
-    lines = sorted("|".join(norm_cell(r[c]) for c in cols) for r in rows)
+def hash_lines(lines: list[str]) -> str:
     h = hashlib.sha256()
     for line in lines:
         h.update(line.encode())
         h.update(b"\n")
     return h.hexdigest()[:16]
+
+
+def value_hash(rows: list[dict]) -> str:
+    cols = sorted(rows[0].keys()) if rows else []
+    lines = sorted("|".join(norm_cell(r[c]) for c in cols) for r in rows)
+    return hash_lines(lines)
+
+
+def spark_lines(sdf) -> tuple[list[str], list[str]]:
+    """(sorted column names, sorted normalized lines) of a Spark result.
+    Builds lines positionally from Row tuples and drops the Row list before
+    sorting — at sf10 a 10M-row suite as per-row dicts is ~15 GB, as lines
+    it's ~2 GB, which is what makes a 4-shard parallel sweep fit in RAM."""
+    cols = sdf.columns
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = sdf.collect()
+    lines = ["|".join(norm_cell(r[i]) for i in order) for r in rows]
+    del rows
+    lines.sort()
+    return sorted(cols), lines
+
+
+def duck_lines(con, sql: str) -> tuple[list[str], list[str]]:
+    """Same, streaming the DuckDB cursor in 100k-row batches so the raw
+    tuple list never materializes alongside the line list."""
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines: list[str] = []
+    while True:
+        batch = cur.fetchmany(100_000)
+        if not batch:
+            break
+        lines.extend("|".join(norm_cell(r[i]) for i in order) for r in batch)
+    lines.sort()
+    return sorted(cols), lines
 
 
 def main():
@@ -64,6 +98,9 @@ def main():
     cores = int(os.environ.get("ORACLE_CORES", "8"))
     spark = build_session(app_name="oracle-check", master=f"local[{cores}]", shuffle_partitions=cores)
     con = duckdb.connect()
+    duck_threads = os.environ.get("ORACLE_DUCK_THREADS")
+    if duck_threads:
+        con.execute(f"SET threads={int(duck_threads)}")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
     qs = entrymod.queries()
@@ -86,8 +123,7 @@ def main():
         t0 = time.monotonic()
         try:
             sdf = fn(spark, SF_DIR)
-            srows = [r.asDict() for r in sdf.collect()]
-            scols = sorted(sdf.columns)
+            scols, slines = spark_lines(sdf)
         except Exception as e:
             print(f"FAIL {name}: spark error {str(e)[:200]}")
             failures.append(name)
@@ -96,8 +132,8 @@ def main():
             continue
         spark_sec = round(time.monotonic() - t0, 2)
         if name not in oracles:
-            print(f"SKIP {name}: rows-only check -> {len(srows)} rows ({spark_sec}s)")
-            report["queries"][name] = {"status": "rows_only", "rows": len(srows), "spark_sec": spark_sec}
+            print(f"SKIP {name}: rows-only check -> {len(slines)} rows ({spark_sec}s)", flush=True)
+            report["queries"][name] = {"status": "rows_only", "rows": len(slines), "spark_sec": spark_sec}
             flush()
             continue
         t1 = time.monotonic()
@@ -109,10 +145,7 @@ def main():
             huge = [c for c, t in zip(rel.columns, rel.types) if "HUGEINT" in str(t).upper()]
             if huge:
                 raise ValueError(f"oracle emits HUGEINT columns {huge}; add CAST(... AS BIGINT)")
-            cur = con.execute(oracles[name])
-            dcols_raw = [d[0] for d in cur.description]
-            drows = [dict(zip(dcols_raw, row)) for row in cur.fetchall()]
-            dcols = sorted(dcols_raw)
+            dcols, dlines = duck_lines(con, oracles[name])
         except Exception as e:
             print(f"FAIL {name}: duckdb error {str(e)[:200]}")
             failures.append(name)
@@ -120,12 +153,12 @@ def main():
             flush()
             continue
         duck_sec = round(time.monotonic() - t1, 2)
-        ok_rows = len(srows) == len(drows)
+        ok_rows = len(slines) == len(dlines)
         ok_cols = scols == dcols
-        ok_hash = ok_rows and ok_cols and value_hash(srows) == value_hash(drows)
+        ok_hash = ok_rows and ok_cols and hash_lines(slines) == hash_lines(dlines)
         report["queries"][name] = {
             "status": "ok" if ok_hash else "mismatch",
-            "rows": len(srows),
+            "rows": len(slines),
             "rows_match": ok_rows,
             "schema_match": ok_cols,
             "hash_match": ok_hash,
@@ -134,19 +167,19 @@ def main():
         }
         flush()
         if ok_hash:
-            print(f"OK   {name}: {len(srows)} rows (spark {spark_sec}s, duck {duck_sec}s)")
+            print(f"OK   {name}: {len(slines)} rows (spark {spark_sec}s, duck {duck_sec}s)", flush=True)
         else:
             failures.append(name)
-            print(f"FAIL {name}: rows {len(srows)}/{len(drows)} cols_match={ok_cols}")
+            print(f"FAIL {name}: rows {len(slines)}/{len(dlines)} cols_match={ok_cols}")
             if not ok_cols:
                 print(f"     spark cols: {scols}\n     duck  cols: {dcols}")
             elif ok_rows:
-                s = {("|".join(norm_cell(r[c]) for c in scols)) for r in srows}
-                d = {("|".join(norm_cell(r[c]) for c in dcols)) for r in drows}
+                s, d = set(slines), set(dlines)
                 for x in list(s - d)[:3]:
                     print(f"     spark-only: {x[:160]}")
                 for x in list(d - s)[:3]:
                     print(f"     duck-only:  {x[:160]}")
+        del slines, dlines
     spark.stop()
     if out:
         flush()

@@ -48,31 +48,36 @@ STRIDES = {
 COPY_ONLY = ["region", "nation"]  # dimensions don't scale (TPC-H style)
 
 
+def shift_one(table: pa.Table, name: str, k: int) -> pa.Table:
+    """Replica k of a table: pure function of (original row, k) — keys
+    shifted by k * stride, documents text prefixed, embeddings perturbed."""
+    if k == 0:
+        return table
+    t = table
+    for col, stride in STRIDES[name].items():
+        idx = t.schema.get_field_index(col)
+        shifted = pc.add(t.column(col), pa.scalar(k * stride, t.schema.field(col).type))
+        t = t.set_column(idx, col, shifted)
+    if name == "documents":
+        prefix = f"[r{k}] "
+        idx = t.schema.get_field_index("text")
+        new_text = pc.binary_join_element_wise(pa.scalar(prefix), t.column("text").combine_chunks(), "")
+        t = t.set_column(idx, "text", new_text)
+        nidx = t.schema.get_field_index("n_chars")
+        t = t.set_column(nidx, "n_chars", pc.add(t.column("n_chars"), pa.scalar(len(prefix), pa.int64())))
+    if name == "embeddings":
+        emb = t.column("embedding").combine_chunks()
+        vals = emb.values.to_numpy(zero_copy_only=False).copy().reshape(len(t), 64)
+        vec_ids = t.column("vec_id").to_numpy()
+        vals[np.arange(len(t)), vec_ids % 64] += k * 1e-3
+        flat = pa.array(vals.reshape(-1), type=pa.float32())
+        new_emb = pa.ListArray.from_arrays(emb.offsets, flat)
+        t = t.set_column(t.schema.get_field_index("embedding"), "embedding", new_emb)
+    return t
+
+
 def replicate(table: pa.Table, name: str, factor: int) -> pa.Table:
-    parts = [table]
-    for k in range(1, factor):
-        t = table
-        for col, stride in STRIDES[name].items():
-            idx = t.schema.get_field_index(col)
-            shifted = pc.add(t.column(col), pa.scalar(k * stride, t.schema.field(col).type))
-            t = t.set_column(idx, col, shifted)
-        if name == "documents":
-            prefix = f"[r{k}] "
-            idx = t.schema.get_field_index("text")
-            new_text = pc.binary_join_element_wise(pa.scalar(prefix), t.column("text").combine_chunks(), "")
-            t = t.set_column(idx, "text", new_text)
-            nidx = t.schema.get_field_index("n_chars")
-            t = t.set_column(nidx, "n_chars", pc.add(t.column("n_chars"), pa.scalar(len(prefix), pa.int64())))
-        if name == "embeddings":
-            emb = t.column("embedding").combine_chunks()
-            vals = emb.values.to_numpy(zero_copy_only=False).copy().reshape(len(t), 64)
-            vec_ids = t.column("vec_id").to_numpy()
-            vals[np.arange(len(t)), vec_ids % 64] += k * 1e-3
-            flat = pa.array(vals.reshape(-1), type=pa.float32())
-            new_emb = pa.ListArray.from_arrays(emb.offsets, flat)
-            t = t.set_column(t.schema.get_field_index("embedding"), "embedding", new_emb)
-        parts.append(t)
-    return pa.concat_tables(parts)
+    return pa.concat_tables([shift_one(table, name, k) for k in range(factor)])
 
 
 def main() -> None:
