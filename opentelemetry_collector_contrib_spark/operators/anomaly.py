@@ -157,6 +157,76 @@ def isolation_forest_scores(
     return _score(*[c.cast("double") for c in feature_cols])
 
 
+def forest_depth_column(forest: IsolationForest, cols: list[Column]) -> Column:
+    """Compile the fitted trees into one nested CASE ladder: the SUM of
+    per-tree path depths as a pure Column expression — zero Python on the
+    scoring path (whole-stage codegen), the right engine-side form for
+    small frozen forests shipped with a job config. Depth arithmetic is
+    sums of literals in a fixed order, so the result is bit-identical to
+    any other engine evaluating the same ladder (see forest_depth_sql).
+
+    NULL features fall through every `< split` comparison to the right
+    child on BOTH engines (SQL CASE semantics), so the ladder itself is
+    total; callers gate NULLs explicitly (score column below)."""
+    def walk(tree, depth: int) -> Column:
+        if tree[0] is None:
+            return F.lit(float(depth + _c(tree[1])))
+        f, split, left, right = tree
+        return F.when(cols[f] < F.lit(split), walk(left, depth + 1)).otherwise(
+            walk(right, depth + 1)
+        )
+
+    total = walk(forest.trees[0], 0)
+    for t in forest.trees[1:]:
+        total = total + walk(t, 0)
+    return total
+
+
+def forest_depth_sql(forest: IsolationForest, exprs: list[str]) -> str:
+    """The same ladder as ANSI SQL (DuckDB-oracle mirror of
+    forest_depth_column): identical tree walk, identical literal repr
+    (Python float repr round-trips to the same IEEE double), identical
+    left-to-right sum order; every literal is emitted as
+    CAST('<repr>' AS DOUBLE) — a bare decimal literal types as DECIMAL in
+    ANSI engines, and even `<literal>::DOUBLE` parses DECIMAL-first and
+    loses the last ulp; the string cast is a correctly-rounded
+    strtod on every engine."""
+    def walk(tree, depth: int) -> str:
+        if tree[0] is None:
+            return f"CAST('{float(depth + _c(tree[1]))!r}' AS DOUBLE)"
+        f, split, left, right = tree
+        return (
+            f"CASE WHEN ({exprs[f]}) < CAST('{split!r}' AS DOUBLE) "
+            f"THEN {walk(left, depth + 1)} ELSE {walk(right, depth + 1)} END"
+        )
+
+    return "(" + " + ".join(walk(t, 0) for t in forest.trees) + ")"
+
+
+def forest_score_column(forest: IsolationForest, cols: list[Column]) -> Column:
+    """iForest anomaly score 2^(-mean_depth / c(sample_size)) from the
+    compiled ladder; NULL when any feature is NULL (matching
+    isolation_forest_scores). Prefer flagging on the RAW depth sum
+    (forest_depth_column <= threshold) when cross-engine exactness
+    matters: depth sums are exact literal arithmetic, while pow() may
+    differ in the last ulp between libm implementations."""
+    k = 1.0 / (len(forest.trees) * _c(forest.sample_size))
+    import functools
+
+    guard = functools.reduce(lambda a, b: a & b, [c.isNotNull() for c in cols])
+    return F.when(guard, F.pow(F.lit(2.0), -forest_depth_column(forest, cols) * F.lit(k)))
+
+
+def forest_score_sql(forest: IsolationForest, exprs: list[str]) -> str:
+    """SQL mirror of forest_score_column."""
+    k = 1.0 / (len(forest.trees) * _c(forest.sample_size))
+    guard = " AND ".join(f"({e}) IS NOT NULL" for e in exprs)
+    return (
+        f"CASE WHEN {guard} THEN "
+        f"POWER(2.0, -{forest_depth_sql(forest, exprs)} * CAST('{k!r}' AS DOUBLE)) END"
+    )
+
+
 def isolation_forest_processor(
     df: DataFrame,
     feature_cols: list[str],

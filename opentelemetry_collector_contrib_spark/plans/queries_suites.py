@@ -967,6 +967,25 @@ FROM events
 """
 
 
+# Frozen isolation forest for the oracle-checked anomaly fold below:
+# fitted ONCE by operators.anomaly.fit_isolation_forest on the sf0.01
+# events table (features: value, length(props); num_trees=2,
+# sample_size=32, seed=7) and pinned here as a literal — the same
+# ship-the-model-with-the-config shape the reference's
+# isolationforestprocessor uses for a warm-started window, and the only
+# way the DuckDB oracle can replay the exact forest. Flags compare the
+# RAW path-depth sum (exact literal arithmetic on both engines), not the
+# pow()-derived score (libm last-ulp risk).
+_IFOREST_TREES = [(0, 148.10906890032177, (0, 33.99395581118993, (0, 18.539056685836776, (1, 8.560257277012813, (None, 1), (0, 3.585799727724154, (None, 1), (None, 8))), (0, 28.01456988988864, (0, 25.811793561408052, (None, 1), (None, 2)), (0, 30.353721807815255, (None, 2), (None, 2)))), (1, 8.777228774980808, (None, 4), (0, 78.90412156647196, (0, 41.44799978977405, (None, 1), (None, 7)), (None, 2)))), (None, 1)), (1, 8.28459553209415, (0, 106.93353917036225, (0, 50.025695579174894, (None, 1), (0, 56.35721941058112, (None, 1), (None, 1))), (0, 111.87956836425327, (None, 1), (None, 1))), (0, 27.743578160929754, (0, 20.90380088211151, (None, 10), (0, 24.71809858876422, (None, 1), (None, 1))), (0, 50.10495834993684, (0, 30.486253643988256, (0, 30.321019729543885, (None, 1), (None, 1)), (0, 34.548360741199545, (None, 1), (None, 5))), (0, 127.29977026610365, (0, 68.74847521038751, (None, 4), (None, 2)), (None, 1)))))]
+_IFOREST_DEPTH_FLAG = 7.0  # depth <= 7 isolates in <half the tree -> anomaly
+
+
+def _frozen_forest():
+    from ..operators.anomaly import IsolationForest
+
+    return IsolationForest(_IFOREST_TREES, 32)
+
+
 def q_connector_metrics(spark, sf_dir):
     ev = _events(spark, sf_dir).withColumn("bucket", (F.col("user_id") % 10).cast("int"))
     sig = connectors.signaltometrics_connector(
@@ -987,10 +1006,51 @@ def q_connector_metrics(spark, sf_dir):
         F.lit(None).cast("string").alias("dim2"),
         F.col("exception_count").cast("double").alias("value"),
     )
-    return sig.unionByName(exc)
+    # --- isolationforestprocessor under the oracle (round-5 ask #5):
+    # score every event against the frozen forest via the compiled CASE
+    # ladder (pure whole-stage-codegen Columns — the pandas-UDF scorer in
+    # operators/anomaly.py is the big-forest path, parity-tested against
+    # this ladder in tests/test_anomaly.py), flag on the exact depth sum,
+    # aggregate flag counts + rounded score mass per event_type.
+    from ..operators.anomaly import forest_depth_column, forest_score_column
+
+    forest = _frozen_forest()
+    feats = [F.col("value"), F.length("props").cast("double")]
+    scored = _events(spark, sf_dir).select(
+        "event_type",
+        forest_depth_column(forest, feats).alias("__depth"),
+        F.round(forest_score_column(forest, feats), 6).alias("__score"),
+    )
+    anom = scored.groupBy("event_type").agg(
+        F.sum(F.when(F.col("__depth") <= _IFOREST_DEPTH_FLAG, 1).otherwise(0))
+        .cast("double")
+        .alias("flags"),
+        F.round(F.sum("__score"), 4).alias("score_mass"),
+    )
+    anom_rows = anom.select(
+        F.lit("anomaly.iforest.flags").alias("metric_name"),
+        F.col("event_type").alias("dim1"),
+        F.lit(None).cast("string").alias("dim2"),
+        F.col("flags").alias("value"),
+    ).unionByName(
+        anom.select(
+            F.lit("anomaly.iforest.score").alias("metric_name"),
+            F.col("event_type").alias("dim1"),
+            F.lit(None).cast("string").alias("dim2"),
+            F.col("score_mass").alias("value"),
+        )
+    )
+    return sig.unionByName(exc).unionByName(anom_rows)
 
 
-SQL_CONNECTOR_METRICS = """
+def _sql_connector_metrics() -> str:
+    from ..operators.anomaly import forest_depth_sql, forest_score_sql
+
+    forest = _frozen_forest()
+    exprs = ["value", "LENGTH(props)::DOUBLE"]
+    depth = forest_depth_sql(forest, exprs)
+    score = forest_score_sql(forest, exprs)
+    return f"""
 SELECT 'signal.metric' AS metric_name, event_type AS dim1,
        (user_id % 10)::VARCHAR AS dim2, ROUND(SUM(value), 4) AS value
 FROM events GROUP BY 2, 3
@@ -998,7 +1058,18 @@ UNION ALL
 SELECT 'exceptions' AS metric_name, 'svc-' || (user_id % 5)::VARCHAR AS dim1,
        NULL AS dim2, COUNT(*)::DOUBLE AS value
 FROM events WHERE event_type = 'error' GROUP BY 2
+UNION ALL
+SELECT 'anomaly.iforest.flags', event_type, NULL,
+       (COUNT(*) FILTER (WHERE {depth} <= {_IFOREST_DEPTH_FLAG!r}))::DOUBLE
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'anomaly.iforest.score', event_type, NULL,
+       ROUND(SUM(ROUND({score}, 6)), 4)
+FROM events GROUP BY 2
 """
+
+
+SQL_CONNECTOR_METRICS = _sql_connector_metrics()
 
 
 def q_ottl_field_ops(spark, sf_dir):

@@ -197,3 +197,46 @@ def test_stdin_and_namedpipe_inputs(spark, tmp_path):
         assert [r.body for r in df2.collect()] == ["a=1", "b=2"]
     finally:
         os.waitpid(pid, 0)
+
+
+def test_isolation_forest_case_ladder_matches_udf_scorer(spark):
+    """The compiled CASE-ladder scorer (pure Columns, used by the
+    connector_metrics oracle fold) must agree with the pandas-UDF
+    tree-walk scorer on every row, and its SQL emission must agree with
+    DuckDB evaluating the same ladder."""
+    import duckdb
+
+    from opentelemetry_collector_contrib_spark.operators import anomaly
+
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 101), float((i * 61) % 53)) for i in range(500)]
+        + [(None, None, 1.0), (None, 2.0, None)],  # NULL features -> NULL score
+        "id long, a double, b double",
+    )
+    forest = anomaly.fit_isolation_forest(
+        df, ["a", "b"], num_trees=4, sample_size=32
+    )
+    cols = [F.col("a"), F.col("b")]
+    both = df.select(
+        "a",
+        "b",
+        F.round(anomaly.forest_score_column(forest, cols), 9).alias("ladder"),
+        F.round(anomaly.isolation_forest_scores(forest, *cols), 9).alias("udf"),
+        anomaly.forest_depth_column(forest, cols).alias("depth"),
+    )
+    rows = both.collect()
+    assert all(r["ladder"] == r["udf"] for r in rows)
+    assert sum(r["ladder"] is None for r in rows) == 2
+
+    # SQL mirror: DuckDB evaluates the emitted ladder to the same depths
+    pdf = df.toPandas()  # noqa: F841 (registered by name below)
+    con = duckdb.connect()
+    con.register("t", pdf)
+    dsql = anomaly.forest_depth_sql(forest, ["a", "b"])
+    duck = {
+        (r[0], r[1]): r[2]
+        for r in con.sql(f"SELECT a, b, {dsql} FROM t WHERE a IS NOT NULL AND b IS NOT NULL").fetchall()
+    }
+    for r in rows:
+        if r["a"] is not None and r["b"] is not None:
+            assert duck[(r["a"], r["b"])] == r["depth"]
