@@ -1736,15 +1736,28 @@ def q_streaming_windowed_counts(spark, sf_dir):
                      every timer; the sentinel itself stays buffered and
                      must not appear (that's part of the check — its key
                      would be an extra row).
+    kind='d2c'     — stateful_delta_to_cumulative (foreachBatch + the
+                     versioned state table): per-user running sums; the
+                     oracle checks each stream's FINAL cumulative (the
+                     cumulative at the stream's last (ts, value) row ==
+                     the stream's total, whatever the micro-batch split),
+                     in integer cents (values are 2-decimal doubles).
+    kind='tailsample' — tailsampling_stream: complete released traces
+                     evaluated against the aggregate policy DSL; a trace
+                     is kept iff its complete-group aggregates clear the
+                     OR'd policies and survive the drop veto — exactly
+                     SQL-expressible because released groups are complete.
 
     Columns: (kind, k, t, value). window rows: t = window start epoch
     SECONDS, value = count. release rows: t = release timestamp epoch MS
-    (first event + wait), value = spans in the released group."""
+    (first event + wait), value = spans in the released group. d2c rows:
+    t = last event epoch MS, value = total in cents. tailsample rows:
+    t = release epoch MS, value = spans kept."""
     import os
     import tempfile
 
-    from ..streaming.stateful import groupbytrace_stream
-    from ..streaming.stream import windowed_counts
+    from ..streaming.stateful import groupbytrace_stream, tailsampling_stream
+    from ..streaming.stream import stateful_delta_to_cumulative, windowed_counts
 
     # events.parquet is a single file; the file stream source needs a
     # directory, so stream the parent dir with a glob filter
@@ -1768,20 +1781,21 @@ def q_streaming_windowed_counts(spark, sf_dir):
     # --- groupbytrace over the same events + a watermark-driving sentinel
     gbt_dir = tempfile.mkdtemp(prefix="gbt_stream_src_")
     events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "event_id", "ts", "user_id", "event_type"
+        "event_id", "ts", "user_id", "event_type", "value"
     )
     events.coalesce(1).write.mode("overwrite").parquet(gbt_dir)
     spark.createDataFrame(
-        [(int(-1), "2099-01-01 00:00:00", int(-1), "__sentinel")],
-        "event_id long, ts string, user_id long, event_type string",
+        [(int(-1), "2099-01-01 00:00:00", int(-1), "__sentinel", 0.0)],
+        "event_id long, ts string, user_id long, event_type string, value double",
     ).select(
-        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type"
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id",
+        "event_type", "value",
     ).coalesce(1).write.mode("append").parquet(gbt_dir)
 
-    gbt_src = (
-        spark.readStream.schema("event_id long, ts timestamp, user_id long, event_type string")
-        .parquet(gbt_dir)
+    _gbt_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
     )
+    gbt_src = spark.readStream.schema(_gbt_schema).parquet(gbt_dir)
     released = groupbytrace_stream(
         gbt_src,
         trace_col="user_id",
@@ -1797,14 +1811,107 @@ def q_streaming_windowed_counts(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
+
+    # --- stateful deltatocumulative end-state (round-5 oracle fold)
+    d2c_base = tempfile.mkdtemp(prefix="d2c_oracle_")
+    d2c_src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            F.col("user_id").cast("string").alias("uid"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            "value",
+        )
+    )
+    q3 = stateful_delta_to_cumulative(
+        d2c_src,
+        ["uid"],
+        value_col="value",
+        ts_col="ts",
+        state_path=f"{d2c_base}/state",
+        output_path=f"{d2c_base}/out",
+        checkpoint=f"{d2c_base}/ckpt",
+    ).start()
+
+    # --- streaming tailsampling decisions over released complete traces
+    tails_dir = tempfile.mkdtemp(prefix="tails_oracle_")
+
+    def _tails_sink(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{tails_dir}/out/batch={batch_id}")
+
+    P = processors.TailPolicy
+    q4 = tailsampling_stream(
+        spark.readStream.schema(_gbt_schema).parquet(gbt_dir),
+        [
+            P("high_value", "agg", cond=F.max("value") > 195.0),
+            P("span_count", "agg", cond=F.count(F.lit(1)) >= 600),
+            P("and_mid", "and", subpolicies=[
+                P("v", "agg", cond=F.max("value") > 190.0),
+                P("n", "agg", cond=F.count(F.lit(1)) >= 150),
+            ]),
+            P("drop_tiny", "drop", subpolicies=[
+                P("t", "agg", cond=F.max("value") < 199.0),
+                P("t2", "agg", cond=F.count(F.lit(1)) < 650),
+            ]),
+        ],
+        _tails_sink,
+        checkpoint=f"{tails_dir}/ckpt",
+        trace_col="user_id",
+        ts_col="ts",
+        decision_wait=_GBT_WAIT_MS / 1000,
+        watermark="10 seconds",
+    ).start()
+
     q.awaitTermination(180)
     q2.awaitTermination(180)
-    # both availableNow streams have drained into the in-memory sink
-    # tables; drop the staged source copy (one full events copy per
+    q3.awaitTermination(300)
+    q4.awaitTermination(300)
+    # all four availableNow streams have drained; read the parquet-backed
+    # results BEFORE dropping the staged dirs (parquet reads are lazy —
+    # collect into driver-local rows first, they're one row per stream key)
+    d2c_out = spark.read.parquet(f"{d2c_base}/out/batch=*")
+    d2c_rows = (
+        d2c_out.groupBy("uid")
+        .agg(
+            # the cumulative at the stream's last (ts, value) row is the
+            # stream total regardless of how micro-batches split the input
+            F.max_by("cumulative", F.struct("ts", "value")).alias("cum"),
+            F.max("ts").alias("mx"),
+        )
+        .select(
+            F.lit("d2c").alias("kind"),
+            F.col("uid").alias("k"),
+            F.unix_millis(F.col("mx").cast("timestamp")).alias("t"),
+            F.round(F.col("cum") * 100, 0).cast("long").alias("value"),
+        )
+        .collect()
+    )
+    tails_out = spark.read.parquet(f"{tails_dir}/out/batch=*")
+    tails_rows = (
+        tails_out.groupBy("user_id")
+        .agg(
+            F.first("gbt_released_ms").alias("rel"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.lit("tailsample").alias("kind"),
+            F.col("user_id").cast("string").alias("k"),
+            F.col("rel").alias("t"),
+            F.col("n").cast("long").alias("value"),
+        )
+        .collect()
+    )
+    extra = spark.createDataFrame(
+        d2c_rows + tails_rows, "kind string, k string, t long, value long"
+    )
+    # drop the staged source/state copies (one full events copy per
     # driver-gate run otherwise leaks in /tmp until reboot)
     import shutil
 
     shutil.rmtree(gbt_dir, ignore_errors=True)
+    shutil.rmtree(d2c_base, ignore_errors=True)
+    shutil.rmtree(tails_dir, ignore_errors=True)
 
     win_rows = spark.table(name).select(
         F.lit("window").alias("kind"),
@@ -1826,13 +1933,16 @@ def q_streaming_windowed_counts(spark, sf_dir):
             F.col("n_spans").alias("value"),
         )
     )
-    return win_rows.unionByName(rel_rows)
+    return win_rows.unionByName(rel_rows).unionByName(extra)
 
 
 # the trigger/commit cycle is not SQL-expressible, but the FINAL state of
-# both bounded streams is: a tumbling 3600s epoch-aligned window is
-# date_trunc('hour', ts), and a single-release groupbytrace group is the
-# key's whole history released at min(ts) + wait
+# all four bounded streams is: a tumbling 3600s epoch-aligned window is
+# date_trunc('hour', ts); a single-release groupbytrace group is the
+# key's whole history released at min(ts) + wait; a d2c stream's final
+# cumulative is its total (in cents — values are 2-decimal); and a
+# released COMPLETE trace passes tailsampling iff its group aggregates
+# clear the OR'd keep policies and survive the drop veto
 SQL_STREAMING_WINDOWED_COUNTS = f"""
 SELECT 'window' AS kind, event_type AS k,
        CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS t,
@@ -1842,6 +1952,21 @@ UNION ALL
 SELECT 'release', CAST(user_id AS VARCHAR),
        epoch_ms(MIN(ts)) + {_GBT_WAIT_MS}, COUNT(*)
 FROM events GROUP BY 2
+UNION ALL
+SELECT 'd2c', CAST(user_id AS VARCHAR), epoch_ms(MAX(ts)),
+       CAST(ROUND(SUM(value) * 100) AS BIGINT)
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'tailsample', CAST(user_id AS VARCHAR),
+       epoch_ms(MIN(ts)) + {_GBT_WAIT_MS}, COUNT(*)
+FROM events
+WHERE user_id IN (
+  SELECT user_id FROM (
+    SELECT user_id, MAX(value) AS mx, COUNT(*) AS cnt FROM events GROUP BY 1
+  ) WHERE (mx > 195.0 OR cnt >= 600 OR (mx > 190.0 AND cnt >= 150))
+      AND NOT (mx < 199.0 AND cnt < 650)
+)
+GROUP BY 2
 """
 
 
