@@ -5,12 +5,16 @@ pre-tokenized `(doc_id, tokens array<int>)` tables; this module produces
 them from raw text with a BPE tokenizer (Sennrich et al. 2016, the
 standard LLM pretraining tokenizer family) built Spark-first:
 
-- train_bpe: the pair-count step is the canonical MapReduce job — one
-  corpus pass builds the DISTINCT word-frequency table (tiny vs the
-  corpus; the classic BPE training optimization), then each merge round
-  is one weighted adjacent-pair aggregation over that table plus one
-  Arrow-batched merge apply. num_merges rounds = num_merges small Spark
-  jobs; the corpus is never rescanned.
+- train_bpe: ONE corpus pass builds the DISTINCT word-frequency table
+  (tiny vs the corpus; the classic BPE training optimization), a
+  deterministic top-K of it is collected, and the merge loop runs
+  in-memory with incremental pair-count maintenance (a lazy max-heap —
+  the standard fast-BPE trainer structure). Total Spark jobs: O(1)
+  regardless of num_merges (a 50k-merge production vocab is NOT 50k
+  jobs). When the corpus's distinct-word count fits the cap the merges
+  are EXACTLY those of the round-per-merge distributed trainer
+  (train_bpe_distributed, kept for parity testing and for corpora whose
+  distinct table genuinely exceeds driver memory).
 - bpe_encode: applies the learned merge ranks per word in an
   Arrow-batched pandas UDF with a per-batch word cache (natural-language
   batches repeat most words, so amortized cost per row is near the
@@ -77,15 +81,127 @@ def _merge_pair_udf(a: str, b: str):
     return _merge
 
 
+def _apply_merge(toks: list[str], a: str, b: str) -> list[str]:
+    """Left-to-right non-overlapping merge of (a, b) -> a+b in one word —
+    the same scan _merge_pair_udf runs distributed."""
+    out: list[str] = []
+    i, n = 0, len(toks)
+    while i < n:
+        if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+def train_bpe_words(
+    words: list[tuple[str, int]], num_merges: int, min_freq: int = 2
+) -> list[tuple[str, str]]:
+    """In-memory BPE merge loop over a (word, freq) table: incremental
+    pair-count maintenance with a lazy max-heap (stale entries are
+    discarded on pop; every count change pushes a fresh entry), touching
+    only the words that contain the merged pair each round. Selection
+    order is count desc then (a, b) lexicographic asc — bit-identical to
+    train_bpe_distributed's orderBy, including overlapping-occurrence
+    pair counting ('aaa' holds two (a,a) pairs) and the min_freq stop."""
+    import heapq
+    from collections import Counter
+
+    toks = [list(w) for w, _ in words]
+    freqs = [f for _, f in words]
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for wi, (t, f) in enumerate(zip(toks, freqs)):
+        for p in zip(t, t[1:]):
+            counts[p] = counts.get(p, 0) + f
+            where.setdefault(p, set()).add(wi)
+    heap = [(-c, a, b) for (a, b), c in counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        best = None
+        while heap:
+            nc, a, b = heap[0]
+            if counts.get((a, b), 0) == -nc:
+                best = (a, b, -nc)
+                break
+            heapq.heappop(heap)  # stale: count changed since this push
+        if best is None or best[2] < min_freq:
+            break
+        a, b, _ = best
+        heapq.heappop(heap)
+        merges.append((a, b))
+        for wi in sorted(where.get((a, b), ())):
+            f, t = freqs[wi], toks[wi]
+            new_t = _apply_merge(t, a, b)
+            old_pairs = list(zip(t, t[1:]))
+            new_pairs = list(zip(new_t, new_t[1:]))
+            delta = Counter(new_pairs)
+            delta.subtract(old_pairs)
+            for p, d in delta.items():
+                if d == 0:
+                    continue
+                c = counts.get(p, 0) + d * f
+                if c <= 0:
+                    counts.pop(p, None)
+                else:
+                    counts[p] = c
+                    heapq.heappush(heap, (-c, p[0], p[1]))
+            olds, news = set(old_pairs), set(new_pairs)
+            for p in olds - news:
+                s = where.get(p)
+                if s is not None:
+                    s.discard(wi)
+            for p in news - olds:
+                where.setdefault(p, set()).add(wi)
+            toks[wi] = new_t
+        where.pop((a, b), None)
+    return merges
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 100,
     min_freq: int = 2,
+    max_distinct_words: int = 2_000_000,
 ) -> list[tuple[str, str]]:
-    """Learn `num_merges` merges: each round takes the corpus-weighted
-    most frequent adjacent token pair (ties broken lexicographically so
-    training is partitioning-independent) and merges it everywhere.
+    """Learn `num_merges` merges Spark-first with an O(1) job count: one
+    corpus shuffle builds the distinct (word, freq) table, a deterministic
+    top-K of it (freq desc, word asc — a TakeOrdered, no full sort) is
+    collected, and the greedy merge loop runs in-memory
+    (train_bpe_words). When the corpus has <= max_distinct_words distinct
+    words the fit is over the FULL table and the merges are exactly the
+    sequential trainer's; above the cap it is a bounded deterministic
+    head-of-the-distribution fit (the standard sampled-corpus practice —
+    BPE merges come from the zipfian head, and the tail below the cap is
+    dominated by words whose total mass cannot alter top pair ranks at
+    vocab-scale merge counts)."""
+    rows = (
+        word_frequencies(df, text_col)
+        .orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(max_distinct_words)
+        .collect()
+    )
+    return train_bpe_words(
+        [(r["word"], r["freq"]) for r in rows], num_merges, min_freq
+    )
+
+
+def train_bpe_distributed(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 100,
+    min_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Round-per-merge distributed trainer (one weighted pair aggregation
+    + one Arrow-batched merge apply per round over the word-frequency
+    table): the fallback when even the DISTINCT word table exceeds driver
+    memory, and the parity oracle for train_bpe. num_merges Spark jobs —
+    use train_bpe unless the distinct table genuinely cannot be collected.
+    Ties broken lexicographically so training is partitioning-independent.
     Stops early when no pair clears min_freq."""
     wf = (
         word_frequencies(df, text_col)
@@ -116,11 +232,15 @@ def train_bpe(
                 break
             a, b = best["p"]["a"], best["p"]["b"]
             merges.append((a, b))
-            nxt = cur.withColumn("toks", _merge_pair_udf(a, b)(F.col("toks"))).persist()
-            # materialize the new cache BEFORE dropping the old one —
-            # unpersisting first would make every later round re-execute
-            # the whole merge-UDF chain from the shuffle (quadratic work)
-            nxt.count()
+            # eager localCheckpoint, not persist: it materializes the new
+            # round AND truncates lineage, so the logical plan stays O(1)
+            # per round — a persist() chain keeps the full merge-UDF plan
+            # tree, whose per-round AQE explainString grows without bound
+            # and OOMs the driver past ~20 rounds (same pattern as
+            # dedup.py's pointer-jumping loop)
+            nxt = cur.withColumn(
+                "toks", _merge_pair_udf(a, b)(F.col("toks"))
+            ).localCheckpoint()
             cur.unpersist()
             cur = nxt
     finally:

@@ -187,11 +187,30 @@ def log_pipeline(
 DEFAULT_ROUTES = ["errors", "acme", "ecorp"]
 
 
+def resolve_parse_impl(spark: SparkSession) -> str:
+    """Cores-adaptive default for the fused pipeline's parse impl.
+
+    Measured (BASELINE.md r4): `hybrid` (JSON/kv via JVM from_json/
+    str_to_map, regex formats via the arrow UDF over a masked body —
+    halves bytes/row through the Python workers) wins at low parallelism
+    (495k vs 452k seq/s at 8 pinned cores) but loses at 32 (802k vs 892k:
+    the Jackson/codegen half contends inside the single executor JVM).
+    So: <= 8 task slots per executor -> hybrid, above -> arrow.
+    `SPARK_GRAFT_PARSE_IMPL` pins an impl explicitly (anything but
+    "auto"); the scaling harness pins `arrow` at both levels so the
+    N->4N efficiency pair compares one binary, not two."""
+    env = os.environ.get("SPARK_GRAFT_PARSE_IMPL", "auto")
+    if env and env != "auto":
+        return env
+    return "hybrid" if spark.sparkContext.defaultParallelism <= 8 else "arrow"
+
+
 def log_pipeline_fused(
     fused: DataFrame,
     meta: DataFrame,
     routes: list[tuple[str, F.Column]] | None = None,
-    parse_impl: str = os.environ.get("SPARK_GRAFT_PARSE_IMPL", "arrow"),
+    parse_impl: str | None = None,
+    keep_payload: bool = False,
 ) -> dict[str, DataFrame]:
     """North-rule pipeline over the FUSED input table
     (doc_id, tokens, n_tok, source, body, ingest_ts, fmt) — the
@@ -199,8 +218,20 @@ def log_pipeline_fused(
     pipeline is one narrow pass (scan -> parse -> broadcast enrich ->
     first-match route) with ZERO shuffles; per-sink counts come from an
     Observation on the write job (sinks/fanout.write_fanout_with_counts),
-    not a second scan."""
-    records = parse_records(fused, impl=parse_impl)
+    not a second scan.
+
+    parse_impl=None resolves adaptively (resolve_parse_impl). By default
+    the serialized payload (`body`, `fmt`) is PRUNED right after the
+    parse — the extracted attribute map subsumes it, and carrying ~100
+    raw bytes/row through enrich -> route -> every per-sink write is pure
+    memory-bandwidth burn at 10^12 rows (and 15-20%% of the post-parse
+    row width here). keep_payload=True retains them for sinks that
+    re-export the raw body (e.g. the glassflow formatter's Body column)."""
+    records = parse_records(
+        fused, impl=parse_impl or resolve_parse_impl(fused.sparkSession)
+    )
+    if not keep_payload:
+        records = records.drop("body", "fmt", "ingest_ts")
     enriched = lookup_enrich(records, meta, "source")
     enriched = enriched.withColumn(
         "resource_attributes",
