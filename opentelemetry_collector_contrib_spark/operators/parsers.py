@@ -214,7 +214,7 @@ _CRIO_RX = _CONTAINERD_RX  # cri-o differs only in time format (no 'Z')
 # kubelet paths and the k8s.* metadata would silently come back NULL.)
 _K8S_PATH_RX = (
     r"^.*[/\\](?P<namespace>[^_]+)_(?P<pod_name>[^_]+)_(?P<uid>[a-f0-9\-]+)"
-    r"[/\\](?P<container_name>[^._]+)[/\\](?P<restart_count>\d+)\.log(\.\d{8}-\d{6})?$"
+    r"[/\\](?P<container_name>[^._]+)[/\\](?P<restart_count>\d+)\.log(?:\.\d{8}-\d{6})?$"
 )
 
 
