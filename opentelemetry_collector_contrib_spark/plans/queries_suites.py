@@ -1863,10 +1863,14 @@ def q_streaming_windowed_counts(spark, sf_dir):
         watermark="10 seconds",
     ).start()
 
-    q.awaitTermination(180)
-    q2.awaitTermination(180)
-    q3.awaitTermination(300)
-    q4.awaitTermination(300)
+    # availableNow triggers terminate once the bounded input drains; wait
+    # for ACTUAL termination rather than a fixed timeout — at sf10 the
+    # drain takes >300s and a timed-out wait would silently compare a
+    # partial result (that exact mismatch is how this surfaced). Cap at
+    # 1h per stream and fail LOUDLY if a stream is genuinely wedged.
+    for sq in (q, q2, q3, q4):
+        if not sq.awaitTermination(3600):
+            raise RuntimeError(f"stream {sq.name} still active after 3600s")
     # all four availableNow streams have drained; read the parquet-backed
     # results BEFORE dropping the staged dirs (parquet reads are lazy —
     # collect into driver-local rows first, they're one row per stream key)

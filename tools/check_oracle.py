@@ -101,6 +101,15 @@ def main():
     duck_threads = os.environ.get("ORACLE_DUCK_THREADS")
     if duck_threads:
         con.execute(f"SET threads={int(duck_threads)}")
+    # Bound DuckDB's memory and give it a spill dir: its default limit is
+    # 80% of SYSTEM RAM *per process*, so a sharded sweep (4-5 concurrent
+    # oracle processes next to 14g Spark JVMs) overcommits and the heavy
+    # sf10 mirrors die with bad_alloc instead of spilling.
+    duck_mem = os.environ.get("ORACLE_DUCK_MEM", "20GB")
+    con.execute(f"SET max_memory='{duck_mem}'")
+    spill = f"/tmp/duckspill_{os.getpid()}"
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
     qs = entrymod.queries()
