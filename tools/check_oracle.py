@@ -134,9 +134,16 @@ def main():
             sdf = fn(spark, SF_DIR)
             scols, slines = spark_lines(sdf)
         except Exception as e:
-            print(f"FAIL {name}: spark error {str(e)[:200]}")
+            import traceback
+
+            tb = traceback.format_exc()
+            # str() of a chained/py4j error can be empty — keep the
+            # exception TYPE and the last traceback lines so a failed
+            # sweep row is diagnosable from the report alone
+            msg = f"{type(e).__name__}: {str(e)[:200]}"
+            print(f"FAIL {name}: spark error {msg}\n{tb[-1500:]}")
             failures.append(name)
-            report["queries"][name] = {"status": "spark_error", "err": str(e)[:300]}
+            report["queries"][name] = {"status": "spark_error", "err": msg[:300], "tb_tail": tb[-600:]}
             flush()
             continue
         spark_sec = round(time.monotonic() - t0, 2)
