@@ -1629,9 +1629,14 @@ c2 AS MATERIALIZED (
          COUNT(*) AS n_tok
   FROM flat GROUP BY 1, 2
 ),
+-- w is only ever an equality key (GROUP BY / JOIN / PARTITION BY below,
+-- never output), so store hash(window-string) instead of the string
+-- itself: the materialized wins set is ~n_tokens rows, and at sf10
+-- (~75M windows) the comma-joined VARCHAR variant exhausted the host's
+-- allocator where the 8-byte key sails through
 wins AS MATERIALIZED (
   SELECT shard, seq_index, i AS pos,
-         array_to_string(tokens[i:i+15], ',') AS w
+         hash(array_to_string(tokens[i:i+15], ',')) AS w
   FROM c2, UNNEST(range(1, len(tokens)-16+2)) AS u(i)
   WHERE len(tokens) >= 16
 ),
