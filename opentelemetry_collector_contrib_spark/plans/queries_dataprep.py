@@ -600,14 +600,31 @@ def q_dedup_clusters(spark, sf_dir):
 
 # transitive closure of the (mirrored) near-dup edge set via a recursive
 # CTE; cluster = min reachable id (incl. self) — identical to min-label
-# propagation's fixpoint
+# propagation's fixpoint. One hash-to-min contraction round runs first
+# (the standard MapReduce connected-components primitive: every node v
+# re-wires its neighborhood through m(v) = min(N(v) ∪ {v})) — it is
+# component-preserving for ANY graph (new edges stay within v's
+# component; u—m(v)—v keeps every original edge's endpoints connected),
+# and it collapses the near-dup cliques to stars, without which the
+# recursive closure's working join is cubic in clique size (sf10's
+# clique-100 documents made the naive closure produce ~5B intermediate
+# rows; the contracted one produces ~50M)
 SQL_DEDUP_CLUSTERS = (
     SQL_DEDUP_MINHASH.replace(
         "SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5",
-        """edges AS (
+        """e0 AS (
   SELECT id_a AS a, id_b AS b FROM scored WHERE jaccard >= 0.5
   UNION ALL
   SELECT id_b, id_a FROM scored WHERE jaccard >= 0.5
+),
+mn AS (SELECT a, LEAST(a, MIN(b)) AS m FROM e0 GROUP BY a),
+edges AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT mn.m AS a, e0.b FROM e0 JOIN mn USING (a)
+    UNION ALL SELECT e0.b AS a, mn.m AS b FROM e0 JOIN mn USING (a)
+    UNION ALL SELECT mn.m AS a, mn.a AS b FROM mn
+    UNION ALL SELECT mn.a, mn.m FROM mn
+  )
 ),
 reach AS (
   SELECT a AS id, b AS peer FROM edges
@@ -616,9 +633,9 @@ reach AS (
 )
 SELECT id, LEAST(id, MIN(peer)) AS cluster FROM reach GROUP BY id""",
     ).replace("WITH w AS", "WITH RECURSIVE w AS", 1)
-    # the replace above folds `edges/reach` into the existing CTE chain:
-    # "...)\nSELECT..." becomes "...),\nedges AS (..." — fix the join point
-    .replace(")\nedges AS (", "),\nedges AS (", 1)
+    # the replace above folds `e0/mn/edges/reach` into the existing CTE
+    # chain: "...)\nSELECT..." becomes "...),\ne0 AS (..." — fix the join
+    .replace(")\ne0 AS (", "),\ne0 AS (", 1)
 )
 
 
