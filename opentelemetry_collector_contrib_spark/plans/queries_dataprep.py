@@ -612,13 +612,18 @@ def q_dedup_clusters(spark, sf_dir):
 SQL_DEDUP_CLUSTERS = (
     SQL_DEDUP_MINHASH.replace(
         "SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5",
-        """e0 AS (
+        """e0 AS MATERIALIZED (
+  -- MATERIALIZED throughout this chain: DuckDB 1.0 inlines CTEs per
+  -- reference, and e0/mn/edges are each read 2-4 times below — inlined,
+  -- the FULL minhash+verify pipeline above re-runs once per reference
+  -- (the sf10 sweep filled a 72 GB spill disk exactly that way). The
+  -- materialized frames are the slim (id, id) edge tuples only.
   SELECT id_a AS a, id_b AS b FROM scored WHERE jaccard >= 0.5
   UNION ALL
   SELECT id_b, id_a FROM scored WHERE jaccard >= 0.5
 ),
-mn AS (SELECT a, LEAST(a, MIN(b)) AS m FROM e0 GROUP BY a),
-edges AS (
+mn AS MATERIALIZED (SELECT a, LEAST(a, MIN(b)) AS m FROM e0 GROUP BY a),
+edges AS MATERIALIZED (
   SELECT DISTINCT a, b FROM (
     SELECT mn.m AS a, e0.b FROM e0 JOIN mn USING (a)
     UNION ALL SELECT e0.b AS a, mn.m AS b FROM e0 JOIN mn USING (a)
@@ -635,7 +640,7 @@ SELECT id, LEAST(id, MIN(peer)) AS cluster FROM reach GROUP BY id""",
     ).replace("WITH w AS", "WITH RECURSIVE w AS", 1)
     # the replace above folds `e0/mn/edges/reach` into the existing CTE
     # chain: "...)\nSELECT..." becomes "...),\ne0 AS (..." — fix the join
-    .replace(")\ne0 AS (", "),\ne0 AS (", 1)
+    .replace(")\ne0 AS MATERIALIZED (", "),\ne0 AS MATERIALIZED (", 1)
 )
 
 

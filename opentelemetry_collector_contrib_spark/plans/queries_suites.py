@@ -1613,6 +1613,11 @@ WITH tok AS (
 -- then slice it once per chunk from an UNNEST lateral) is quadratic in
 -- stream length — DuckDB carries a copy of the multi-hundred-k-element
 -- list into every unnested row, which thrashed the sf1 run at ~10^5 docs.
+-- Same trap one level down: a LATERAL `FROM docoff, UNNEST(range(...))`
+-- copies the per-doc list into every one of its len(t) output rows
+-- (~90 GB of untracked copies at sf10's 75M tokens — bad_alloc before
+-- any operator could spill). Zipped SELECT-list unnests of two aligned
+-- lists expand natively, one element per row, no per-row list copy.
 docoff AS (
   SELECT doc_id, shard, t,
          SUM(len(t)) OVER (PARTITION BY shard ORDER BY doc_id
@@ -1620,8 +1625,9 @@ docoff AS (
   FROM tok
 ),
 flat AS (
-  SELECT shard, off + i - 1 AS gpos, t[i] AS tk
-  FROM docoff, UNNEST(range(1, len(t) + 1)) AS u(i)
+  SELECT shard, off + unnest(range(1, len(t) + 1)) - 1 AS gpos,
+         unnest(t) AS tk
+  FROM docoff
 ),
 c2 AS MATERIALIZED (
   SELECT shard, CAST(gpos // 64 AS INT) AS seq_index,
@@ -1635,9 +1641,11 @@ c2 AS MATERIALIZED (
 -- (~75M windows) the comma-joined VARCHAR variant exhausted the host's
 -- allocator where the 8-byte key sails through
 wins AS MATERIALIZED (
-  SELECT shard, seq_index, i AS pos,
-         hash(array_to_string(tokens[i:i+15], ',')) AS w
-  FROM c2, UNNEST(range(1, len(tokens)-16+2)) AS u(i)
+  SELECT shard, seq_index,
+         unnest(range(1, len(tokens)-16+2)) AS pos,
+         unnest(list_transform(range(1, len(tokens)-16+2),
+                i -> hash(array_to_string(tokens[i:i+15], ',')))) AS w
+  FROM c2
   WHERE len(tokens) >= 16
 ),
 wc AS (SELECT w, COUNT(*) AS c FROM wins GROUP BY 1),
