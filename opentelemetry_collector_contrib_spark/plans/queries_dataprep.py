@@ -858,10 +858,25 @@ cpairs AS (
                  JOIN csh sb ON sb.doc_id = c.id_b
   ) WHERE jaccard >= 0.8
 ),
-cedges AS (
+ce0 AS MATERIALIZED (
+  -- same hash-to-min contraction round as SQL_DEDUP_CLUSTERS (see that
+  -- mirror's comment): rewire every node through m(v) = min over N(v)+v
+  -- before the recursive closure — component-preserving for any graph,
+  -- and it collapses sf10's planted clique-100s to stars. Without it
+  -- this embedded copy of the closure is the cubic blowup the
+  -- dedup_clusters fix removed (the sf10 sweep ground >3h here).
   SELECT id_a AS a, id_b AS b FROM cpairs
   UNION ALL
   SELECT id_b, id_a FROM cpairs
+),
+cmn AS MATERIALIZED (SELECT a, LEAST(a, MIN(b)) AS m FROM ce0 GROUP BY a),
+cedges AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT cmn.m AS a, ce0.b FROM ce0 JOIN cmn USING (a)
+    UNION ALL SELECT ce0.b AS a, cmn.m AS b FROM ce0 JOIN cmn USING (a)
+    UNION ALL SELECT cmn.m AS a, cmn.a AS b FROM cmn
+    UNION ALL SELECT cmn.a, cmn.m FROM cmn
+  )
 ),
 creach AS (
   SELECT a AS id, b AS peer FROM cedges
