@@ -911,13 +911,23 @@ cgm AS (
         FROM cdeduped)
 ),
 cgruns AS (
+  -- zipped SELECT-list unnests, NOT a lateral `..., UNNEST(range(...))`:
+  -- the lateral copies the per-doc word list into every one of its
+  -- len(wn) output rows (~30+ GB of pinned copies at sf10); the zipped
+  -- form expands natively, one element per row (same fix as the
+  -- text_stats `runs` fragment)
   SELECT doc_id, MAX(cnt) AS max_run FROM (
     SELECT doc_id, word, grp, COUNT(*) AS cnt FROM (
-      SELECT doc_id, wn[t.pos] AS word, t.pos,
-             t.pos - ROW_NUMBER() OVER (PARTITION BY doc_id, wn[t.pos]
-                                        ORDER BY t.pos) AS grp
-      FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS wn
-            FROM cdeduped), UNNEST(range(1, len(wn)+1)) AS t(pos)
+      SELECT doc_id, word,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id, word
+                                      ORDER BY pos) AS grp
+      FROM (
+        SELECT doc_id, unnest(wn) AS word,
+               unnest(range(1, len(wn)+1)) AS pos
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text,' '), x -> x <> '') AS wn
+              FROM cdeduped)
+      )
     ) GROUP BY 1, 2, 3
   ) GROUP BY 1
 ),
@@ -940,8 +950,12 @@ ucw AS (
   FROM cfiltered
 ),
 ucp AS (
-  SELECT doc_id, lang, wb[t.i] AS b1, wb[t.i+1] AS b2
-  FROM ucw, UNNEST(range(1, len(wb))) AS t(i)
+  -- aligned-slice zip (see cgruns): two equal-length slices unnested in
+  -- the SELECT list, no per-row list copy
+  SELECT doc_id, lang,
+         unnest(wb[1:len(wb)-1]) AS b1,
+         unnest(wb[2:len(wb)]) AS b2
+  FROM ucw
 ),
 ucc AS (SELECT b1, b2, COUNT(*) AS c12 FROM ucp WHERE lang = 'en' GROUP BY 1, 2),
 uclm AS (
@@ -997,8 +1011,15 @@ utok AS (
   FROM uassigned a JOIN documents d USING (doc_id)
 ),
 uwins AS (
-  SELECT doc_id, i AS pos, array_to_string(t[i:i+15], ',') AS wi
-  FROM utok, UNNEST(range(1, len(t)-16+2)) AS u(i)
+  -- zipped unnest + hashed window key (same two fixes as the
+  -- sequence_packing mirror's wins: no lateral list copy, and wi is
+  -- only ever an equality key so an 8-byte hash replaces the
+  -- comma-joined VARCHAR)
+  SELECT doc_id,
+         unnest(range(1, len(t)-16+2)) AS pos,
+         unnest(list_transform(range(1, len(t)-16+2),
+                i -> hash(array_to_string(t[i:i+15], ',')))) AS wi
+  FROM utok
   WHERE len(t) >= 16
 ),
 uocc AS (

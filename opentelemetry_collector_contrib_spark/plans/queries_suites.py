@@ -631,12 +631,23 @@ WITH RECURSIVE b AS (
                / greatest(len(wn), 1) * 10000 + 0.5)/10000 AS mean_wlen
   FROM b
 ), runs AS (
+  -- zipped SELECT-list unnests, NOT a lateral `FROM b, UNNEST(range(...))`:
+  -- the lateral copies the per-doc word list (and b's text) into every
+  -- one of its len(wn) output rows — ~70 GB of pinned copies at sf10's
+  -- 27.5M word positions, which no memory budget survives. The zipped
+  -- form expands natively, one element per row.
   SELECT doc_id, MAX(cnt) AS max_run FROM (
     SELECT doc_id, word, grp, COUNT(*) AS cnt FROM (
-      SELECT doc_id, wn[t.pos] AS word, t.pos,
-             t.pos - ROW_NUMBER() OVER (PARTITION BY doc_id, wn[t.pos]
-                                        ORDER BY t.pos) AS grp
-      FROM b, UNNEST(range(1, len(wn)+1)) AS t(pos)
+      SELECT doc_id, word,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id, word
+                                      ORDER BY pos) AS grp
+      FROM (
+        SELECT doc_id, unnest(wn) AS word,
+               unnest(range(1, len(wn)+1)) AS pos
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text,' '), x -> x <> '') AS wn
+              FROM documents)
+      )
     ) GROUP BY 1, 2, 3
   ) GROUP BY 1
 ), dg AS (
@@ -682,8 +693,12 @@ WITH RECURSIVE b AS (
                         x -> ('0x'||substr(md5(x),1,8))::BIGINT % 64) AS wb
   FROM documents
 ), cp AS (
-  SELECT doc_id, lang, wb[t.i] AS b1, wb[t.i+1] AS b2
-  FROM cw, UNNEST(range(1, len(wb))) AS t(i)
+  -- aligned-slice zip (see runs): bigrams as two equal-length slices
+  -- unnested in the SELECT list, no per-row list copy
+  SELECT doc_id, lang,
+         unnest(wb[1:len(wb)-1]) AS b1,
+         unnest(wb[2:len(wb)]) AS b2
+  FROM cw
 ), cc AS (
   SELECT b1, b2, COUNT(*) AS c12 FROM cp WHERE lang = 'en' GROUP BY 1, 2
 ), clm AS (
@@ -759,8 +774,9 @@ WITH RECURSIVE b AS (
           i -> list_position({_BPE_MERGES_SQL}, toks[i] || '|' || toks[i+1])),
           r -> r > 0)) = 0
 ), bwords AS (
-  SELECT doc_id, t.i AS pos, wn[t.i] AS word
-  FROM b, UNNEST(range(1, len(wn)+1)) AS t(i)
+  -- zipped unnest (see runs): no lateral list copy
+  SELECT doc_id, unnest(range(1, len(wn)+1)) AS pos, unnest(wn) AS word
+  FROM b
 ), bdoc AS (
   SELECT w.doc_id, flatten(list(bi.ids ORDER BY w.pos)) AS ids
   FROM bwords w JOIN bpe_ids bi USING (word) GROUP BY w.doc_id
@@ -1602,12 +1618,7 @@ def q_sequence_packing(spark, sf_dir):
 
 
 SQL_SEQUENCE_PACKING = """
-WITH tok AS (
-  SELECT doc_id, doc_id % 4 AS shard,
-         list_transform(string_split(text,' '),
-                        w -> ('0x'||substr(md5(w),1,8))::BIGINT % 50257) AS t
-  FROM documents
-),
+WITH
 -- linear chunking: global token position via cumulative doc offsets, then
 -- GROUP BY pos // 64. The naive mirror (flatten the whole shard stream,
 -- then slice it once per chunk from an UNNEST lateral) is quadratic in
@@ -1619,15 +1630,27 @@ WITH tok AS (
 -- any operator could spill). Zipped SELECT-list unnests of two aligned
 -- lists expand natively, one element per row, no per-row list copy.
 docoff AS (
-  SELECT doc_id, shard, t,
-         SUM(len(t)) OVER (PARTITION BY shard ORDER BY doc_id
-                           ROWS UNBOUNDED PRECEDING) - len(t) AS off
-  FROM tok
+  -- slim window: DuckDB 1.0's window operator materializes every input
+  -- column per partition, and LIST payloads through it (or through a
+  -- hash-join build side) both over-allocate badly at sf10; so the
+  -- running sum carries only scalars (text stays one VARCHAR) and the
+  -- tokenization happens AFTER the window. ~20% faster at sf10 too.
+  SELECT doc_id, shard, text,
+         SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) - n AS off
+  FROM (SELECT doc_id, doc_id % 4 AS shard, text,
+               len(string_split(text,' ')) AS n FROM documents)
+),
+tok AS (
+  SELECT shard, off,
+         list_transform(string_split(text,' '),
+                        w -> ('0x'||substr(md5(w),1,8))::BIGINT % 50257) AS t
+  FROM docoff
 ),
 flat AS (
   SELECT shard, off + unnest(range(1, len(t) + 1)) - 1 AS gpos,
          unnest(t) AS tk
-  FROM docoff
+  FROM tok
 ),
 c2 AS MATERIALIZED (
   SELECT shard, CAST(gpos // 64 AS INT) AS seq_index,

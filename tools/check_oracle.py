@@ -97,21 +97,42 @@ def main():
     exclude = set(filter(None, os.environ.get("ORACLE_EXCLUDE", "").split(",")))
     cores = int(os.environ.get("ORACLE_CORES", "8"))
     spark = build_session(app_name="oracle-check", master=f"local[{cores}]", shuffle_partitions=cores)
-    con = duckdb.connect()
-    duck_threads = os.environ.get("ORACLE_DUCK_THREADS")
-    if duck_threads:
-        con.execute(f"SET threads={int(duck_threads)}")
-    # Bound DuckDB's memory and give it a spill dir: its default limit is
-    # 80% of SYSTEM RAM *per process*, so a sharded sweep (4-5 concurrent
-    # oracle processes next to 14g Spark JVMs) overcommits and the heavy
-    # sf10 mirrors die with bad_alloc instead of spilling.
     duck_mem = os.environ.get("ORACLE_DUCK_MEM", "20GB")
-    con.execute(f"SET max_memory='{duck_mem}'")
-    spill = f"/tmp/duckspill_{os.getpid()}"
-    os.makedirs(spill, exist_ok=True)
-    con.execute(f"SET temp_directory='{spill}'")
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+    def fresh_con(n_threads=None):
+        # Bound DuckDB's memory and give it a spill dir: its default limit
+        # is 80% of SYSTEM RAM *per process*, so a sharded sweep (4-5
+        # concurrent oracle processes next to 14g Spark JVMs) overcommits
+        # and the heavy sf10 mirrors die with bad_alloc instead of
+        # spilling. preserve_insertion_order=false: the compare is
+        # order-insensitive (sorted lines), and ordered parallel
+        # materialization is one of DuckDB 1.0's biggest hidden memory
+        # consumers on the 10M-row mirrors.
+        c = duckdb.connect()
+        if n_threads:
+            c.execute(f"SET threads={int(n_threads)}")
+        c.execute(f"SET max_memory='{duck_mem}'")
+        c.execute("SET preserve_insertion_order=false")
+        spill = f"/tmp/duckspill_{os.getpid()}"
+        os.makedirs(spill, exist_ok=True)
+        c.execute(f"SET temp_directory='{spill}'")
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        return c
+
+    duck_threads = int(os.environ.get("ORACLE_DUCK_THREADS") or 0) or None
+    # OOM-retry ladder: DuckDB 1.0's per-thread allocator state makes the
+    # big mirrors fail sporadically with bad_alloc at high thread counts
+    # even when tracked memory is far under the limit; the same query
+    # passes reliably with fewer threads (smaller concurrent working set,
+    # less untracked vector memory). Retry each OOM'd oracle on a FRESH
+    # connection with a reduced thread count before reporting failure.
+    ladder = [t for t in (duck_threads, 4, 1) if t is None or t > 0]
+    seen = set()
+    ladder = [t for t in ladder if not (t in seen or seen.add(t))]
+    con = fresh_con(duck_threads)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
@@ -153,19 +174,36 @@ def main():
             flush()
             continue
         t1 = time.monotonic()
-        try:
-            rel = con.sql(oracles[name])
-            # the driver fetches via pandas where HUGEINT -> float64
-            # ("128" vs "128.0") — reject un-cast SUM-of-integer columns
-            # locally instead of finding out from CORRECTNESS_r{N}
-            huge = [c for c, t in zip(rel.columns, rel.types) if "HUGEINT" in str(t).upper()]
-            if huge:
-                raise ValueError(f"oracle emits HUGEINT columns {huge}; add CAST(... AS BIGINT)")
-            dcols, dlines = duck_lines(con, oracles[name])
-        except Exception as e:
-            print(f"FAIL {name}: duckdb error {str(e)[:200]}")
+        err = None
+        dcols = dlines = None
+        for rung, n_thr in enumerate(ladder):
+            try:
+                if rung > 0:
+                    print(
+                        f"RETRY {name}: duckdb OOM, fresh connection with "
+                        f"threads={n_thr}",
+                        flush=True,
+                    )
+                    con.close()
+                    con = fresh_con(n_thr)
+                rel = con.sql(oracles[name])
+                # the driver fetches via pandas where HUGEINT -> float64
+                # ("128" vs "128.0") — reject un-cast SUM-of-integer columns
+                # locally instead of finding out from CORRECTNESS_r{N}
+                huge = [c for c, t in zip(rel.columns, rel.types) if "HUGEINT" in str(t).upper()]
+                if huge:
+                    raise ValueError(f"oracle emits HUGEINT columns {huge}; add CAST(... AS BIGINT)")
+                dcols, dlines = duck_lines(con, oracles[name])
+                err = None
+                break
+            except Exception as e:
+                err = e
+                if "Out of Memory" not in str(e):
+                    break
+        if err is not None:
+            print(f"FAIL {name}: duckdb error {str(err)[:200]}")
             failures.append(name)
-            report["queries"][name] = {"status": "duckdb_error", "err": str(e)[:300]}
+            report["queries"][name] = {"status": "duckdb_error", "err": str(err)[:300]}
             flush()
             continue
         duck_sec = round(time.monotonic() - t1, 2)

@@ -6,6 +6,14 @@
 set -u
 cd "$(dirname "$0")/.."
 SF10=$PWD/testdata_sf10
+# DuckDB's bundled jemalloc creates ~1 anonymous mapping per block on the
+# 10M-row mirrors; the kernel default vm.max_map_count=65530 is exhausted
+# long before memory is (the sporadic "bad allocation" OOMs at tiny block
+# sizes with 70+ GB free). Raise it for the sweep; warn if not permitted.
+if [ "$(cat /proc/sys/vm/max_map_count)" -lt 1048576 ]; then
+  sysctl -w vm.max_map_count=2097152 \
+    || echo "WARN: could not raise vm.max_map_count; big mirrors may bad_alloc" >&2
+fi
 export ORACLE_CORES=16 ORACLE_DUCK_THREADS=16 SPARK_DRIVER_MEMORY=20g
 export ORACLE_DUCK_MEM=${ORACLE_DUCK_MEM:-70GB}
 

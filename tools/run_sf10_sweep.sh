@@ -9,6 +9,12 @@ set -u
 cd "$(dirname "$0")/.."
 REPO=$PWD
 SF10=$REPO/testdata_sf10
+# see run_sf10_solo.sh: DuckDB jemalloc VMA exhaustion at the kernel's
+# default vm.max_map_count looks exactly like an OOM at tiny block sizes
+if [ "$(cat /proc/sys/vm/max_map_count)" -lt 1048576 ]; then
+  sysctl -w vm.max_map_count=2097152 \
+    || echo "WARN: could not raise vm.max_map_count; big mirrors may bad_alloc" >&2
+fi
 SUB=$REPO/testdata_sf10/subset
 export ORACLE_CORES=8 ORACLE_DUCK_THREADS=8 SPARK_DRIVER_MEMORY=14g
 
