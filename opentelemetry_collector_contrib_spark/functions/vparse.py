@@ -126,10 +126,19 @@ def _parse_one(body: str | None, fmt: int | None) -> dict | None:
 
 
 def _json_one(b: str) -> dict | None:
-    """Mirror of from_json(body, 'map<string,string>'): None on invalid
-    OR non-object JSON ('null', 'true', '42', '[1,2]' — .items() on those
-    would otherwise raise AttributeError and kill the whole task); JSON
-    null values stay None; other non-strings stringify compactly."""
+    """Strict whole-value JSON -> dict: None on invalid OR non-object
+    JSON ('null', 'true', '42', '[1,2]' — .items() on those would
+    otherwise raise AttributeError and kill the whole task); JSON null
+    values stay None; other non-strings stringify compactly.
+
+    Known envelope caveat vs the JVM impls: Jackson's from_json is a
+    PREFIX parse — '{}x' -> {} there, but a strict failure (None) here,
+    matching the Go reference's json.Unmarshal (the container-chain
+    fuzzer caught this on '{}:'). The canonical contract is STRICT; the
+    jvm/hybrid fused-parse impls diverge only on trailing-garbage JSON
+    bodies, which real NDJSON/docker inputs never contain (one value per
+    line). Surfaces with a reference-parity test (container_parser) use
+    json_map_strict below, never from_json."""
     try:
         d = _json.loads(b)
     except ValueError:
@@ -493,7 +502,10 @@ def _json_subset_arrow(sub: "pa.Array") -> "pa.Array":
     if len(slow_ix):
         ssub = pc.take(sub, pa.array(slow_ix, type=pa.int64()))
         parts.append(
-            pa.array([_json_one(x) for x in ssub.to_pylist()], type=map_type)
+            pa.array(
+                [None if x is None else _json_one(x) for x in ssub.to_pylist()],
+                type=map_type,
+            )
         )
         idxs.append(slow_ix)
     if len(parts) == 1:
@@ -585,8 +597,24 @@ try:  # pyspark >= 4.1: pyarrow-native UDF — the lowest-byte-churn path
     def parse_multiformat_arrow(body, fmt):
         return _parse_multiformat_arrow_batch(body, fmt)
 
+    @arrow_udf(T.MapType(T.StringType(), T.StringType()))
+    def json_map_strict(body):
+        # STRICT whole-value JSON -> map<string,string> (Go
+        # json.Unmarshal semantics: trailing garbage after a complete
+        # value is a parse FAILURE). Jackson's from_json silently
+        # accepts '{}x' as {} (prefix parse), so surfaces that need
+        # reference bit-parity (container docker lines,
+        # stanza/operator/parser/container) must use this instead.
+        # Callers mask non-JSON rows to NULL so only the JSON subset
+        # ships through Arrow; NULLs pass through untouched.
+        return _json_subset_arrow(body)
+
 except ImportError:  # pragma: no cover - older pyspark
     parse_multiformat_arrow = None
+
+    @pandas_udf(T.MapType(T.StringType(), T.StringType()))
+    def json_map_strict(body: pd.Series) -> pd.Series:  # type: ignore[no-redef]
+        return body.map(lambda x: None if x is None else _json_one(x))
 
 
 @pandas_udf(T.MapType(T.StringType(), T.StringType()))

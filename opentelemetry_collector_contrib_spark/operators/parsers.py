@@ -229,10 +229,18 @@ def container_parser(
     extract k8s metadata from the file path. Partial-line recombination for
     logtag='P' is `recombine_partial_lines` in transformers.py."""
     from ..functions.ottl import extract_patterns
+    from ..functions.vparse import json_map_strict
 
     src = get_field(df, parse_from)
     is_docker = src.startswith("{")
-    docker = F.from_json(src, "map<string,string>")
+    # docker lines need STRICT whole-value JSON (the reference's
+    # json.Unmarshal errors on trailing garbage — '{}x' is a parse
+    # failure, not {}); from_json is a Jackson prefix-parse and silently
+    # accepts it, so the docker subset goes through the strict arrow
+    # path. Non-docker rows are masked to NULL so only docker bytes
+    # cross the Arrow boundary (same masked-body trick as the hybrid
+    # parse impl); the cri-o/containerd regex stays pure JVM.
+    docker = json_map_strict(F.when(is_docker, src))
     crio = extract_patterns(src, _CONTAINERD_RX)
     parsed = F.when(is_docker, docker).otherwise(crio)
     out = set_parsed(df, parsed, parse_to)

@@ -22,11 +22,13 @@ Suite -> operators map (also in COVERAGE.md):
                        CCNet perplexity buckets (round-3 late)
   multimodal_suite     binary payload + metadata, decode stub
   count_sum_connectors count connector, sum connector
-  routing_suite        routing connector (first-match), roundrobin connector
+  routing_suite        routing connector (first-match), roundrobin connector,
+                       kafka FNV-1a partition keys (bit-parity mirror, round 5)
   formatter_suite      clickhouse ts formatting, sum-metric rows
   otlpjson_slowsql     otlpjson connector, slowsql connector
   connector_metrics    signaltometrics, exceptions
-  ottl_field_ops       OTTL map editors, schema processor renames
+  ottl_field_ops       OTTL map editors, schema processor renames,
+                       statement grammar (parsed `set(...) where ...`, round 5)
   sequence_packing     pack_sequences, token_span_duplication,
                        exact_substring_removal, shuffle_sequences,
                        length_buckets (round-3 folds)
@@ -888,7 +890,25 @@ def q_routing_suite(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("records_out"))
         .withColumn("connector", F.lit("roundrobin"))
     )
-    return r1.unionByName(r2)
+    # Kafka-producer partition-key path under the oracle: the reference's
+    # FNV-1a hash (probabilisticsamplerprocessor/fnvhasher.go, also the
+    # kafkaexporter's key-hash partitioner shape) over the message key,
+    # bucketed to a partition id. Bit parity is the point: the DuckDB
+    # mirror recomputes FNV-1a 32 byte-for-byte via list_reduce over the
+    # key's codepoints (ASCII-safe — keys here are decimal id strings).
+    from ..functions import hashes
+
+    r3 = (
+        ev.groupBy(
+            F.concat(
+                F.lit("part_"),
+                (hashes.fnv1a32(F.col("event_id").cast("string")) % 6).cast("string"),
+            ).alias("sink")
+        )
+        .agg(F.count(F.lit(1)).alias("records_out"))
+        .withColumn("connector", F.lit("kafka_fnv"))
+    )
+    return r1.unionByName(r2).unionByName(r3)
 
 
 SQL_ROUTING_SUITE = """
@@ -901,6 +921,14 @@ FROM events GROUP BY 1
 UNION ALL
 SELECT 'pipeline_' || (event_id % 3)::VARCHAR AS sink, COUNT(*) AS records_out,
        'roundrobin' AS connector
+FROM events GROUP BY 1
+UNION ALL
+SELECT 'part_' || (list_reduce(
+         list_prepend(2166136261::BIGINT,
+           list_transform(string_split(event_id::VARCHAR, ''), c -> unicode(c)::BIGINT)),
+         (h, b) -> (xor(h, b) * 16777619) % 4294967296
+       ) % 6)::VARCHAR AS sink,
+       COUNT(*) AS records_out, 'kafka_fnv' AS connector
 FROM events GROUP BY 1
 """
 
@@ -1104,20 +1132,38 @@ def q_ottl_field_ops(spark, sf_dir):
     ev = ev.withColumn("m", m)
     # schemaprocessor rename over the same map
     ev = processors.schema_processor(ev, {"old.key": "new.key"}, target="m")
+    # Statement-grammar path under the oracle: the same surface a
+    # transformprocessor YAML statement takes (pkg/ottl/parser.go:347-361)
+    # — parsed from the STRING below, compiled to Catalyst, applied to the
+    # live map column. Exercises editor set(), nested converters
+    # (Concat/ToUpperCase), a map-key path target, and a row-varying
+    # `where` condition, all driver-verified against the SQL mirror.
+    from ..functions.ottl_parser import apply_statements
+
+    ev = ev.withColumnRenamed("m", "attributes")
+    ev = apply_statements(
+        ev,
+        [
+            'set(attributes["env"], Concat([ToUpperCase(attributes["k1"]), "x"], "-"))'
+            " where value > 100.0",
+        ],
+    )
     return ev.select(
         "event_id",
-        ottl.to_key_value_string(F.col("m")).alias("kv"),
-        F.element_at("m", "k2").alias("k2"),
-        F.size(ottl.keep_keys(F.col("m"), ["k1", "k3"])).alias("kept"),
-        F.element_at("m", "new.key").cast("long").alias("renamed"),
-        F.element_at("m", "old.key").alias("old_gone"),
+        ottl.to_key_value_string(ottl.delete_matching_keys(F.col("attributes"), "^env$")).alias("kv"),
+        F.element_at("attributes", "k2").alias("k2"),
+        F.size(ottl.keep_keys(F.col("attributes"), ["k1", "k3"])).alias("kept"),
+        F.element_at("attributes", "new.key").cast("long").alias("renamed"),
+        F.element_at("attributes", "old.key").alias("old_gone"),
+        F.element_at("attributes", "env").alias("stmt_env"),
     )
 
 
 SQL_OTTL_FIELD_OPS = """
 SELECT event_id,
        'k1=' || event_type || ' k2=override k3=added longval=0123456789 new.key=' || event_id::VARCHAR AS kv,
-       'override' AS k2, 2 AS kept, event_id AS renamed, NULL AS old_gone
+       'override' AS k2, 2 AS kept, event_id AS renamed, NULL AS old_gone,
+       CASE WHEN value > 100.0 THEN upper(event_type) || '-x' END AS stmt_env
 FROM events
 """
 
