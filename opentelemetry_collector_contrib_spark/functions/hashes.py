@@ -53,16 +53,82 @@ def _fnv64_signed(v) -> int | None:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
+def _fnv_np(s: pd.Series, offset: int, prime: int, mask32: bool) -> pd.Series:
+    """Vectorized FNV-1a over a string Series: position-wise numpy loop on
+    a zero-padded byte matrix — O(n·maxlen) vectorized ops instead of
+    per-row Python. Exact bit parity: uint64 multiply wraps mod 2^64
+    (the FNV-64 modulus); the 32-bit variant masks after each step.
+    Falls back to the per-row path for batches with non-ASCII keys or
+    keys longer than 64 bytes (rare for partition/sampling keys, and the
+    padded matrix would go quadratic on pathological lengths)."""
+    import numpy as np
+
+    vals = s.astype(object).where(s.notna(), None)
+    strs = [str(v) for v in vals if v is not None]
+    a = None
+    if strs:
+        # python len == byte len only for pure-ASCII keys; S-dtype encode
+        # raises on anything else, punting the batch to the exact slow path
+        pylens = [len(x) for x in strs]
+        if max(pylens) <= 64:
+            try:
+                a = np.asarray(strs, dtype=f"S{max(max(pylens), 1)}")
+            except UnicodeEncodeError:
+                a = None
+    if a is None:
+        f = fnv1a32_bytes if mask32 else fnv1a64_bytes
+        # pd.array, NOT Series.map: map infers float64 for an int+None
+        # result batch and silently rounds 64-bit hashes below 2^-11
+        # relative precision (latent in the original map-based impl —
+        # only NULL-bearing batches hit it)
+        return pd.Series(
+            pd.array(
+                [None if v is None else _signed64(f(str(v).encode())) for v in vals],
+                dtype="Int64",
+            ),
+            index=vals.index,
+        )
+    n = len(a)
+    m = a.dtype.itemsize
+    mat = a.view(np.uint8).reshape(n, m)
+    # lengths from python (len is O(1) C) — np.char.str_len would
+    # miscount keys with a trailing NUL byte as shorter than they are
+    lens = np.asarray(pylens, dtype=np.int64)
+    # np.uint64(offset) BEFORE np.full: a python-int fill_value detours
+    # through float64 and silently rounds (offset 0xCBF29CE484222325 is
+    # above 2^53 — measured off-by-219)
+    h = np.full(n, np.uint64(offset), dtype=np.uint64)
+    p = np.uint64(prime)
+    m32 = np.uint64(0xFFFFFFFF)
+    maxlen = int(lens.max(initial=0))
+    # contiguous full-width ops + np.where, not boolean gather/scatter:
+    # h[live] fancy indexing costs 2 copies per position and erases the
+    # vectorization win for short keys
+    for i in range(maxlen):
+        hv = (h ^ mat[:, i].astype(np.uint64)) * p
+        if mask32:
+            hv &= m32
+        h = np.where(lens > i, hv, h)
+    signed = h.astype(np.int64)  # two's-complement reinterpret, not a clamp
+    out = pd.Series([None] * len(vals), index=vals.index, dtype=object)
+    out[vals.notna()] = list(signed)
+    return out.astype("Int64")
+
+
+def _signed64(h: int) -> int:
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
 @pandas_udf(T.LongType())
 def fnv1a64(s: pd.Series) -> pd.Series:
     """FNV-1a 64 of the UTF-8 bytes of a string column (as signed int64)."""
-    return s.map(_fnv64_signed).astype("Int64")
+    return _fnv_np(s, FNV1A64_OFFSET, FNV1A64_PRIME, mask32=False)
 
 
 @pandas_udf(T.LongType())
 def fnv1a32(s: pd.Series) -> pd.Series:
     """FNV-1a 32 of the UTF-8 bytes of a string column."""
-    return s.map(lambda v: None if v is None else fnv1a32_bytes(str(v).encode())).astype("Int64")
+    return _fnv_np(s, FNV1A32_OFFSET, FNV1A32_PRIME, mask32=True)
 
 
 def _map_hash16_one(m: dict | None) -> bytes | None:

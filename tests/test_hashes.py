@@ -90,3 +90,30 @@ def test_xxh3_all_length_paths_stable():
         seen128.add((hi, lo))
     assert len(seen64) == len(lengths)
     assert len(seen128) == len(lengths)
+
+
+def test_fnv_vectorized_batch_parity_and_null_precision():
+    """The numpy-vectorized FNV batch path is bit-exact against the
+    per-byte reference on every envelope edge (empty, 64/65-byte
+    boundary, interior NUL, non-ASCII punt, None), and — regression —
+    a NULL-bearing batch keeps full 64-bit precision (Series.map used
+    to infer float64 for int+None results, silently rounding hashes:
+    b'' mapped to ...895360 instead of ...895579)."""
+    import pandas as pd
+
+    from opentelemetry_collector_contrib_spark.functions import hashes as H
+
+    cases = ["", "12345", "a" * 64, "a" * 65, "x\x00y", "naïve", None, "9" * 12]
+    s = pd.Series(cases, dtype=object)
+    g32 = H._fnv_np(s, H.FNV1A32_OFFSET, H.FNV1A32_PRIME, mask32=True)
+    g64 = H._fnv_np(s, H.FNV1A64_OFFSET, H.FNV1A64_PRIME, mask32=False)
+    for i, c in enumerate(cases):
+        if c is None:
+            assert pd.isna(g32[i]) and pd.isna(g64[i])
+            continue
+        assert g32[i] == H.fnv1a32_bytes(c.encode()), c
+        assert g64[i] == H._signed64(H.fnv1a64_bytes(c.encode())), c
+    # the exact rounding victim from the float64 detour
+    s2 = pd.Series(["", None], dtype=object)
+    g = H._fnv_np(s2, H.FNV1A64_OFFSET, H.FNV1A64_PRIME, mask32=False)
+    assert g[0] == -3750763034362895579  # NOT ...360
