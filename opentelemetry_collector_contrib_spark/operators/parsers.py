@@ -60,9 +60,26 @@ def json_parser(
     parse_to: str = "attributes",
     on_error: str = "send",
     schema: str = "map<string,string>",
+    strict: bool = False,
 ) -> DataFrame:
-    """json_parser (/root/reference/pkg/stanza/operator/parser/json/parser.go)."""
+    """json_parser (/root/reference/pkg/stanza/operator/parser/json/parser.go).
+
+    strict=False (default): JVM from_json — whole-stage codegen, zero
+    Python, but a Jackson PREFIX parse: trailing garbage after a
+    complete value is silently accepted ('{}x' -> {}). One JSON value
+    per line (NDJSON, docker, otlpjson — every real producer) never
+    hits the difference. strict=True: reference-exact jsoniter/Go
+    semantics (trailing garbage -> parse failure) via the arrow-path
+    strict parser; only valid for the map<string,string> schema. Pick
+    strict when bit-parity with the collector's error stream matters
+    more than keeping the parse inside codegen."""
     src = get_field(df, parse_from)
+    if strict:
+        if schema != "map<string,string>":
+            raise ValueError("strict json_parser supports only map<string,string>")
+        from ..functions.vparse import json_map_strict
+
+        return set_parsed(df, json_map_strict(src), parse_to, on_error)
     return set_parsed(df, F.from_json(src, schema), parse_to, on_error)
 
 

@@ -40,6 +40,22 @@ def test_json_parser(spark):
     assert attrs["attempt"] == "3"
 
 
+def test_json_parser_strict_rejects_trailing_garbage(spark):
+    """strict=True is the reference's json.Unmarshal posture: a complete
+    JSON value followed by ANYTHING is a parse failure, where the
+    default JVM from_json (Jackson prefix parse) silently accepts it."""
+    df = spark.createDataFrame(
+        [{"body": "{}:", "source": "s", "ingest_ts": 1},
+         {"body": '{"a":"1"}x', "source": "s", "ingest_ts": 2},
+         {"body": '{"a":"1"}', "source": "s", "ingest_ts": 3}]
+    )
+    lenient = {r["ingest_ts"]: r["attributes"] for r in parsers.json_parser(df).collect()}
+    strict = {r["ingest_ts"]: r["attributes"] for r in parsers.json_parser(df, strict=True).collect()}
+    assert dict(lenient[1]) == {} and dict(lenient[2]) == {"a": "1"}  # Jackson prefix
+    assert strict[1] is None and strict[2] is None  # Go-strict failure
+    assert dict(strict[3]) == {"a": "1"} == dict(lenient[3])
+
+
 def test_json_parser_on_error_drop(spark):
     df = spark.createDataFrame(
         [{"body": "{bad json", "source": "s", "ingest_ts": 1},
