@@ -64,13 +64,18 @@ def k8sattributes_enrich(df: DataFrame, pod_meta: DataFrame, association_col: st
 
 
 def ip_to_long(col):
-    """Dotted-quad IPv4 -> uint32 as long (for range joins)."""
+    """Dotted-quad IPv4 -> uint32 as long (for range joins). NULL for
+    anything that is not a dotted quad — the reference's geoip/dns
+    providers error per-record on an unparsable IP (net.ParseIP nil),
+    and an unguarded ANSI cast on 'not.an.ip' would abort the job."""
+    quad = col.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
     parts = F.split(col, r"\.")
-    return (
+    return F.when(
+        quad,
         F.element_at(parts, 1).cast("long") * 16777216
         + F.element_at(parts, 2).cast("long") * 65536
         + F.element_at(parts, 3).cast("long") * 256
-        + F.element_at(parts, 4).cast("long")
+        + F.element_at(parts, 4).cast("long"),
     )
 
 

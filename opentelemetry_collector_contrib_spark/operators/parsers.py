@@ -202,7 +202,9 @@ def syslog_parser(
         ).otherwise(F.col(parse_to))
         out = out.withColumn(parse_to, merged)
     # severity from priority: sev = priority & 7, facility = priority >> 3
-    pri = F.element_at(F.col(parse_to), "priority").cast("int")
+    # try_cast: the PRI regex bounds digits but not magnitude — a
+    # crafted 20-digit <priority> would ANSI-abort the job on plain cast
+    pri = F.element_at(F.col(parse_to), "priority").try_cast("int")
     syslog_sev = pri.bitwiseAND(F.lit(7))
     # syslog severity (0=emerg..7=debug) -> OTel severity number; a
     # literal-map probe, not a WHEN chain - CollapseProject would inline
@@ -495,20 +497,28 @@ def journald_parser(
     semantics), exactly like the Go error returns."""
     src = get_field(df, parse_from)
     raw = F.from_json(src, "map<string,string>")
+    # try_cast, NOT cast: Spark 4 ANSI aborts the whole job on one
+    # malformed row (CAST_INVALID_INPUT) — a digits-only timestamp above
+    # long range ('9'*23 passes the rlike) or a non-numeric PRIORITY
+    # ('high') must fail THAT entry like the reference's strconv error,
+    # not kill the stream
+    us = F.element_at(raw, "__REALTIME_TIMESTAMP").try_cast("long")
     ok = (
         raw.isNotNull()
         & F.map_contains_key(raw, "__REALTIME_TIMESTAMP")
         & F.map_contains_key(raw, "__CURSOR")
         & F.element_at(raw, "__REALTIME_TIMESTAMP").rlike("^[0-9]+$")
+        & us.isNotNull()
     )
     parsed = F.when(ok, F.map_filter(raw, lambda k, _: k != "__REALTIME_TIMESTAMP"))
     out = set_parsed(df, parsed, parse_to, on_error)
-    us = F.element_at(raw, "__REALTIME_TIMESTAMP").cast("long")
-    pri = F.element_at(F.col(parse_to), "PRIORITY").cast("int")
+    pri = F.element_at(F.col(parse_to), "PRIORITY").try_cast("int")
     # syslog severity (0=emerg..7=debug) -> OTel severity number (same
     # table as syslog_parser; literal-map probe for the same
-    # CollapseProject reason)
-    otel = F.element_at(
+    # CollapseProject reason). try_element_at: ANSI element_at raises
+    # MAP_KEY_DOES_NOT_EXIST for an out-of-range PRIORITY like "9" —
+    # journald fields are arbitrary strings, unlike syslog's pri%8
+    otel = F.try_element_at(
         F.create_map(*[F.lit(x) for x in
             [0, 24, 1, 22, 2, 21, 3, 17, 4, 13, 5, 10, 6, 9, 7, 5]]), pri
     )

@@ -116,8 +116,13 @@ def attributes_processor(
             )
             m = F.when(ext.isNotNull(), merged).otherwise(m)
         elif a.action == "convert":
+            # try_cast + keep-original-on-failure: the reference's
+            # convertValue leaves the value untouched when ParseInt/
+            # ParseFloat errors (type_converter.go:40-45); a plain cast
+            # would ANSI-abort the job on one unconvertible value
+            conv = F.element_at(m, a.key).try_cast(a.converted_type)
             m = F.when(
-                has, set_key(m, a.key, F.element_at(m, a.key).cast(a.converted_type).cast("string"))
+                has & conv.isNotNull(), set_key(m, a.key, conv.cast("string"))
             ).otherwise(m)
         else:
             raise ValueError(f"unknown action {a.action}")

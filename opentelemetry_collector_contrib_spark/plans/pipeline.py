@@ -25,7 +25,10 @@ from ..sinks.fanout import sink_counts
 
 def _severity_from_attrs(df: DataFrame) -> DataFrame:
     attrs = F.col("attributes")
-    status = F.element_at(attrs, "status").cast("int")
+    # try_cast: an attrs["status"] above int range (crafted JSON body)
+    # must yield NULL severity input, not an ANSI CAST_INVALID_INPUT
+    # that aborts the whole pipeline job
+    status = F.element_at(attrs, "status").try_cast("int")
     text = F.lower(
         F.coalesce(
             F.element_at(attrs, "level"),

@@ -1188,3 +1188,85 @@ def test_datagen_fields_not_correlated_with_format(spark):
     }
     # apache-format lines must carry the full status mix, not constant 200
     assert {"200", "404", "429", "500"} <= statuses
+
+
+# ---------------------------------------------------------------------------
+# round-5: ANSI-mode robustness — one malformed record must fail THAT
+# record (reference per-entry error posture), never abort the Spark job
+# with CAST_INVALID_INPUT / MAP_KEY_DOES_NOT_EXIST
+# ---------------------------------------------------------------------------
+
+
+def test_journald_bad_priority_and_overrange_ts_do_not_abort(spark):
+    rows = [
+        # non-numeric PRIORITY: entry parses, severity NULL (strconv err)
+        {"body": '{"__REALTIME_TIMESTAMP":"1699999999999999","__CURSOR":"c1",'
+                 '"MESSAGE":"m","PRIORITY":"high"}'},
+        # out-of-table PRIORITY "9": NULL severity, no map-key abort
+        {"body": '{"__REALTIME_TIMESTAMP":"1699999999999999","__CURSOR":"c2",'
+                 '"MESSAGE":"m","PRIORITY":"9"}'},
+        # digits-only timestamp above long range: parse FAILURE for the
+        # entry (rlike passes, try_cast does not)
+        {"body": '{"__REALTIME_TIMESTAMP":"99999999999999999999999",'
+                 '"__CURSOR":"c3","MESSAGE":"m","PRIORITY":"3"}'},
+        {"body": '{"__REALTIME_TIMESTAMP":"1699999999999999","__CURSOR":"c4",'
+                 '"MESSAGE":"ok","PRIORITY":"3"}'},
+    ]
+    out = {r["cursor"]: r for r in parsers.journald_parser(
+        spark.createDataFrame(rows)).collect()}
+    assert out["c1"]["severity_number"] is None and out["c1"]["attributes"] is not None
+    assert out["c2"]["severity_number"] is None
+    assert out["c4"]["severity_number"] == 17  # PRIORITY 3 = err -> OTel 17
+    # the c3 row survives with NULL attributes (send) — cursor comes from
+    # the parsed map, so fetch it by scanning for NULL-attribute rows
+    nulls = [r for r in parsers.journald_parser(
+        spark.createDataFrame(rows)).collect() if r["attributes"] is None]
+    assert len(nulls) == 1 and nulls[0]["ts"] is None
+
+
+def test_syslog_huge_priority_does_not_abort(spark):
+    df = spark.createDataFrame(
+        [("<99999999999999999999>Oct 11 22:14:15 host app: msg",),
+         ("<13>Oct 11 22:14:15 host app: msg",)], "body string")
+    out = parsers.syslog_parser(df, "rfc3164").collect()
+    sevs = sorted([r["severity_number"] for r in out], key=lambda x: (x is None, x))
+    assert sevs[0] == 10 and sevs[1] is None  # 13&7=5 -> notice(10); huge -> NULL
+
+
+def test_severity_from_attrs_overrange_status_does_not_abort(spark):
+    from opentelemetry_collector_contrib_spark.plans.pipeline import _severity_from_attrs
+
+    df = spark.createDataFrame([("x",)], "body string").withColumn(
+        "attributes", F.create_map(F.lit("status"), F.lit("99999999999"))
+    )
+    r = _severity_from_attrs(df).first()
+    assert r["severity_number"] == 9  # falls back to info, job alive
+
+
+def test_attributes_convert_keeps_original_on_failure(spark):
+    from opentelemetry_collector_contrib_spark.operators.processors import (
+        AttrAction,
+        attributes_processor,
+    )
+
+    df = spark.createDataFrame([("x",)], "body string").withColumn(
+        "attributes",
+        F.create_map(F.lit("n"), F.lit("12"), F.lit("bad"), F.lit("not-a-number")),
+    )
+    out = attributes_processor(
+        df,
+        [AttrAction(action="convert", key="n", converted_type="int"),
+         AttrAction(action="convert", key="bad", converted_type="int")],
+    ).first()["attributes"]
+    # reference type_converter.go:40-45: parse failure leaves the value
+    assert out["n"] == "12" and out["bad"] == "not-a-number"
+
+
+def test_ip_to_long_rejects_non_quads_without_abort(spark):
+    from opentelemetry_collector_contrib_spark.operators.enrich import ip_to_long
+
+    df = spark.createDataFrame(
+        [("10.0.0.1",), ("not.an.ip",), ("1.2.3",), (None,)], "ip string")
+    got = {r["ip"]: r["v"] for r in df.select("ip", ip_to_long(F.col("ip")).alias("v")).collect()}
+    assert got["10.0.0.1"] == 10 * 16777216 + 1
+    assert got["not.an.ip"] is None and got["1.2.3"] is None and got[None] is None
