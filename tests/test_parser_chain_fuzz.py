@@ -312,3 +312,108 @@ def test_container_chain_matches_python_model(spark, rows_in):
         got = out[i]["attributes"]
         got = dict(got) if got is not None else None
         assert got == want, (repr(b), repr(p))
+
+
+# ---------------------------------------------------------------------------
+# journald chain (round-5 extension): JSON-line entries with required
+# __REALTIME_TIMESTAMP/__CURSOR, PRIORITY -> OTel severity, and the
+# try_cast per-entry failure posture (a malformed entry yields NULLs for
+# that entry; the job must survive every generated batch by construction)
+# ---------------------------------------------------------------------------
+
+_SEV = {0: 24, 1: 22, 2: 21, 3: 17, 4: 13, 5: 10, 6: 9, 7: 5}
+
+
+def _journald_model(body: str):
+    """(attributes, severity, cursor, message, ts_us) for one line.
+    Mirrors journald_parser: Jackson from_json over a VALID-json
+    envelope (the generator emits whole-value JSON or non-'{' garbage),
+    rlike digits + long-range gate on the timestamp, try_cast(int)
+    semantics on PRIORITY (digits-only within int32 here — the
+    generator's alphabet keeps clear of try_cast's sign/whitespace
+    edges, which from_json never produces for these fields anyway)."""
+    try:
+        d = json.loads(body)
+    except ValueError:
+        d = None
+    if not isinstance(d, dict):
+        d = None
+    ok = (
+        d is not None
+        and "__REALTIME_TIMESTAMP" in d
+        and "__CURSOR" in d
+        and re.fullmatch(r"[0-9]+", d["__REALTIME_TIMESTAMP"] or "") is not None
+        and int(d["__REALTIME_TIMESTAMP"]) < 2**63
+    )
+    if not ok:
+        return None, None, None, None, None
+    attrs = {k: v for k, v in d.items() if k != "__REALTIME_TIMESTAMP"}
+    pri = attrs.get("PRIORITY")
+    sev = None
+    if pri is not None and re.fullmatch(r"[0-9]+", pri) and int(pri) < 2**31:
+        sev = _SEV.get(int(pri))
+    return attrs, sev, attrs.get("__CURSOR"), attrs.get("MESSAGE"), int(d["__REALTIME_TIMESTAMP"])
+
+
+@st.composite
+def journald_line(draw):
+    kind = draw(st.integers(0, 4))
+    if kind == 0:  # non-JSON garbage (never '{'-prefixed: stays in the
+        # whole-value envelope where all engines agree)
+        return draw(
+            st.text(alphabet='ab]} ":,0', max_size=10).filter(lambda s: not s.startswith("{"))
+        )
+    d = {}
+    if kind != 1:
+        d["__REALTIME_TIMESTAMP"] = draw(
+            st.text(alphabet="0123456789", min_size=1, max_size=25)
+            if draw(st.booleans())
+            else st.sampled_from(["1699999999999999", "9" * 23, "12a", ""])
+        )
+    if kind != 2:
+        d["__CURSOR"] = draw(st.text(alphabet="abc09-", min_size=1, max_size=10))
+    if draw(st.booleans()):
+        d["PRIORITY"] = draw(
+            st.sampled_from(["0", "3", "7", "8", "9", "007", "high", "99999999999", "12x"])
+        )
+    if draw(st.booleans()):
+        d["MESSAGE"] = draw(st.text(alphabet="ab é.", max_size=12))
+    if draw(st.booleans()):
+        d["_SYSTEMD_UNIT"] = draw(st.text(alphabet="abc.", min_size=1, max_size=8))
+    return json.dumps(d)
+
+
+@given(st.lists(journald_line(), min_size=1, max_size=10))
+@SPARKSET
+def test_journald_chain_matches_python_model(spark, bodies):
+    from opentelemetry_collector_contrib_spark.operators.parsers import journald_parser
+
+    df = spark.createDataFrame([(i, b) for i, b in enumerate(bodies)], "id long, body string")
+    out = {
+        r["id"]: r
+        for r in journald_parser(df)
+        .select("id", "attributes", "severity_number", "cursor", "message", "ts")
+        .collect()
+    }
+    for i, b in enumerate(bodies):
+        attrs, sev, cursor, message, ts_us = _journald_model(b)
+        r = out[i]
+        got = dict(r["attributes"]) if r["attributes"] is not None else None
+        assert got == attrs, repr(b)
+        assert r["severity_number"] == sev, repr(b)
+        assert r["cursor"] == cursor, repr(b)
+        assert r["message"] == message, repr(b)
+        if ts_us is None:
+            assert r["ts"] is None, repr(b)
+        else:
+            # collect() returns naive datetimes in the session tz (UTC);
+            # pin the tz explicitly so a non-UTC driver host can't skew
+            # the epoch reconstruction
+            from datetime import timezone
+
+            epoch = (
+                int(r["ts"].replace(tzinfo=timezone.utc).timestamp() * 1e6)
+                if r["ts"]
+                else None
+            )
+            assert epoch is not None and abs(epoch - ts_us) <= 1, repr(b)
