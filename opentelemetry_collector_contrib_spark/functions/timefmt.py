@@ -47,15 +47,35 @@ def strptime_to_java(fmt: str) -> str:
 
 
 def parse_strptime(col: Column, fmt: str) -> Column:
-    """time_parser with layout_type=strptime -> TimestampType."""
-    return F.to_timestamp(col, strptime_to_java(fmt))
+    """time_parser with layout_type=strptime -> TimestampType.
+
+    try_to_timestamp, NOT to_timestamp: under Spark 4 ANSI one string
+    that doesn't match the layout aborts the whole job with
+    CANNOT_PARSE_TIMESTAMP; the stanza time parser fails that ENTRY
+    (on_error semantics key off the resulting NULL)."""
+    return F.try_to_timestamp(col, F.lit(strptime_to_java(fmt)))
+
+
+# the year range every engine (Spark, DuckDB, Go time) formats sanely:
+# 0001-01-01T00:00:00Z .. 9999-12-31T23:59:59Z in epoch seconds
+_EPOCH_MIN_S = -62135596800
+_EPOCH_MAX_S = 253402300799
 
 
 def parse_epoch(col: Column, layout: str = "s") -> Column:
-    """time_parser with layout_type=epoch: s/ms/us/ns (+ s.frac)."""
-    c = col.cast("double")
+    """time_parser with layout_type=epoch: s/ms/us/ns (+ s.frac).
+
+    try_cast + year-range gate: a non-numeric value or an epoch mapping
+    outside year 1..9999 yields NULL for that entry — ANSI cast raises
+    on 'abc' and timestamp_seconds raises 'year out of range' on
+    ~1e30, either of which would abort the job."""
+    c = col.try_cast("double")
     scale = {"s": 1.0, "ms": 1e3, "us": 1e6, "ns": 1e9}[layout]
-    return F.timestamp_seconds(c / scale)
+    sec = c / scale
+    return F.when(
+        sec.between(F.lit(float(_EPOCH_MIN_S)), F.lit(float(_EPOCH_MAX_S))),
+        F.timestamp_seconds(sec),
+    )
 
 
 def epoch_nanos(ts: Column) -> Column:

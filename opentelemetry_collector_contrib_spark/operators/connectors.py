@@ -283,7 +283,9 @@ def otlpjson_connector(df: DataFrame, body_col: str = "body") -> DataFrame:
         "resource_attributes",
         "scope_name",
         "scope_version",
-        F.col("lr.timeUnixNano").cast("long").alias("time_unix_nano"),
+        # try_cast: OTLP/JSON carries uint64 nanos as a STRING; a
+        # value above int64 in one record must not abort the scan
+        F.col("lr.timeUnixNano").try_cast("long").alias("time_unix_nano"),
         F.coalesce(F.col("lr.severityNumber"), F.lit(0)).alias("severity_number"),
         F.coalesce(F.col("lr.severityText"), F.lit("")).alias("severity_text"),
         F.col("lr.body.stringValue").alias("body"),

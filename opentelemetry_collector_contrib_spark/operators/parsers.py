@@ -364,7 +364,9 @@ def trace_parser(
     if span_id_from:
         out = out.withColumn("span_id", F.lower(get_field(df, span_id_from)))
     if flags_from:
-        out = out.withColumn("flags", get_field(df, flags_from).cast("int"))
+        # try_cast: flags ride in on arbitrary record data; one "zz"
+        # must NULL that record's flags, not ANSI-abort the job
+        out = out.withColumn("flags", get_field(df, flags_from).try_cast("int"))
     return out
 
 
@@ -642,6 +644,8 @@ def windows_event_parser(
         .otherwise(F.lit(None).cast("int"))
     )
     return out.withColumn("severity_number", sev).withColumn(
+        # try_to_timestamp: a malformed TimeCreated/SystemTime string in
+        # one event must NULL that entry's ts, not ANSI-abort the job
         "ts",
-        F.to_timestamp(F.element_at(F.col(parse_to), "system_time")),
+        F.try_to_timestamp(F.element_at(F.col(parse_to), "system_time")),
     )

@@ -680,7 +680,9 @@ def probabilistic_sampler(
         T(p/100), replacing the mode's decision for that record."""
         if not priority_col:
             return t
-        p = F.col(priority_col).cast("double") / F.lit(100.0)
+        # try_cast: a non-numeric priority attribute is IGNORED by the
+        # reference (strconv failure -> no override), not a job abort
+        p = F.col(priority_col).try_cast("double") / F.lit(100.0)
         prio_scaled = F.round(p * F.lit(float(_MAX_ADJ)), 0)
         t_prio = (F.lit(float(_MAX_ADJ)) - prio_scaled).cast("long")
         has = p.isNotNull() & (p > 0)
@@ -703,7 +705,10 @@ def probabilistic_sampler(
             ).cast("long")
         )
         if priority_col:
-            p = F.col(priority_col).cast("double")
+            # try_cast: the sampling-priority override is an attribute
+            # value (logsprocessor.go:239-270) — a non-numeric one is
+            # IGNORED by the reference (no override), not a job abort
+            p = F.col(priority_col).try_cast("double")
             never = never & ~(p.isNotNull() & (p > 0))
         out = df.withColumn(
             "sampling_threshold", F.when(~never, _th_hex(t_out))

@@ -1270,3 +1270,45 @@ def test_ip_to_long_rejects_non_quads_without_abort(spark):
     got = {r["ip"]: r["v"] for r in df.select("ip", ip_to_long(F.col("ip")).alias("v")).collect()}
     assert got["10.0.0.1"] == 10 * 16777216 + 1
     assert got["not.an.ip"] is None and got["1.2.3"] is None and got[None] is None
+
+
+def test_time_parser_malformed_inputs_do_not_abort(spark):
+    """strptime layout mismatch, non-numeric epoch, and an epoch mapping
+    outside year 1..9999 each NULL that entry's ts (stanza on_error
+    posture) instead of raising CANNOT_PARSE_TIMESTAMP / year-out-of-
+    range and killing the job."""
+    from opentelemetry_collector_contrib_spark.functions.timefmt import (
+        parse_epoch,
+        parse_strptime,
+    )
+
+    df = spark.createDataFrame(
+        [("2025-10-10 13:55:36",), ("not a date",), (None,)], "t string")
+    got = [r["ts"] for r in df.select(parse_strptime(F.col("t"), "%Y-%m-%d %H:%M:%S").alias("ts")).collect()]
+    assert got[0] is not None and got[1] is None and got[2] is None
+
+    df2 = spark.createDataFrame(
+        [("1699999999",), ("abc",), ("1e30",), (None,)], "t string")
+    got2 = [r["ts"] for r in df2.select(parse_epoch(F.col("t"), "s").alias("ts")).collect()]
+    assert got2[0] is not None and got2[1] is None and got2[2] is None and got2[3] is None
+
+
+def test_trace_flags_and_sampler_priority_malformed_do_not_abort(spark):
+    from opentelemetry_collector_contrib_spark.operators.parsers import trace_parser
+
+    df = spark.createDataFrame([("zz",), ("1",)], "f string")
+    got = {r["f"]: r["flags"] for r in trace_parser(df, flags_from="f").collect()}
+    assert got["zz"] is None and got["1"] == 1
+
+    from opentelemetry_collector_contrib_spark.operators.processors import (
+        probabilistic_sampler,
+    )
+
+    df2 = spark.createDataFrame(
+        [(1, "high"), (2, "2"), (3, None)], "event_id long, prio string")
+    # non-numeric priority = no override (logsprocessor.go parse-fail
+    # posture); the call must not abort on 'high'
+    out = probabilistic_sampler(
+        df2, 50.0, key_col="event_id", mode="equalizing", priority_col="prio"
+    )
+    out.count()  # executing the plan is the assertion
