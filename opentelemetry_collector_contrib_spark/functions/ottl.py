@@ -697,7 +697,10 @@ def parse_int(col: Column, base: int = 10) -> Column:
         return F.when(m.rlike(rx), F.conv(m, b, 10).cast("long"))
 
     if base == 10:
-        out = F.when(mag.rlike("^[0-9]+$"), mag.cast("long"))
+        # try_cast: a 20-digit magnitude passes the digits guard but
+        # overflows int64 — strconv.ParseInt range error -> NULL, not an
+        # ANSI job abort
+        out = F.when(mag.rlike("^[0-9]+$"), mag.try_cast("long"))
     elif base == 16:
         out = conv_base(F.regexp_replace(mag, "^0[xX]", ""), 16, "^[0-9a-fA-F]+$")
     elif base == 8:
@@ -713,7 +716,7 @@ def parse_int(col: Column, base: int = 10) -> Column:
             .when(mag.rlike("^0[bB][01]+$"), F.conv(binm, 2, 10).cast("long"))
             .when(mag.rlike("^0[oO]?[0-7]+$") & (mag != "0") & mag.startswith("0"),
                   F.conv(octm, 8, 10).cast("long"))
-            .when(mag.rlike("^[0-9]+$"), mag.cast("long"))
+            .when(mag.rlike("^[0-9]+$"), mag.try_cast("long"))
         )
     else:
         raise ValueError(f"unsupported ParseInt base {base}")

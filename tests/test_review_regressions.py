@@ -1312,3 +1312,14 @@ def test_trace_flags_and_sampler_priority_malformed_do_not_abort(spark):
         df2, 50.0, key_col="event_id", mode="equalizing", priority_col="prio"
     )
     out.count()  # executing the plan is the assertion
+
+
+def test_parse_int_overflow_magnitude_is_null_not_abort(spark):
+    from opentelemetry_collector_contrib_spark.functions.ottl import parse_int
+
+    df = spark.createDataFrame(
+        [("99999999999999999999",), ("42",), ("-7",), ("0x10",)], "s string")
+    base10 = [r[0] for r in df.select(parse_int(F.col("s"))).collect()]
+    assert base10 == [None, 42, -7, None]  # overflow + hex-in-base-10 -> NULL
+    base0 = [r[0] for r in df.select(parse_int(F.col("s"), 0)).collect()]
+    assert base0[0] is None and base0[3] == 16
