@@ -1323,3 +1323,16 @@ def test_parse_int_overflow_magnitude_is_null_not_abort(spark):
     assert base10 == [None, 42, -7, None]  # overflow + hex-in-base-10 -> NULL
     base0 = [r[0] for r in df.select(parse_int(F.col("s"), 0)).collect()]
     assert base0[0] is None and base0[3] == 16
+
+
+def test_resolve_parse_impl_adaptive_and_pinned(spark, monkeypatch):
+    from opentelemetry_collector_contrib_spark.plans.pipeline import resolve_parse_impl
+
+    monkeypatch.delenv("SPARK_GRAFT_PARSE_IMPL", raising=False)
+    # conftest session is low-parallelism -> hybrid below the 8-slot knee
+    expect = "hybrid" if spark.sparkContext.defaultParallelism <= 8 else "arrow"
+    assert resolve_parse_impl(spark) == expect
+    monkeypatch.setenv("SPARK_GRAFT_PARSE_IMPL", "jvm")
+    assert resolve_parse_impl(spark) == "jvm"
+    monkeypatch.setenv("SPARK_GRAFT_PARSE_IMPL", "auto")
+    assert resolve_parse_impl(spark) == expect
