@@ -46,13 +46,6 @@ def fnv1a64_bytes(data: bytes, h: int = FNV1A64_OFFSET) -> int:
     return h
 
 
-def _fnv64_signed(v) -> int | None:
-    if v is None:
-        return None
-    h = fnv1a64_bytes(str(v).encode())
-    return h - (1 << 64) if h >= (1 << 63) else h
-
-
 def _fnv_np(s: pd.Series, offset: int, prime: int, mask32: bool) -> pd.Series:
     """Vectorized FNV-1a over a string Series: position-wise numpy loop on
     a zero-padded byte matrix — O(n·maxlen) vectorized ops instead of
