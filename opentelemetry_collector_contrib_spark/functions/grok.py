@@ -8,10 +8,16 @@ definitions) once at plan time, then extracts named captures per record.
 Here: grok -> plain regex expansion happens on the driver at plan time;
 extraction is either
 - ``impl='jvm'``: one ``regexp_extract`` per named group (whole-stage
-  codegen, zero Python), or
+  codegen, zero Python),
 - ``impl='pandas'``: a single Arrow-batched pandas UDF with the compiled
   regex returning map<string,string> (one pass per row; preferred when the
-  pattern has many groups).
+  pattern has many groups), or
+- ``impl='arrow'``: one RE2 ``pc.extract_regex`` C++ pass + columnar map
+  assembly (zero per-row Python) — the same engine family go-grok itself
+  runs on, so it is simultaneously the fastest impl and the closest to
+  the reference's matching semantics. Falls back to ``pandas`` at plan
+  time if RE2 rejects the expanded pattern (e.g. a user-supplied inline
+  group using python-only syntax).
 """
 
 from __future__ import annotations
@@ -254,7 +260,7 @@ def grok_extract(
     col: Column,
     pattern: str,
     custom: dict[str, str] | None = None,
-    impl: str = "pandas",
+    impl: str = "arrow",
     named_captures_only: bool = True,
 ) -> Column:
     """ExtractGrokPatterns -> map<string,string> of captures keyed by
@@ -299,6 +305,59 @@ def grok_extract(
         return F.when(col.rlike(jvm_rx), m).otherwise(
             F.lit(None).cast("map<string,string>")
         )
+
+    if impl == "arrow":
+        import pyarrow as pa
+
+        try:
+            import pyarrow.compute as pc
+            from pyspark.sql.functions import arrow_udf
+
+            # plan-time RE2 validation (extract_regex compiles eagerly):
+            # a pattern RE2 rejects (python-only inline syntax) falls
+            # back to the pandas engine instead of failing per-task
+            pc.extract_regex(pa.array([], type=pa.string()), pattern=rx)
+        except Exception:
+            impl = "pandas"
+        else:
+            arrow_rx = rx
+            arrow_names = list(names)
+
+            @arrow_udf(T.MapType(T.StringType(), T.StringType()))
+            def _extract_arrow(s):
+                import pyarrow as _pa
+                import pyarrow.compute as _pc
+
+                from .vparse import struct_cols_to_map
+
+                if isinstance(s, _pa.ChunkedArray):
+                    s = s.combine_chunks()
+                if len(s) == 0:
+                    return _pa.array([], type=_pa.map_(_pa.string(), _pa.string()))
+                hits = _pc.extract_regex(s, pattern=arrow_rx)
+                gnames = [f.name for f in hits.type]
+                valid = _pc.is_valid(hits).to_numpy(zero_copy_only=False)
+                # translate grokN sentinels to original keys; duplicate
+                # originals merge FIRST-non-empty (go-grok posture), in
+                # group order — all columnar, zero per-row Python
+                merged: dict[str, object] = {}
+                order: list[str] = []
+                for i, g in enumerate(gnames):
+                    if re.fullmatch(r"grok\d+", g) and int(g[4:]) < len(arrow_names):
+                        o = arrow_names[int(g[4:])]
+                    else:
+                        o = g
+                    c = hits.field(i)
+                    if o in merged:
+                        prev = merged[o]
+                        prev_ok = _pc.fill_null(_pc.not_equal(prev, ""), False)
+                        merged[o] = _pc.if_else(prev_ok, prev, c)
+                    else:
+                        merged[o] = c
+                        order.append(o)
+                return struct_cols_to_map([merged[o] for o in order], order, valid)
+
+            return _extract_arrow(col)
 
     compiled_src = rx
     names_src = names

@@ -250,12 +250,24 @@ def _extract_map_arrow(sub: "pa.Array", rx) -> "pa.Array":
     import pyarrow.compute as pc
 
     pattern = rx.pattern if hasattr(rx, "pattern") else rx
-    n = len(sub)
     hits = pc.extract_regex(sub, pattern=pattern)
     names = [f.name for f in hits.type]
-    k = len(names)
     valid_np = pc.is_valid(hits).to_numpy(zero_copy_only=False)
-    cols = [hits.field(i) for i in range(k)]
+    cols = [hits.field(i) for i in range(len(names))]
+    return struct_cols_to_map(cols, names, valid_np)
+
+
+def struct_cols_to_map(cols, names, valid_np) -> "pa.Array":
+    """(k string columns, k key names, row-valid mask) -> MapArray with
+    empty/absent values dropped and invalid rows as NULL maps. The
+    columnar tail shared by the multiformat regex parse and the arrow
+    grok impl."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(valid_np)
+    k = len(names)
     keep = (
         np.stack(
             [

@@ -46,7 +46,7 @@ def grok_parser(
     parse_from: str = "body",
     parse_to: str = "attributes",
     on_error: str = "send",
-    impl: str = "pandas",
+    impl: str = "arrow",
 ) -> DataFrame:
     """ExtractGrokPatterns as a parser stage (grok expanded at plan time,
     vectorized extraction; func_extract_grok_patterns.go:18-101)."""

@@ -146,7 +146,9 @@ def q_parsers_web(spark, sf_dir):
     out = parsers.grok_parser(
         out,
         "%{IP:client} %{WORD:method} %{NOTSPACE:path} %{INT:status}",
-        parse_from="body_web", parse_to="a_grok", impl="pandas",
+        # default impl (arrow RE2 since round 5) — the oracle verifies
+        # the production path; jvm/pandas parity is pinned in tests
+        parse_from="body_web", parse_to="a_grok",
     )
     out = parsers.uri_parser(out, parse_from="body_uri", parse_to="a_uri")
     out = parsers.container_parser(out, parse_from="body_ctr", parse_to="a_ctr")

@@ -163,7 +163,7 @@ def test_grok_extract_new_patterns_jvm_pandas_agree(spark):
     ]
     df = spark.createDataFrame(rows, ["body"])
     pat = "%{SYSLOG5424BASE}"
-    for impl in ("jvm", "pandas"):
+    for impl in ("jvm", "pandas", "arrow"):
         out = [
             r[0]
             for r in df.select(grok_extract(F.col("body"), pat, impl=impl)).collect()
@@ -171,3 +171,41 @@ def test_grok_extract_new_patterns_jvm_pandas_agree(spark):
         assert out[0] is not None and out[0]["process.name"] == "proc"
         assert out[0]["process.pid"] == "77"
         assert out[2] is None
+
+
+def test_grok_arrow_impl_agreement_and_fallback(spark):
+    """impl='arrow' (RE2 C++ pass, the reference's own engine family)
+    agrees with jvm and pandas on duplicate-key first-non-empty merge,
+    inline custom groups, NULL rows, and non-matching rows — and a
+    python-only inline construct (RE2 rejects lookahead) silently falls
+    back to the pandas engine at plan time."""
+    from opentelemetry_collector_contrib_spark.functions.grok import grok_extract
+
+    rows = [
+        ("a=1 b=2",),
+        (None,),
+        ("zzz",),
+    ]
+    df = spark.createDataFrame(rows, ["body"])
+    # duplicate original key via custom patterns: first non-empty wins
+    custom = {"KV": r"(?:a=%{WORD:v})", "KV2": r"(?:b=%{WORD:v})"}
+    pat = "%{KV} %{KV2}"
+    per = {}
+    for impl in ("jvm", "pandas", "arrow"):
+        per[impl] = [
+            dict(r[0]) if r[0] is not None else None
+            for r in df.select(
+                grok_extract(F.col("body"), pat, custom=custom, impl=impl)
+            ).collect()
+        ]
+    assert per["jvm"] == per["pandas"] == per["arrow"]
+    assert per["arrow"][0] == {"v": "1"} and per["arrow"][1] is None
+
+    # RE2-rejected pattern (lookahead) -> plan-time fallback to pandas
+    la = r"(?P<x>foo(?=bar))"
+    df2 = spark.createDataFrame([("foobar",), ("foobaz",)], ["body"])
+    got = [
+        dict(r[0]) if r[0] is not None else None
+        for r in df2.select(grok_extract(F.col("body"), la, impl="arrow")).collect()
+    ]
+    assert got == [{"x": "foo"}, None]

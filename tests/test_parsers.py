@@ -23,7 +23,7 @@ def test_regex_parser_named_groups(spark):
 def test_grok_parser_apache_both_impls(spark):
     line = '10.0.0.7 - frank [10/Oct/2025:13:55:36 +0000] "GET /api/v1/items HTTP/1.1" 200 2326'
     df = _one(spark, line)
-    for impl in ("pandas", "jvm"):
+    for impl in ("pandas", "jvm", "arrow"):
         attrs = parsers.grok_parser(df, "%{COMMONAPACHELOG}", impl=impl).select("attributes").first()[0]
         assert attrs["source_address"] == "10.0.0.7"
         assert attrs["user_name"] == "frank"
