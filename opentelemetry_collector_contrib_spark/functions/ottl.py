@@ -146,16 +146,37 @@ def parse_json_(col: Column, schema: str | T.DataType = "map<string,string>") ->
 
 
 def parse_csv_(col: Column, header: list[str], delimiter: str = ",") -> Column:
-    # try_element_at pads short rows with NULL; a plain slice would feed
-    # map_from_arrays arrays of unequal length and ABORT THE JOB on the
-    # first row with fewer fields than the header (the stanza reference
-    # instead surfaces a per-entry error) — same guard as
-    # transformers.assign_keys
-    parts = F.split(col, re.escape(delimiter))
+    """CSV line -> map, with Go encoding/csv quote semantics (the stanza
+    csv parser's engine): a field may be RFC-4180 quoted ('"a,b"' keeps
+    the delimiter, '""' unescapes to '"'), and a line with a stray or
+    unterminated quote is a parse FAILURE (NULL map -> on_error), like
+    encoding/csv's per-record error. Lines without a quote char take the
+    plain-split fast path — one branch, all JVM. Short rows pad with
+    NULL via try_element_at (a plain slice would feed map_from_arrays
+    unequal arrays and ABORT THE JOB on the first short row)."""
+    d = re.escape(delimiter)
+    simple = F.split(col, d)
+    if len(delimiter) == 1 and delimiter != '"':
+        fld = f'"(?:[^"]|"")*"|[^"{d}]*'
+        valid = col.rlike(f"^(?:{fld})(?:{d}(?:{fld}))*$")
+        toks = F.regexp_extract_all(col, F.lit(f"(?:^|{d})({fld})"), 1)
+        unq = F.transform(
+            toks,
+            lambda t: F.when(
+                t.startswith('"'),
+                F.regexp_replace(t.substr(F.lit(2), F.length(t) - 2), '""', '"'),
+            ).otherwise(t),
+        )
+        parts = F.when(~col.contains('"'), simple).otherwise(F.when(valid, unq))
+    else:  # multi-char delimiters have no encoding/csv analog: split only
+        parts = simple
     vals = F.array(
         *[F.try_element_at(parts, F.lit(i + 1)) for i in range(len(header))]
     )
-    return F.map_from_arrays(F.array(*[F.lit(h) for h in header]), vals)
+    return F.when(
+        parts.isNotNull(),
+        F.map_from_arrays(F.array(*[F.lit(h) for h in header]), vals),
+    )
 
 
 def parse_key_value(col: Column, delimiter: str = "=", pair_delimiter: str = " ") -> Column:

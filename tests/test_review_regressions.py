@@ -1336,3 +1336,24 @@ def test_resolve_parse_impl_adaptive_and_pinned(spark, monkeypatch):
     assert resolve_parse_impl(spark) == "jvm"
     monkeypatch.setenv("SPARK_GRAFT_PARSE_IMPL", "auto")
     assert resolve_parse_impl(spark) == expect
+
+
+def test_csv_parser_quoted_fields_go_semantics(spark):
+    """RFC-4180 quoting with encoding/csv's strict posture (the stanza
+    csv parser's engine): quoted delimiters kept, '""' unescapes, stray
+    or unterminated quotes are a per-entry parse FAILURE (NULL map),
+    quote-free lines ride the plain-split fast path unchanged."""
+    rows = [
+        ("a,b,c", {"f1": "a", "f2": "b", "f3": "c"}),
+        ('"a,x",b,c', {"f1": "a,x", "f2": "b", "f3": "c"}),
+        ('"he said ""hi""",2,3', {"f1": 'he said "hi"', "f2": "2", "f3": "3"}),
+        ('a"b,c,d', None),          # bare quote in unquoted field -> Go error
+        ('"unterminated,b,c', None),
+        ('"",2,3', {"f1": "", "f2": "2", "f3": "3"}),
+        ("x,y", {"f1": "x", "f2": "y", "f3": None}),  # short row pads
+    ]
+    df = spark.createDataFrame([(b,) for b, _ in rows], "body string")
+    out = {r["body"]: r["attributes"] for r in parsers.csv_parser(df, ["f1", "f2", "f3"]).collect()}
+    for body, want in rows:
+        got = dict(out[body]) if out[body] is not None else None
+        assert got == want, body
