@@ -332,7 +332,24 @@ def severity_parser(
     for alias, target in SEVERITY_ALIASES.items():
         table[alias] = SEVERITY_NUMBER[target]
     if mapping:
-        table.update({k.lower(): v for k, v in mapping.items()})
+        for k, v in mapping.items():
+            # the reference's special range keys (severity_builder.go:
+            # 95-112, 200-217): '2xx'..'5xx' expand to the literal
+            # status strings 200..299 etc., and a (min, max) tuple is
+            # the {min:, max:} range form — expanded at PLAN time into
+            # the same literal-map probe, zero runtime cost
+            if isinstance(k, tuple):
+                lo, hi = (int(k[0]), int(k[1])) if k[0] <= k[1] else (int(k[1]), int(k[0]))
+                for s in range(lo, hi + 1):
+                    table[str(s)] = v
+                continue
+            kl = str(k).lower()
+            if re.fullmatch(r"[2-5]xx", kl):
+                lo = int(kl[0]) * 100
+                for s in range(lo, lo + 100):
+                    table[str(s)] = v
+            else:
+                table[kl] = v
     src = F.lower(get_field(df, parse_from))
     # literal-map lookups, NOT a chained CASE: CollapseProject inlines the
     # source expression into every WHEN branch, so a 30+-way chain over a

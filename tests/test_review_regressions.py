@@ -1357,3 +1357,17 @@ def test_csv_parser_quoted_fields_go_semantics(spark):
     for body, want in rows:
         got = dict(out[body]) if out[body] is not None else None
         assert got == want, body
+
+
+def test_severity_parser_http_range_aliases(spark):
+    """severity_builder.go's special mapping values: '4xx' expands to
+    the literal strings 400..499 (HTTP2xx..HTTP5xx consts) and a
+    (min, max) tuple is the {min:, max:} range form — both expand at
+    plan time into the literal-map probe."""
+    df = spark.createDataFrame(
+        [("404",), ("499",), ("500",), ("200",), ("7",), ("399",)], "code string")
+    out = parsers.severity_parser(
+        df, "code", mapping={"4xx": 13, "5xx": 17, (200, 204): 9, "7": 5}
+    )
+    got = {r["code"]: r["severity_number"] for r in out.collect()}
+    assert got == {"404": 13, "499": 13, "500": 17, "200": 9, "7": 5, "399": 0}
