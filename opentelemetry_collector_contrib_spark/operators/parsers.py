@@ -307,14 +307,30 @@ def time_parser(
     layout: str,
     layout_type: str = "strptime",
     out_col: str = "timestamp",
+    location: str | None = None,
 ) -> DataFrame:
     """time_parser (/root/reference/pkg/stanza/operator/helper/time.go:20-27):
-    strptime | gotime (translated by caller) | epoch layouts."""
+    strptime | gotime (translated by caller) | epoch layouts.
+
+    `location` (time.go:44,119-122): an IANA zone the wall-clock fields
+    of a ZONE-LESS layout are interpreted in (Go's ParseInLocation) —
+    pass it only for layouts without a zone directive, exactly the case
+    where ParseInLocation's location takes effect. Validated at plan
+    time like the reference's config load ('failed to load location');
+    an unvalidated name would ANSI-abort at runtime instead."""
     src = get_field(df, parse_from)
     if layout_type == "epoch":
         ts = parse_epoch(src, layout)
     else:
         ts = parse_strptime(src, layout)
+    if location:
+        import zoneinfo
+
+        try:
+            zoneinfo.ZoneInfo(location)
+        except Exception as e:
+            raise ValueError(f"failed to load location {location}: {e}") from e
+        ts = F.to_utc_timestamp(ts, location)
     return df.withColumn(out_col, ts)
 
 

@@ -1371,3 +1371,20 @@ def test_severity_parser_http_range_aliases(spark):
     )
     got = {r["code"]: r["severity_number"] for r in out.collect()}
     assert got == {"404": 13, "499": 13, "500": 17, "200": 9, "7": 5, "399": 0}
+
+
+def test_time_parser_location_parse_in_location(spark):
+    """time.go's `location`: a zone-less layout's wall clock is read in
+    the given IANA zone (Go ParseInLocation) — DST-aware — and a bogus
+    zone fails at PLAN time like the reference's config error."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("2025-01-15 12:00:00",), ("2025-07-15 12:00:00",)], "t string")
+    out = parsers.time_parser(
+        df, "t", "%Y-%m-%d %H:%M:%S", location="America/New_York")
+    got = {r["t"]: r["timestamp"].hour for r in out.collect()}
+    # session tz is UTC: EST noon -> 17 UTC, EDT noon -> 16 UTC
+    assert got == {"2025-01-15 12:00:00": 17, "2025-07-15 12:00:00": 16}
+    with _pytest.raises(ValueError, match="failed to load location"):
+        parsers.time_parser(df, "t", "%Y-%m-%d %H:%M:%S", location="Not/AZone")
