@@ -340,13 +340,26 @@ def severity_parser(
     mapping: dict[str, int] | None = None,
     out_number: str = "severity_number",
     out_text: str = "severity_text",
+    preset: str = "default",
 ) -> DataFrame:
     """severity_parser (/root/reference/pkg/stanza/operator/helper/severity_builder.go):
     text (case-insensitive, aliases) -> severity number + canonical text.
-    Implemented as a literal CASE chain (small closed domain -> no join)."""
-    table = dict(SEVERITY_NUMBER)
-    for alias, target in SEVERITY_ALIASES.items():
-        table[alias] = SEVERITY_NUMBER[target]
+    Implemented as a literal CASE chain (small closed domain -> no join).
+
+    preset (severity_builder.go:18-22,116): 'default' = the standard
+    name+alias table; 'none' = only the user mapping; 'otel'/'aliases' =
+    the 24 OTel level names plus their stringified numbers ('1'..'24')."""
+    if preset == "none":
+        table: dict[str, int] = {}
+    elif preset in ("otel", "aliases"):
+        table = dict(SEVERITY_NUMBER)
+        table.update({str(v): v for v in SEVERITY_NUMBER.values()})
+    elif preset == "default":
+        table = dict(SEVERITY_NUMBER)
+        for alias, target in SEVERITY_ALIASES.items():
+            table[alias] = SEVERITY_NUMBER[target]
+    else:
+        raise ValueError(f"unknown severity preset {preset!r}")
     if mapping:
         for k, v in mapping.items():
             # the reference's special range keys (severity_builder.go:

@@ -1388,3 +1388,17 @@ def test_time_parser_location_parse_in_location(spark):
     assert got == {"2025-01-15 12:00:00": 17, "2025-07-15 12:00:00": 16}
     with _pytest.raises(ValueError, match="failed to load location"):
         parsers.time_parser(df, "t", "%Y-%m-%d %H:%M:%S", location="Not/AZone")
+
+
+def test_severity_parser_presets(spark):
+    """severity_builder.go presets: 'none' = user mapping only, 'otel' =
+    the 24 level names + stringified numbers, 'default' as before."""
+    df = spark.createDataFrame([("error",), ("17",), ("warning",)], "s string")
+    default = {r["s"]: r["severity_number"] for r in parsers.severity_parser(df, "s").collect()}
+    assert default["error"] == 17 and default["warning"] == 13 and default["17"] == 0
+    otel = {r["s"]: r["severity_number"] for r in parsers.severity_parser(
+        df, "s", preset="otel").collect()}
+    assert otel["error"] == 17 and otel["17"] == 17 and otel["warning"] == 0
+    none = {r["s"]: r["severity_number"] for r in parsers.severity_parser(
+        df, "s", preset="none", mapping={"error": 21}).collect()}
+    assert none["error"] == 21 and none["17"] == 0 and none["warning"] == 0
