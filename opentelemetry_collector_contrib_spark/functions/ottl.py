@@ -179,29 +179,74 @@ def parse_csv_(col: Column, header: list[str], delimiter: str = ",") -> Column:
     )
 
 
+# sentinels for the escape-aware quote strip (private-use codepoints; an
+# input containing them would confuse the round-trip — not a character
+# any log line carries)
+_KV_S1, _KV_S2, _KV_S3 = "\ue000", "\ue001", "\ue002"
+
+
 def parse_key_value(col: Column, delimiter: str = "=", pair_delimiter: str = " ") -> Column:
-    """ParseKeyValue with LAST-wins duplicate handling. str_to_map would
-    abort the whole job with DUPLICATED_MAP_KEY on a repeated key
-    ('a=1 a=2') or on runs of consecutive pair delimiters (two empty
-    tokens) — the stanza keyvalue parser simply overwrites. Pairs split
-    on the FIRST key/value delimiter (str_to_map semantics); a pair
-    without the delimiter keeps the key with a NULL value."""
-    pairs = F.split(F.trim(col), re.escape(pair_delimiter))
+    """ParseKeyValue / stanza keyvalue semantics — the reference's
+    parseutils engine (internal/coreinternal/parseutils/parser.go:17-81,
+    shared by func_parse_key_value.go and the stanza keyvalue parser):
 
-    def ent(p):
-        kv = F.split(p, re.escape(delimiter), 2)
-        return F.struct(F.get(kv, 0).alias("key"), F.get(kv, 1).alias("value"))
+    - pair splitting is QUOTE-AWARE: '"a b"' and "'a b'" spans absorb
+      pair delimiters; the delimiting quotes are dropped, quotes of the
+      other kind inside a span are kept, and backslash-escaped quotes
+      stay verbatim (SplitString's escape state machine);
+    - leading/trailing/consecutive pair delimiters produce no tokens;
+    - each pair splits on the FIRST key/value delimiter; key and value
+      are whitespace-trimmed (ParseKeyValuePairs:75-76);
+    - duplicate keys last-wins (map assignment);
+    - FAILURES are per-entry NULLs, matching the reference's errors:
+      empty input, an unterminated quote ('never reached the end of a
+      quoted value'), or a pair without the delimiter.
 
-    ents = F.transform(pairs, ent)
+    All JVM column expressions: one tokenizer regexp_extract_all +
+    per-token sentinel-protected quote strip — no Python."""
+    if not delimiter or not pair_delimiter:
+        raise ValueError("delimiter and pair_delimiter must be non-empty")
+    if any(q in pair_delimiter for q in "\"'\\"):
+        raise ValueError("pair_delimiter may not contain quote or escape characters")
+    pd = re.escape(pair_delimiter)
+    dq = r'"(?:\\.|[^"\\])*"'
+    sq = r"'(?:\\.|[^'\\])*'"
+    token = rf"(?:{dq}|{sq}|\\[\"']|(?!{pd})[^\"'])+"
+    shape_ok = col.rlike(rf"^(?:{pd}|{token})*$") & (col != "")
+    # \G-anchored: each token must start at position 0 or right after
+    # the previous match — an unanchored scan could resume MID-delimiter
+    # and grow a bogus token from a multi-char pair delimiter's tail
+    # (caught by the Go 'complicated delimiters' vector)
+    toks = F.regexp_extract_all(col, F.lit(rf"\G(?:{pd})*({token})"), 1)
+
+    def strip_quotes(t):
+        # protect escaped pairs, drop span-delimiting quotes (keeping the
+        # span interior incl. other-kind quotes), restore escapes — the
+        # flat equivalent of SplitString's quote/escape state machine
+        s = F.replace(t, F.lit("\\\\"), F.lit(_KV_S1))
+        s = F.replace(s, F.lit('\\"'), F.lit(_KV_S2))
+        s = F.replace(s, F.lit("\\'"), F.lit(_KV_S3))
+        s = F.regexp_replace(s, "\"([^\"]*)\"|'([^']*)'", "$1$2")
+        s = F.replace(s, F.lit(_KV_S3), F.lit("\\'"))
+        s = F.replace(s, F.lit(_KV_S2), F.lit('\\"'))
+        return F.replace(s, F.lit(_KV_S1), F.lit("\\\\"))
+
+    def ent(t):
+        kv = F.split(strip_quotes(t), re.escape(delimiter), 2)
+        return F.struct(
+            F.regexp_replace(F.get(kv, 0), r"^\s+|\s+$", "").alias("key"),
+            F.regexp_replace(F.get(kv, 1), r"^\s+|\s+$", "").alias("value"),
+        )
+
+    ents = F.transform(toks, ent)
+    pairs_ok = F.forall(ents, lambda e: e["value"].isNotNull())
     deduped = F.filter(
         ents,
-        lambda e, i: (e["key"] != "")  # runs of pair delimiters make empty
-        # tokens -> ''-key entries; the stanza keyvalue parser skips them
-        & ~F.exists(
+        lambda e, i: ~F.exists(
             F.slice(ents, i + 2, F.size(ents)), lambda e2: e2["key"] == e["key"]
         ),
     )
-    return F.map_from_entries(deduped)
+    return F.when(shape_ok & pairs_ok, F.map_from_entries(deduped))
 
 
 def extract_patterns(col: Column, pattern: str) -> Column:

@@ -106,14 +106,18 @@ def keyvalue_parser(
     parse_to: str = "attributes",
     on_error: str = "send",
 ) -> DataFrame:
-    """key_value_parser (/root/reference/pkg/stanza/operator/parser/keyvalue/config.go:30-53)."""
+    """key_value_parser (/root/reference/pkg/stanza/operator/parser/keyvalue/config.go:30-53).
+
+    Delegates to ottl.parse_key_value — the same parseutils engine the
+    reference's operator calls (parser.go:46-51): quote-aware pair
+    splitting, per-pair first-delimiter split with whitespace-trimmed
+    keys/values, last-wins duplicates, and per-entry NULL on the
+    reference's error cases (empty input, unterminated quote, pair
+    without the delimiter) feeding the shared on_error semantics."""
+    from ..functions.ottl import parse_key_value
+
     src = get_field(df, parse_from)
-    # str_to_map treats both delimiters as REGEXES — escape so user
-    # delimiters like '|', '.', '+' behave as literals (stanza semantics)
-    parsed = F.str_to_map(
-        F.trim(src), F.lit(re.escape(pair_delimiter)), F.lit(re.escape(delimiter))
-    )
-    return set_parsed(df, parsed, parse_to, on_error)
+    return set_parsed(df, parse_key_value(src, delimiter, pair_delimiter), parse_to, on_error)
 
 
 # RFC3164/RFC5424 syslog — library-free regex port of

@@ -1402,3 +1402,44 @@ def test_severity_parser_presets(spark):
     none = {r["s"]: r["severity_number"] for r in parsers.severity_parser(
         df, "s", preset="none", mapping={"error": 21}).collect()}
     assert none["error"] == 21 and none["17"] == 0 and none["warning"] == 0
+
+
+def test_parse_key_value_reference_vectors(spark):
+    """func_parse_key_value_test.go vectors (the parseutils engine,
+    parser.go:17-81): quote-aware pair splitting, other-kind quotes kept
+    inside a span, whitespace-trimmed keys/values, multi-char and
+    custom delimiters, and the reference's error cases as NULLs."""
+    from opentelemetry_collector_contrib_spark.functions import ottl
+
+    def run(s, delim="=", pd=" "):
+        df = spark.createDataFrame([(s,)], "s string")
+        r = df.select(ottl.parse_key_value(F.col("s"), delim, pd).alias("m")).first()["m"]
+        return dict(r) if r is not None else None
+
+    # double / single quoted values, embedded other-kind quotes
+    assert run('a=b c=\'this is a "co ol" value\'') == {
+        "a": "b", "c": 'this is a "co ol" value'}
+    assert run('requestClientApplication="Mozilla/5.0 (Windows NT 6.1; WOW64; rv:40.0) Gecko/20100101 Firefox/40.0"') == {
+        "requestClientApplication": "Mozilla/5.0 (Windows NT 6.1; WOW64; rv:40.0) Gecko/20100101 Firefox/40.0"}
+    # quotes strip leading & trailing spaces of the value
+    assert run('name="   ottl " func="  key_ value"') == {
+        "name": "ottl", "func": "key_ value"}
+    # '!' delimiter, whitespace runs, leading/trailing delimiters
+    assert run("   name!ottl     func!key_value hello!world  ", delim="!") == {
+        "name": "ottl", "func": "key_value", "hello": "world"}
+    # multi-char '!!' delimiter with newlines inside tokens (trimmed)
+    assert run("   \nname!!ottl     \nfunc!!key_value                      hello!!world  ",
+               delim="!!") == {"name": "ottl", "func": "key_value", "hello": "world"}
+    # quoted value contains both delimiters; '_' pair delimiter
+    assert run('name="ottl="_func="=key_value"', pd="_") == {
+        "name": "ottl=", "func": "=key_value"}
+    # multi-char pair delimiter + '@*' kv delimiter
+    assert run("k1@*v1_!_k2@**v2_!__k3@@*v3__", delim="@*", pd="_!_") == {
+        "k1": "v1", "k2": "*v2", "_k3@": "v3__"}
+    # second '=' goes into the value (SplitN 2)
+    assert run("   k1=v1   k2==v2       k3=v3= ") == {
+        "k1": "v1", "k2": "=v2", "k3": "v3="}
+    # reference error cases -> NULL
+    assert run("") is None                      # empty input
+    assert run("k1=v1 k2='v2\"") is None        # unterminated quote
+    assert run("a=b orphan c=d") is None        # pair without delimiter
