@@ -280,11 +280,12 @@ def extract_patterns(col: Column, pattern: str) -> Column:
 def url_(col: Column) -> Column:
     """URL converter -> semconv url.* map (func_url.go): scheme/domain/
     path/original always present; port, query, and fragment only when the
-    URL has them (the reference omits absent components). Spark's
-    parse_url(..., 'PORT') returns NULL, so the port is derived from the
-    AUTHORITY instead."""
+    URL has them (the reference omits absent components). try_parse_url:
+    ANSI parse_url ABORTS THE JOB on one invalid URL (bad %-escape)
+    where net/url.Parse errors that record. Spark's parse_url PORT
+    returns NULL, so the port is derived from the AUTHORITY instead."""
     port = F.regexp_extract(
-        F.coalesce(F.parse_url(col, F.lit("AUTHORITY")), F.lit("")), r":(\d+)$", 1
+        F.coalesce(F.try_parse_url(col, F.lit("AUTHORITY")), F.lit("")), r":(\d+)$", 1
     )
     full = F.map_from_arrays(
         F.array(
@@ -297,12 +298,12 @@ def url_(col: Column) -> Column:
             F.lit("url.original"),
         ),
         F.array(
-            F.coalesce(F.parse_url(col, F.lit("PROTOCOL")), F.lit("")),
-            F.coalesce(F.parse_url(col, F.lit("HOST")), F.lit("")),
+            F.coalesce(F.try_parse_url(col, F.lit("PROTOCOL")), F.lit("")),
+            F.coalesce(F.try_parse_url(col, F.lit("HOST")), F.lit("")),
             port,
-            F.coalesce(F.parse_url(col, F.lit("PATH")), F.lit("")),
-            F.coalesce(F.parse_url(col, F.lit("QUERY")), F.lit("")),
-            F.coalesce(F.parse_url(col, F.lit("REF")), F.lit("")),
+            F.coalesce(F.try_parse_url(col, F.lit("PATH")), F.lit("")),
+            F.coalesce(F.try_parse_url(col, F.lit("QUERY")), F.lit("")),
+            F.coalesce(F.try_parse_url(col, F.lit("REF")), F.lit("")),
             col,
         ),
     )

@@ -426,23 +426,81 @@ def uri_parser(
     parse_to: str = "attributes",
 ) -> DataFrame:
     """uri_parser (/root/reference/pkg/stanza/operator/parser/uri/config.go:13):
-    scheme/host/port/path/query breakdown via parse_url (JVM-side)."""
+    scheme/user/host/port/path breakdown via parse_url (JVM-side), plus
+    the reference's query-parameter map (parseutils/uri.go:100-160:
+    urlToMap ends in queryToMap over url.Values) flattened to
+    'query.<param>' keys — percent/plus-decoded, repeated parameters
+    comma-joined (the flat analog of the reference's value list),
+    malformed pairs dropped like url.Values.Query() drops ParseQuery
+    errors. The raw query string stays under 'query' (flat-model
+    convenience; the suite oracles read it)."""
     src = get_field(df, parse_from)
-    parsed = F.map_filter(
-        F.map_from_arrays(
-            F.array(F.lit("scheme"), F.lit("host"), F.lit("port"), F.lit("path"), F.lit("query")),
-            F.array(
-                F.parse_url(src, F.lit("PROTOCOL")),
-                F.parse_url(src, F.lit("HOST")),
-                # Spark's parse_url PORT is unreliable; derive from AUTHORITY
-                F.nullif(F.regexp_extract(F.parse_url(src, F.lit("AUTHORITY")), r":(\d+)$", 1), F.lit("")),
-                F.parse_url(src, F.lit("PATH")),
-                F.parse_url(src, F.lit("QUERY")),
+    q = F.try_parse_url(src, F.lit("QUERY"))
+    raw_pairs = F.filter(F.split(q, "&"), lambda p: p != "")
+    dec = F.filter(
+        F.transform(
+            raw_pairs,
+            lambda p: F.struct(
+                F.try_url_decode(F.get(F.split(p, "=", 2), 0)).alias("k"),
+                F.try_url_decode(F.coalesce(F.get(F.split(p, "=", 2), 1), F.lit(""))).alias("v"),
             ),
         ),
-        lambda _, v: v.isNotNull(),
+        lambda e: e["k"].isNotNull() & e["v"].isNotNull(),
     )
-    return set_parsed(df, parsed, parse_to)
+    # first occurrence of each param carries ALL its values comma-joined
+    qents = F.transform(
+        F.filter(
+            dec,
+            lambda e, i: ~F.exists(F.slice(dec, 1, i), lambda e2: e2["k"] == e["k"]),
+        ),
+        lambda e: F.struct(
+            F.concat(F.lit("query."), e["k"]).alias("key"),
+            F.array_join(
+                F.transform(
+                    F.filter(dec, lambda e2: e2["k"] == e["k"]), lambda x: x["v"]
+                ),
+                ",",
+            ).alias("value"),
+        ),
+    )
+    # Java URI parse failed on every component -> the reference's
+    # url.ParseRequestURI error -> NULL map (on_error), not {}. Note one
+    # documented divergence: Java validates the whole URI, so a bad
+    # %-escape in the query fails ALL components where Go salvages the
+    # non-query parts and drops only the bad pair.
+    ok = F.coalesce(
+        F.try_parse_url(src, F.lit("PROTOCOL")),
+        F.try_parse_url(src, F.lit("HOST")),
+        F.try_parse_url(src, F.lit("PATH")),
+        q,
+    ).isNotNull()
+    parsed = F.map_concat(
+        F.map_filter(
+            F.map_from_arrays(
+                F.array(
+                    F.lit("scheme"), F.lit("user"), F.lit("host"),
+                    F.lit("port"), F.lit("path"), F.lit("query"),
+                ),
+                F.array(
+                    F.try_parse_url(src, F.lit("PROTOCOL")),
+                    F.nullif(
+                        F.get(F.split(F.try_parse_url(src, F.lit("USERINFO")), ":", 2), 0),
+                        F.lit(""),
+                    ),
+                    F.try_parse_url(src, F.lit("HOST")),
+                    # try_parse_url everywhere: ANSI parse_url ABORTS THE JOB on one
+                    # invalid URL ('%zz' escape) where url.ParseRequestURI errors
+                    # that entry. PORT is also unreliable; derive from AUTHORITY
+                    F.nullif(F.regexp_extract(F.try_parse_url(src, F.lit("AUTHORITY")), r":(\d+)$", 1), F.lit("")),
+                    F.try_parse_url(src, F.lit("PATH")),
+                    q,
+                ),
+            ),
+            lambda _, v: v.isNotNull(),
+        ),
+        F.map_from_entries(F.coalesce(qents, F.array().cast("array<struct<key:string,value:string>>"))),
+    )
+    return set_parsed(df, F.when(ok, parsed), parse_to)
 
 
 def scope_name_parser(df: DataFrame, parse_from: str, out_col: str = "scope_name") -> DataFrame:

@@ -1443,3 +1443,22 @@ def test_parse_key_value_reference_vectors(spark):
     assert run("") is None                      # empty input
     assert run("k1=v1 k2='v2\"") is None        # unterminated quote
     assert run("a=b orphan c=d") is None        # pair without delimiter
+
+
+def test_uri_parser_query_params_user_and_error_posture(spark):
+    """parseutils/uri.go urlToMap: user + query params (url.Values)
+    flattened to decoded 'query.<param>' keys, repeated params
+    comma-joined; an unparsable URI is a per-entry NULL — and a bad
+    %-escape must NOT abort the job (ANSI parse_url would; try_parse_url
+    NULLs that entry — documented whole-URI divergence from Go's
+    query-pair salvage)."""
+    df = spark.createDataFrame(
+        [("https://bob:pw@example.com:8080/api?x=1&y=a%20b+c&x=3",),
+         ("not a url at all",),
+         ("http://h/p?bad=%zz",)],
+        "body string")
+    out = {r["body"][:10]: r["attributes"] for r in parsers.uri_parser(df).collect()}
+    good = dict(out["https://bo"])
+    assert good["user"] == "bob" and good["query.x"] == "1,3"
+    assert good["query.y"] == "a b c" and good["port"] == "8080"
+    assert out["not a url "] is None and out["http://h/p"] is None
